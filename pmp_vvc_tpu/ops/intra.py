@@ -1,0 +1,365 @@
+"""VVC intra prediction — batched over (CU, mode), bit-exact.
+
+Contracts (IntraPrediction.cpp):
+- reference line layout          :977-1225 (xFillReferenceSamples) — here
+  ``top``/``left`` arrays of length 2W+3 / 2H+3 with index 0 = the
+  top-left corner sample, then 2W (2H) reference samples, then 2 slots of
+  replication for the angular over-read.
+- [1 2 1] reference smoothing    :1227-1262 (xFilterReferenceSamples)
+- mode parametrisation           :371-443 (initPredIntraParams): wide-angle
+  remap (:183-203), MDIS filter decision (m_aucIntraFilter :58),
+  angle/inverse-angle tables, PDPC enablement + scale
+- planar                         :298-360
+- DC                             :152-180
+- angular w/ 4-tap (luma DCT-IF/"cubic" or Gaussian smoothing) and 2-tap
+  (chroma) interpolation, negative-angle side projection, PDPC :476-672
+- planar/DC PDPC                 :248-271 (in predIntraAng)
+
+Everything is expressed as gathers + elementwise ops over static shapes so
+a full 67-mode RMD sweep for a batch of CUs compiles to one XLA program.
+Predictions for "horizontal" modes are computed in transposed space and
+flipped at the end, exactly like the reference.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PLANAR_IDX, DC_IDX = 0, 1
+HOR_IDX, DIA_IDX, VER_IDX, VDIA_IDX = 18, 34, 50, 66
+NUM_LUMA_MODE = 67
+
+ANG_TABLE = np.array([0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26,
+                      29, 32, 35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171,
+                      256, 341, 512, 1024], np.int32)
+INV_ANG_TABLE = np.array([0, 16384, 8192, 5461, 4096, 2731, 2048, 1638, 1365,
+                          1170, 1024, 910, 819, 712, 630, 565, 512, 468, 420,
+                          364, 321, 287, 256, 224, 191, 161, 128, 96, 64, 48,
+                          32, 16], np.int32)
+# MDIS thresholds per log2 size (IntraPrediction.cpp:58)
+INTRA_FILTER_THRESH = np.array([24, 24, 24, 14, 2, 0, 0, 0], np.int32)
+
+# 4-tap DCT-IF ("cubic") filter, normative H.266 table
+# (InterpolationFilter.cpp:182, spec 8.4.5.2.13)
+CHROMA_FILTER = np.array([
+    [0, 64, 0, 0], [-1, 63, 2, 0], [-2, 62, 4, 0], [-2, 60, 7, -1],
+    [-2, 58, 10, -2], [-3, 57, 12, -2], [-4, 56, 14, -2], [-4, 55, 15, -2],
+    [-4, 54, 16, -2], [-5, 53, 18, -2], [-6, 52, 20, -2], [-6, 49, 24, -3],
+    [-6, 46, 28, -4], [-5, 44, 29, -4], [-4, 42, 30, -4], [-4, 39, 33, -4],
+    [-4, 36, 36, -4], [-4, 33, 39, -4], [-4, 30, 42, -4], [-4, 29, 44, -5],
+    [-4, 28, 46, -6], [-3, 24, 49, -6], [-2, 20, 52, -6], [-2, 18, 53, -5],
+    [-2, 16, 54, -4], [-2, 15, 55, -4], [-2, 14, 56, -4], [-2, 12, 57, -3],
+    [-2, 10, 58, -2], [-1, 7, 60, -2], [0, 4, 62, -2], [0, 2, 63, -1]],
+    np.int32)
+
+
+def _flog2(v: int) -> int:
+    return int(v).bit_length() - 1
+
+
+def wide_angle(width: int, height: int, mode: int) -> int:
+    """Wide-angle mode remap (IntraPrediction.cpp:183-203)."""
+    if mode <= DC_IDX or mode > VDIA_IDX:
+        return mode
+    mode_shift = [0, 6, 10, 12, 14, 15]
+    delta = abs(_flog2(width) - _flog2(height))
+    if width > height and mode < 2 + mode_shift[delta]:
+        return mode + (VDIA_IDX - 1)
+    if height > width and mode > VDIA_IDX - mode_shift[delta]:
+        return mode - (VDIA_IDX - 1)
+    return mode
+
+
+@dataclass(frozen=True)
+class ModeParams:
+    """Static per-mode parameters for one (w, h, is_luma) geometry."""
+
+    mode: int
+    pred_mode: int       # after wide-angle remap
+    is_ver: bool
+    angle: int           # signed intraPredAngle (1/32 px)
+    inv_angle: int
+    use_filtered: bool   # reference-filtering (MDIS [1 2 1]) selected
+    interpolate_gauss: bool  # Gaussian smoothing 4-tap instead of DCT-IF
+    apply_pdpc: bool
+    pdpc_scale: int
+
+
+def mode_params(w: int, h: int, mode: int, *, is_luma: bool = True,
+                mrl: int = 0, isp: bool = False) -> ModeParams:
+    """initPredIntraParams contract (IntraPrediction.cpp:371-443)."""
+    pred_mode = wide_angle(w, h, mode)
+    is_ver = pred_mode >= DIA_IDX
+    ang_mode = (pred_mode - VER_IDX) if is_ver else -(pred_mode - HOR_IDX)
+    apply_pdpc = w >= 4 and h >= 4 and mrl == 0
+
+    angle = inv_angle = 0
+    scale = 0
+    if DC_IDX < mode < NUM_LUMA_MODE:
+        abs_mode = abs(ang_mode)
+        angle = int(np.sign(ang_mode) or 1) * int(ANG_TABLE[abs_mode]) \
+            if ang_mode != 0 else 0
+        inv_angle = int(INV_ANG_TABLE[abs_mode])
+        if ang_mode < 0:
+            apply_pdpc = False
+        elif ang_mode > 0:
+            side = h if is_ver else w
+            scale = min(2, _flog2(side) - (_flog2(3 * inv_angle - 2) - 8))
+            apply_pdpc = apply_pdpc and scale >= 0
+
+    use_filtered = False
+    interp = False
+    if not (not is_luma or isp or mrl or mode == DC_IDX):
+        if mode == PLANAR_IDX:
+            use_filtered = w * h > 32
+        else:
+            diff = min(abs(pred_mode - HOR_IDX), abs(pred_mode - VER_IDX))
+            log2_size = (_flog2(w) + _flog2(h)) >> 1
+            if diff > int(INTRA_FILTER_THRESH[log2_size]):
+                is_int_slope = (abs(angle) & 0x1F) == 0
+                use_filtered = is_int_slope
+                interp = not is_int_slope
+    return ModeParams(mode, pred_mode, is_ver, angle, inv_angle,
+                      use_filtered, interp, apply_pdpc, scale)
+
+
+# ---------------------------------------------------------------------------
+# Reference sample preparation
+# ---------------------------------------------------------------------------
+
+def fill_reference_samples(top_raw, left_raw, avail_top, avail_left,
+                           avail_corner, corner_raw, *, bit_depth: int = 10):
+    """VVC reference substitution (spec 8.4.5.2.2 / xFillReferenceSamples).
+
+    top_raw:  (N, 2W) candidate top samples; left_raw: (N, 2H);
+    corner_raw: (N,); avail_*: boolean masks of the same shapes.
+    Returns (top, left): (N, 2W+3) / (N, 2H+3) with index 0 = corner and
+    2 trailing replication slots.
+    Substitution scans bottom-left -> corner -> top-right, replacing
+    unavailable samples with the previous available one (first samples
+    backfilled from the first available; all-DC if nothing available).
+    """
+    n, w2 = top_raw.shape
+    h2 = left_raw.shape[1]
+    dc = 1 << (bit_depth - 1)
+    # Build the scan: [left reversed (bottom-left first), corner, top]
+    scan_vals = jnp.concatenate(
+        [left_raw[:, ::-1], corner_raw[:, None], top_raw], axis=1)
+    scan_avail = jnp.concatenate(
+        [avail_left[:, ::-1], avail_corner[:, None], avail_top], axis=1)
+    L = h2 + 1 + w2
+    idx = jnp.arange(L)[None, :]
+    # last available index at or before i (-1 if none)
+    masked = jnp.where(scan_avail, idx, -1)
+    last = jax.lax.cummax(masked, axis=1)
+    # first available index overall (for leading run)
+    first = jnp.argmax(scan_avail, axis=1)
+    any_avail = jnp.any(scan_avail, axis=1)
+    gather_idx = jnp.where(last >= 0, last, first[:, None])
+    filled = jnp.take_along_axis(scan_vals, gather_idx, axis=1)
+    filled = jnp.where(any_avail[:, None], filled, dc)
+    left = filled[:, :h2 + 1][:, ::-1]     # [corner, left_0..left_{2H-1}]
+    top = filled[:, h2:]                   # [corner, top_0..top_{2W-1}]
+    # 2 replication slots for angular over-read (maxIndex extension)
+    top = jnp.concatenate([top, top[:, -1:], top[:, -1:]], axis=1)
+    left = jnp.concatenate([left, left[:, -1:], left[:, -1:]], axis=1)
+    return top, left
+
+
+def filter_reference_samples(top, left):
+    """[1 2 1]/4 smoothing (xFilterReferenceSamples, :1227-1262).
+
+    top: (N, 2W+3), left: (N, 2H+3), index 0 = corner. The last real
+    sample (index 2W / 2H) is copied unfiltered; replication slots follow.
+    """
+    def smooth(row, other_first):
+        # corner: (corner + top[1] + left[1] + corner... per reference:
+        # (c + top1 + c_row2 + left1 + 2) >> 2 with c appearing twice
+        n = row.shape[1] - 2              # index of last real sample + 1? see below
+        prev = row[:, :-2]
+        cur = row[:, 1:-1]
+        nxt = row[:, 2:]
+        mid = (prev + 2 * cur + nxt + 2) >> 2
+        return mid
+
+    corner = (top[:, 0] + top[:, 1] + left[:, 0] + left[:, 1] + 2) >> 2
+    t_mid = smooth(top, left)   # filtered values for indices 1..2W
+    l_mid = smooth(left, top)
+    # assemble: [corner, filtered 1..len-1, last unfiltered, repl, repl]
+    def assemble(row, mid):
+        last_real = row.shape[1] - 3       # index 2W
+        out = jnp.concatenate(
+            [corner[:, None], mid[:, :last_real - 1], row[:, last_real:]],
+            axis=1)
+        return out
+    return assemble(top, t_mid), assemble(left, l_mid)
+
+
+# ---------------------------------------------------------------------------
+# Prediction
+# ---------------------------------------------------------------------------
+
+def _predict_planar(top, left, w, h):
+    """top/left: (N, >=W+2)/(N, >=H+2) incl. corner at 0. Returns (N,h,w)."""
+    log2w, log2h = _flog2(w), _flog2(h)
+    t = top[:, 1:w + 2].astype(jnp.int32)      # top[0..w]
+    l = left[:, 1:h + 2].astype(jnp.int32)     # left[0..h]
+    bottom_left = l[:, h][:, None]
+    top_right = t[:, w][:, None]
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    top_row = t[:, :w]
+    left_col = l[:, :h]
+    # hor[y,x] = (left[y]<<log2w) + (x+1)*(topRight - left[y])
+    hor = (left_col[:, :, None] << log2w) + \
+        (xs[None, None, :] + 1) * (top_right[:, :, None] - left_col[:, :, None])
+    ver = (top_row[:, None, :] << log2h) + \
+        (ys[None, :, None] + 1) * (bottom_left[:, :, None] - top_row[:, None, :])
+    offset = 1 << (log2w + log2h)
+    return ((hor << log2h) + (ver << log2w) + offset) >> (1 + log2w + log2h)
+
+
+def _predict_dc(top, left, w, h):
+    t = top[:, 1:w + 1].astype(jnp.int32)
+    l = left[:, 1:h + 1].astype(jnp.int32)
+    denom = (w << 1) if w == h else max(w, h)
+    shift = _flog2(denom)
+    s = 0
+    if w >= h:
+        s = s + jnp.sum(t, axis=1)
+    if w <= h:
+        s = s + jnp.sum(l, axis=1)
+    dc = (s + (denom >> 1)) >> shift
+    return jnp.broadcast_to(dc[:, None, None], (top.shape[0], h, w))
+
+
+def _pdpc_planar_dc(pred, top, left, w, h):
+    """PDPC for planar/DC (predIntraAng :248-271). No clipping."""
+    scale = (_flog2(w) - 2 + _flog2(h) - 2 + 2) >> 2
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    wT = 32 >> jnp.minimum(31, (ys[:, None] << 1) >> scale)      # (h,1)
+    wL = 32 >> jnp.minimum(31, (xs[None, :] << 1) >> scale)      # (1,w)
+    t = top[:, 1:w + 1].astype(jnp.int32)[:, None, :]            # (N,1,w)
+    l = left[:, 1:h + 1].astype(jnp.int32)[:, :, None]           # (N,h,1)
+    return pred + ((wL[None] * (l - pred) + wT[None] * (t - pred) + 32) >> 6)
+
+
+def _predict_one_angular(main, side, p: ModeParams, wp: int, hp: int,
+                         is_luma: bool, bit_depth: int):
+    """Angular prediction in main/side space ((wp,hp) already swapped for
+    horizontal modes). main/side: (N, L) reference rows, index 0 = corner.
+    Returns (N, hp, wp) before any final transpose.
+    Contract: xPredIntraAng (:476-660).
+    """
+    n = main.shape[0]
+    pel_max = (1 << bit_depth) - 1
+    angle, inv_angle = p.angle, p.inv_angle
+    main_i = main.astype(jnp.int32)
+    side_i = side.astype(jnp.int32)
+
+    if angle == 0:
+        pred = jnp.broadcast_to(main_i[:, None, 1:wp + 1], (n, hp, wp))
+        if p.apply_pdpc:
+            scale = (_flog2(wp) + _flog2(hp) - 2) >> 2
+            top_left = main_i[:, 0][:, None, None]
+            l = side_i[:, 1:hp + 1][:, :, None]
+            xs = jnp.arange(wp)[None, None, :]
+            wL = 32 >> jnp.minimum(31, (2 * xs) >> scale)
+            adj = (wL * (l - top_left) + 32) >> 6
+            lim = min(3 << scale, wp)
+            adj = jnp.where(xs < lim, adj, 0)
+            pred = jnp.clip(pred + adj, 0, pel_max)
+        return pred
+
+    ys = jnp.arange(hp)
+    delta_pos = angle * (1 + ys)
+    delta_int = delta_pos >> 5          # (hp,)
+    delta_frac = delta_pos & 31
+
+    size_side = hp
+    if angle < 0:
+        # extended main: j in [-hp .. wp+1]; negative j projected from side
+        neg_j = jnp.arange(1, size_side + 1)  # -1 .. -hp as positive k
+        proj = jnp.minimum((neg_j * inv_angle + 256) >> 9, size_side)
+        neg_part = jnp.take(side_i, proj[::-1], axis=1)  # j=-hp..-1
+        ref_main = jnp.concatenate([neg_part, main_i], axis=1)
+        off = size_side
+    else:
+        ref_main = main_i
+        off = 0
+
+    xs = jnp.arange(wp)
+    is_int_slope = (abs(angle) & 0x1F) == 0
+    if is_int_slope:
+        idx = off + delta_int[:, None] + xs[None, :] + 1     # (hp, wp)
+        pred = jnp.take(ref_main, jnp.clip(idx, 0, ref_main.shape[1] - 1),
+                        axis=1)
+    elif is_luma:
+        if p.interpolate_gauss:
+            f0 = 16 - (delta_frac >> 1)
+            f1 = 32 - (delta_frac >> 1)
+            f2 = 16 + (delta_frac >> 1)
+            f3 = delta_frac >> 1
+            fs = jnp.stack([f0, f1, f2, f3], axis=-1)        # (hp, 4)
+        else:
+            fs = jnp.asarray(CHROMA_FILTER)[delta_frac]      # (hp, 4)
+        base = off + delta_int[:, None] + xs[None, :]        # (hp, wp)
+        acc = jnp.zeros((n, hp, wp), jnp.int32)
+        for k in range(4):
+            idx = jnp.clip(base + k, 0, ref_main.shape[1] - 1)
+            acc = acc + fs[None, :, k:k + 1] * jnp.take(ref_main, idx, axis=1)
+        pred = jnp.clip((acc + 32) >> 6, 0, pel_max)
+    else:
+        base = off + delta_int[:, None] + xs[None, :] + 1
+        p0 = jnp.take(ref_main, jnp.clip(base, 0, ref_main.shape[1] - 1), axis=1)
+        p1 = jnp.take(ref_main, jnp.clip(base + 1, 0, ref_main.shape[1] - 1),
+                      axis=1)
+        pred = p0 + ((delta_frac[None, :, None] * (p1 - p0) + 16) >> 5)
+
+    if p.apply_pdpc:
+        scale = p.pdpc_scale
+        xs2 = jnp.arange(wp)[None, None, :]
+        inv_sum = 256 + (jnp.arange(wp) + 1) * inv_angle     # (wp,)
+        side_idx = ys[:, None] + (inv_sum[None, :] >> 9) + 1  # (hp, wp)
+        side_idx = jnp.clip(side_idx, 0, side_i.shape[1] - 1)
+        left = jnp.take(side_i, side_idx, axis=1)            # (N, hp, wp)
+        wL = 32 >> jnp.minimum(31, (2 * jnp.arange(wp)) >> scale)[None, None, :]
+        adj = (wL * (left - pred) + 32) >> 6
+        lim = min(3 << scale, wp)
+        pred = jnp.where(xs2 < lim, pred + adj, pred)
+    return pred
+
+
+def predict_block(top_u, left_u, top_f, left_f, *, w: int, h: int,
+                  modes: tuple, is_luma: bool = True, bit_depth: int = 10):
+    """Predict a batch of CUs for a static tuple of modes.
+
+    top_u/left_u (and filtered variants): (N, 2W+3)/(N, 2H+3) reference
+    rows (index 0 = corner). Returns (N, len(modes), h, w) int32.
+    """
+    outs = []
+    for mode in modes:
+        p = mode_params(w, h, mode, is_luma=is_luma)
+        top = top_f if p.use_filtered else top_u
+        left = left_f if p.use_filtered else left_u
+        if mode == PLANAR_IDX:
+            pred = _predict_planar(top, left, w, h)
+        elif mode == DC_IDX:
+            pred = _predict_dc(top, left, w, h)
+        else:
+            if p.is_ver:
+                pred = _predict_one_angular(top, left, p, w, h,
+                                            is_luma, bit_depth)
+            else:
+                pred = _predict_one_angular(left, top, p, h, w,
+                                            is_luma, bit_depth)
+                pred = jnp.swapaxes(pred, -1, -2)
+        if mode in (PLANAR_IDX, DC_IDX) and p.apply_pdpc:
+            pred = _pdpc_planar_dc(pred, top, left, w, h)
+        outs.append(pred)
+    return jnp.stack(outs, axis=1)

@@ -28,6 +28,12 @@ def get_oracle(build_timeout=600):
                        ctypes.POINTER(ctypes.c_int),
                        ctypes.c_int, ctypes.c_int, ctypes.c_int,
                        ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "oracle_intra_pred"):
+        lib.oracle_intra_pred.restype = None
+        lib.oracle_intra_pred.argtypes = [
+            ctypes.POINTER(ctypes.c_short), ctypes.POINTER(ctypes.c_short),
+            ctypes.POINTER(ctypes.c_short), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
     if hasattr(lib, "oracle_satd"):
         lib.oracle_satd.restype = ctypes.c_longlong
         lib.oracle_satd.argtypes = [ctypes.POINTER(ctypes.c_short),

@@ -5,11 +5,19 @@
 #include "TrQuant_EMT.h"
 #include "Rom.h"
 #include "RdCost.h"
+// test-only oracle: expose private members of the reference classes
+#define private public
+#define protected public
+#include "IntraPrediction.h"
+#undef private
+#undef protected
+#include "Unit.h"
+#include "Slice.h"
 
-typedef void (*FwdTrans)(const TCoeff*, TCoeff*, int, int, int, int);
-typedef void (*InvTrans)(const TCoeff*, TCoeff*, int, int, int, int, const TCoeff, const TCoeff);
+typedef void (*OFwdFn)(const TCoeff*, TCoeff*, int, int, int, int);
+typedef void (*OInvFn)(const TCoeff*, TCoeff*, int, int, int, int, const TCoeff, const TCoeff);
 
-static const FwdTrans kFwd[3][6] = {
+static const OFwdFn kFwd[3][6] = {
   { fastForwardDCT2_B2, fastForwardDCT2_B4, fastForwardDCT2_B8,
     fastForwardDCT2_B16, fastForwardDCT2_B32, fastForwardDCT2_B64 },
   { nullptr, fastForwardDCT8_B4, fastForwardDCT8_B8,
@@ -17,7 +25,7 @@ static const FwdTrans kFwd[3][6] = {
   { nullptr, fastForwardDST7_B4, fastForwardDST7_B8,
     fastForwardDST7_B16, fastForwardDST7_B32, nullptr },
 };
-static const InvTrans kInv[3][6] = {
+static const OInvFn kInv[3][6] = {
   { fastInverseDCT2_B2, fastInverseDCT2_B4, fastInverseDCT2_B8,
     fastInverseDCT2_B16, fastInverseDCT2_B32, fastInverseDCT2_B64 },
   { nullptr, fastInverseDCT8_B4, fastInverseDCT8_B8,
@@ -68,3 +76,88 @@ long long oracle_satd(const short* org, const short* cur, int w, int h,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Intra prediction oracle: drives the real initPredIntraParams /
+// xFilterReferenceSamples / xPredIntraPlanar / xPredIntraDc / xPredIntraAng
+// member functions on caller-provided reference lines. Only the 15-line
+// dispatch + planar/DC PDPC epilogue of predIntraAng (which needs a full
+// CodingStructure) is replicated here as glue.
+// ---------------------------------------------------------------------------
+struct OracleIntra : public IntraPrediction {
+  // top/left: length 2*w+3 / 2*h+3, index 0 = corner (our layout).
+  void predict(int w, int h, int mode, int bitDepth, const short* top,
+               const short* left, short* out, int isLumaFlag) {
+    const ComponentID compID = isLumaFlag ? COMPONENT_Y : COMPONENT_Cb;
+    UnitArea ua(isLumaFlag ? CHROMA_400 : CHROMA_420,
+                Area(128, 128, isLumaFlag ? w : 2 * w, isLumaFlag ? h : 2 * h));
+    CodingUnit cu(ua);
+    PredictionUnit pu(ua);
+    pu.cu = &cu;
+    cu.firstPU = &pu;
+    cu.ispMode = NOT_INTRA_SUBPARTITIONS;
+    cu.bdpcmMode = cu.bdpcmModeChroma = 0;
+    cu.mipFlag = false;
+    pu.multiRefIdx = 0;
+    if (isLumaFlag) {
+      pu.intraDir[0] = mode;
+    } else {
+      pu.intraDir[0] = PLANAR_IDX;
+      pu.intraDir[1] = mode;   // direct chroma mode (not DM)
+    }
+    SPS sps;
+    sps.setBitDepth(CHANNEL_TYPE_LUMA, bitDepth);
+    sps.setBitDepth(CHANNEL_TYPE_CHROMA, bitDepth);
+
+    const CompArea& area = cu.blocks[compID];
+    setReferenceArrayLengths(area);
+    initPredIntraParams(pu, area, sps);
+
+    const int stride = 2 * w + 3;
+    m_refBufferStride[compID] = stride;
+    Pel* unf = m_refBuffer[compID][PRED_BUF_UNFILTERED];
+    Pel* fil = m_refBuffer[compID][PRED_BUF_FILTERED];
+    // row 0 = [corner, top...]; row 1 (at +stride) = [corner, left...]
+    for (int i = 0; i < stride; i++) unf[i] = top[i];
+    unf[stride] = left[0];
+    for (int i = 1; i < 2 * h + 3; i++) unf[stride + i] = left[i];
+    if (m_ipaParam.refFilterFlag) {
+      xFilterReferenceSamples(unf, fil, area, sps, 0);
+    }
+
+    PelBuf dst(out, w, w, h);
+    CPelBuf src(getPredictorPtr(compID), stride, 2);
+    ClpRng clpRng;
+    clpRng.min = 0; clpRng.max = (1 << bitDepth) - 1;
+    clpRng.bd = bitDepth; clpRng.n = 0;
+    const ChannelType chType = toChannelType(compID);
+    if (mode == PLANAR_IDX) xPredIntraPlanar(src, dst);
+    else if (mode == DC_IDX) xPredIntraDc(src, dst, chType, false);
+    else xPredIntraAng(src, dst, chType, clpRng);
+
+    if (m_ipaParam.applyPDPC && (mode == PLANAR_IDX || mode == DC_IDX)) {
+      const int scale = ((floorLog2(w) - 2 + floorLog2(h) - 2 + 2) >> 2);
+      for (int y = 0; y < h; y++) {
+        const int wT = 32 >> std::min(31, ((y << 1) >> scale));
+        const Pel l = src.at(y + 1, 1);
+        for (int x = 0; x < w; x++) {
+          const int wL = 32 >> std::min(31, ((x << 1) >> scale));
+          const Pel t = src.at(x + 1, 0);
+          const Pel v = dst.at(x, y);
+          dst.at(x, y) = v + ((wL * (l - v) + wT * (t - v) + 32) >> 6);
+        }
+      }
+    }
+  }
+};
+
+extern "C" {
+void oracle_intra_pred(const short* top, const short* left, short* out,
+                       int w, int h, int mode, int bitDepth, int isLuma) {
+  static OracleIntra intra;
+  static bool inited = false;
+  if (!inited) { intra.init(CHROMA_420, 10); inited = true; }
+  intra.predict(w, h, mode, bitDepth, top, left, out, isLuma);
+}
+}
+
