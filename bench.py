@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def bench_tpu(batch=512, iters=20):
+def bench_tpu(batch=128, iters=10):
     import jax
     import jax.numpy as jnp
 
@@ -33,9 +33,13 @@ def bench_tpu(batch=512, iters=20):
         bd0, bd1, bd2 = bd_net.apply({"params": bd_params}, x, qt_raw)
         return structural_vote(qt_raw), bd0, bd1, bd2
 
+    import time as _t
     x = jnp.asarray(np.random.RandomState(0)
                     .uniform(0, 255, xs).astype(np.float32))
+    t0 = _t.perf_counter()
     jax.block_until_ready(fwd(x))  # compile
+    import sys
+    print(f"compile: {_t.perf_counter()-t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(x)
@@ -44,7 +48,7 @@ def bench_tpu(batch=512, iters=20):
     return batch * iters / dt
 
 
-def bench_torch_cpu(batch=64, iters=2):
+def bench_torch_cpu(batch=32, iters=2):
     """Reference-equivalent torch-CPU forward as the baseline anchor."""
     import sys
     sys.path.insert(0, "/root/reference")

@@ -17,7 +17,8 @@ compile() { # src extra_flags
   g++ -c $CXXFLAGS "$@" "$src" -o "$obj"
 }
 
-for f in "$VTM"/libmd5/*.cpp "$VTM"/CommonLib/*.cpp; do
+for f in "$VTM"/libmd5/*.cpp "$VTM"/CommonLib/*.cpp \
+         "$VTM"/EncoderLib/BinEncoder.cpp "$VTM"/DecoderLib/BinDecoder.cpp; do
   compile "$f" &
   while [ "$(jobs -r | wc -l)" -ge 8 ]; do wait -n; done
 done

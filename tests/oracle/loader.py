@@ -34,6 +34,24 @@ def get_oracle(build_timeout=600):
             ctypes.POINTER(ctypes.c_short), ctypes.POINTER(ctypes.c_short),
             ctypes.POINTER(ctypes.c_short), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "oracle_cabac_encode"):
+        lib.oracle_cabac_encode.restype = ctypes.c_int
+        lib.oracle_cabac_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
+        lib.oracle_cabac_decode.restype = ctypes.c_int
+        lib.oracle_cabac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.oracle_ctx_count.restype = ctypes.c_int
+        lib.oracle_ctx_count.argtypes = []
+        lib.oracle_ctx_init_dump.restype = None
+        lib.oracle_ctx_init_dump.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ushort),
+            ctypes.POINTER(ctypes.c_ubyte)]
     if hasattr(lib, "oracle_satd"):
         lib.oracle_satd.restype = ctypes.c_longlong
         lib.oracle_satd.argtypes = [ctypes.POINTER(ctypes.c_short),

@@ -1,18 +1,49 @@
 // C API over the VTM-10.0 reference library for golden testing only.
 // Thin glue replicating the dispatch in TrQuant::xT/xIT (TrQuant.cpp:768-905)
 // so our JAX kernels can be compared bit-exactly against the reference.
+// Pre-include the standard library (include guards make later includes
+// no-ops) so the access-override hack below never touches std headers.
+#include <algorithm>
+#include <array>
+#include <atomic>
+#include <cassert>
+#include <cmath>
+#include <cstdarg>
+#include <cstddef>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <functional>
+#include <iomanip>
+#include <iostream>
+#include <iterator>
+#include <limits>
+#include <list>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <sstream>
+#include <string>
+#include <type_traits>
+#include <unordered_map>
+#include <utility>
+#include <vector>
+
+// test-only oracle: expose private members of the reference classes
+#define private public
+#define protected public
 #include "CommonDef.h"
 #include "TrQuant_EMT.h"
 #include "Rom.h"
 #include "RdCost.h"
-// test-only oracle: expose private members of the reference classes
-#define private public
-#define protected public
 #include "IntraPrediction.h"
-#undef private
-#undef protected
 #include "Unit.h"
 #include "Slice.h"
+#include "../EncoderLib/BinEncoder.h"
+#include "../DecoderLib/BinDecoder.h"
+#undef private
+#undef protected
 
 typedef void (*OFwdFn)(const TCoeff*, TCoeff*, int, int, int, int);
 typedef void (*OInvFn)(const TCoeff*, TCoeff*, int, int, int, int, const TCoeff, const TCoeff);
@@ -158,6 +189,58 @@ void oracle_intra_pred(const short* top, const short* left, short* out,
   static bool inited = false;
   if (!inited) { intra.init(CHROMA_420, 10); inited = true; }
   intra.predict(w, h, mode, bitDepth, top, left, out, isLuma);
+}
+
+// ---------------------------------------------------------------------------
+// CABAC oracle. ops encode a mixed bin sequence:
+//   kind 0: context bin (arg = ctxId), 1: EP bin, 2: terminating bin
+// Returns number of bytes written to out.
+// ---------------------------------------------------------------------------
+int oracle_cabac_encode(const int* kinds, const int* bins, const int* args,
+                        int n, int qp, int initId, unsigned char* out) {
+  BinEncoder_Std enc;
+  OutputBitstream bs;
+  enc.init(&bs);
+  enc.reset(qp, initId);  // standard context init + start()
+  for (int i = 0; i < n; i++) {
+    if (kinds[i] == 0)      enc.encodeBin(bins[i], args[i]);
+    else if (kinds[i] == 1) enc.encodeBinEP(bins[i]);
+    else                    enc.encodeBinTrm(bins[i]);
+  }
+  enc.finish();
+  const std::vector<uint8_t>& fifo = bs.getFIFO();
+  for (size_t i = 0; i < fifo.size(); i++) out[i] = fifo[i];
+  return (int)fifo.size();
+}
+
+int oracle_cabac_decode(const unsigned char* data, int nbytes,
+                        const int* kinds, const int* args, int n,
+                        int qp, int initId, int* bins_out) {
+  InputBitstream bs;
+  bs.getFifo().assign(data, data + nbytes);
+  BinDecoder_Std dec;
+  dec.init(&bs);
+  dec.reset(qp, initId);   // ctx init
+  dec.start();
+  for (int i = 0; i < n; i++) {
+    if (kinds[i] == 0)      bins_out[i] = dec.decodeBin(args[i]);
+    else if (kinds[i] == 1) bins_out[i] = dec.decodeBinEP();
+    else                    bins_out[i] = dec.decodeBinTrm();
+  }
+  return 0;
+}
+
+// Dump standard-initialized context states (p1 sums) and rates.
+int oracle_ctx_count() { return (int)ContextSetCfg::NumberOfContexts; }
+void oracle_ctx_init_dump(int qp, int initId, unsigned short* states,
+                          unsigned char* rates) {
+  Ctx ctx(static_cast<const BinProbModel_Std*>(nullptr));  // BPM_Std store
+  ctx.init(qp, initId);
+  CtxStore<BinProbModel_Std>& st = ctx.m_CtxStore_Std;
+  for (unsigned i = 0; i < ContextSetCfg::NumberOfContexts; i++) {
+    states[i] = st[i].getState();
+    rates[i] = st[i].m_rate;
+  }
 }
 }
 

@@ -80,6 +80,17 @@ def extract_transforms(vtm: pathlib.Path) -> dict[str, np.ndarray]:
     return out
 
 
+def extract_frac_bits(vtm: pathlib.Path) -> np.ndarray:
+    """CABAC fractional-bit estimation table (Contexts.cpp m_binFracBits)."""
+    text = (vtm / "Contexts.cpp").read_text()
+    m = re.search(
+        r"m_binFracBits\s*\[\s*256\s*\]\s*=\s*\{(.*?)\};", text, re.S)
+    nums = re.findall(r"0x[0-9a-fA-F]+|\d+", m.group(1))
+    arr = np.array([int(x, 0) for x in nums], np.int64)
+    assert arr.size == 512, arr.size
+    return arr.reshape(256, 2).astype(np.uint32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vtm", type=pathlib.Path, default=DEFAULT_VTM)
@@ -89,6 +100,12 @@ def main():
     tr = extract_transforms(args.vtm)
     np.savez_compressed(OUT_DIR / "transform_cores.npz", **tr)
     print("transform_cores.npz:", {k: v.shape for k, v in tr.items()})
+
+    fb = extract_frac_bits(args.vtm / ".." / "CommonLib"
+                           if not (args.vtm / "Contexts.cpp").exists()
+                           else args.vtm)
+    np.savez_compressed(OUT_DIR / "cabac_frac_bits.npz", frac_bits=fb)
+    print("cabac_frac_bits.npz:", fb.shape)
 
 
 if __name__ == "__main__":
