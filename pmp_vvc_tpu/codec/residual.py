@@ -1,0 +1,366 @@
+"""VVC residual (transform-coefficient) coding.
+
+Byte-exact contracts:
+- CABACWriter::residual_coding / residual_coding_subblock / last_sig_coeff
+  (CABACWriter.cpp:2624-3030)
+- CoeffCodingContext (ContextModelling.h:110-215, ContextModelling.cpp ctor
+  + initSubblock)
+- scan orders: Rom.cpp ScanGenerator (diagonal, grouped 4x4 CGs)
+- tables: g_uiGroupIdx / g_uiMinInGroup / g_auiGoRiceParsCoeff (Rom.cpp),
+  g_log2SbbSize, COEF_REMAIN_BIN_REDUCTION = 5
+
+Scope (round 1): regular residual coding with dependent quantization off,
+sign-data hiding off, transform-skip/BDPCM/SBT off — the minimal-conformance
+configuration. The state-transition hooks are wired (stateTransTable
+parameter) so DepQuant can be enabled later.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+
+import numpy as np
+
+from .cabac import BinEncoder
+
+_DATA = pathlib.Path(__file__).resolve().parent / "data"
+
+GROUP_IDX = np.array(
+    [0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7] +
+    [8] * 8 + [9] * 8 + [10] * 16 + [11] * 16, np.int32)
+MIN_IN_GROUP = np.array([0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96],
+                        np.int32)
+GO_RICE_PARS = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 2, 2, 2, 3, 3, 3, 3], np.int32)
+COEF_REMAIN_BIN_REDUCTION = 5
+ZERO_OUT_TH = 32
+
+# per-TU context-coded-bin budget ratios (TU area * ratio >> 4)
+CTX_BIN_RATIO_LUMA = 28
+CTX_BIN_RATIO_CHROMA = 28
+
+
+@functools.cache
+def ctx_sets() -> dict:
+    """Context-set offsets/sizes of the standard layout (data/ctx_sets.json)."""
+    return {k: tuple(v) for k, v in
+            json.loads((_DATA / "ctx_sets.json").read_text()).items()}
+
+
+def ctx(name: str, inc: int = 0) -> int:
+    off, size = ctx_sets()[name]
+    assert 0 <= inc < size, (name, inc, size)
+    return off + inc
+
+
+def log2_sbb_size(log2w: int, log2h: int) -> tuple[int, int]:
+    """g_log2SbbSize (Rom.cpp:264)."""
+    table = [
+        [(0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (0, 4), (0, 4), (0, 4)],
+        [(1, 0), (1, 1), (1, 1), (1, 3), (1, 3), (1, 3), (1, 3), (1, 3)],
+        [(2, 0), (1, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+        [(3, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+        [(4, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+        [(4, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+        [(4, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+        [(4, 0), (3, 1), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2), (2, 2)],
+    ]
+    return table[log2w][log2h]
+
+
+@functools.cache
+def diag_scan(w: int, h: int):
+    """Ungrouped diagonal scan: ScanGenerator SCAN_DIAG semantics.
+
+    Returns array of (idx, x, y) with idx = y*w + x, scanPos 0 = DC.
+    """
+    out = []
+    line = col = 0
+    for _ in range(w * h):
+        out.append((line * w + col, col, line))
+        if col == w - 1 or line == 0:
+            line += col + 1
+            col = 0
+            if line >= h:
+                col += line - (h - 1)
+                line = h - 1
+        else:
+            col += 1
+            line -= 1
+    return np.array(out, np.int32)
+
+
+@functools.cache
+def grouped_scan(w: int, h: int):
+    """SCAN_GROUPED_4x4 diagonal scan: (blkIdx, x, y) per scanPos.
+
+    CGs are enumerated by the diagonal scan over the CG grid; positions
+    within each CG by the diagonal scan over the CG dims (Rom.cpp initROM).
+    """
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
+    cgw, cgh = 1 << cgl2w, 1 << cgl2h
+    # the grouped scan only covers the zero-out-limited region (Rom.cpp:339)
+    cg_scan = diag_scan(min(ZERO_OUT_TH, w) // cgw,
+                        min(ZERO_OUT_TH, h) // cgh)
+    inner = diag_scan(cgw, cgh)
+    out = []
+    for _, cgx, cgy in cg_scan:
+        bx, by = cgx * cgw, cgy * cgh
+        for _, ix, iy in inner:
+            x, y = bx + ix, by + iy
+            out.append((y * w + x, x, y))
+    return np.array(out, np.int32)
+
+
+class ResidualCoder:
+    """Codes one TU's coefficient block (regular path)."""
+
+    def __init__(self, enc: BinEncoder, *, max_log2_dyn_range: int = 15,
+                 dep_quant: bool = False, sign_hiding: bool = False):
+        self.enc = enc
+        self.max_log2_dyn = max_log2_dyn_range
+        self.state_tab = 32040 if dep_quant else 0
+        self.sign_hiding = sign_hiding
+
+    # ---- template sums (ContextModelling.h) ------------------------------
+
+    @staticmethod
+    def _sig_ctx_parts(coeff, x, y, w, h):
+        """(sumAbs-ish, numPos) over the 5-neighbour template."""
+        sum_abs = 0
+        num_pos = 0
+        def upd(cx, cy):
+            nonlocal sum_abs, num_pos
+            a = abs(int(coeff[cy, cx]))
+            sum_abs += min(4 + (a & 1), a)
+            num_pos += 1 if a else 0
+        if x < w - 1:
+            upd(x + 1, y)
+            if x < w - 2:
+                upd(x + 2, y)
+            if y < h - 1:
+                upd(x + 1, y + 1)
+        if y < h - 1:
+            upd(x, y + 1)
+            if y < h - 2:
+                upd(x, y + 2)
+        return sum_abs, num_pos
+
+    @staticmethod
+    def _template_abs_sum(coeff, x, y, w, h, base_level):
+        s = 0
+        if x < w - 1:
+            s += abs(int(coeff[y, x + 1]))
+            if x < w - 2:
+                s += abs(int(coeff[y, x + 2]))
+            if y < h - 1:
+                s += abs(int(coeff[y + 1, x + 1]))
+        if y < h - 1:
+            s += abs(int(coeff[y + 1, x]))
+            if y < h - 2:
+                s += abs(int(coeff[y + 2, x]))
+        return max(min(s - 5 * base_level, 31), 0)
+
+    # ---- last position ---------------------------------------------------
+
+    def _last_sig_coeff(self, pos_x, pos_y, w, h, is_luma):
+        gx, gy = int(GROUP_IDX[pos_x]), int(GROUP_IDX[pos_y])
+        max_x = int(GROUP_IDX[min(ZERO_OUT_TH, w) - 1])
+        max_y = int(GROUP_IDX[min(ZERO_OUT_TH, h) - 1])
+        ch = 0 if is_luma else 1
+        log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+        if is_luma:
+            prefix_ctx = [0, 0, 0, 3, 6, 10, 15, 21]
+            off_x, off_y = prefix_ctx[log2w], prefix_ctx[log2h]
+            shift_x = (log2w + 1) >> 2
+            shift_y = (log2h + 1) >> 2
+        else:
+            off_x = off_y = 0
+            shift_x = min(2, max(0, w >> 3))
+            shift_y = min(2, max(0, h >> 3))
+
+        for c in range(gx):
+            self.enc.encode_bin(1, ctx(f"LastX{ch}", off_x + (c >> shift_x)))
+        if gx < max_x:
+            self.enc.encode_bin(0, ctx(f"LastX{ch}", off_x + (gx >> shift_x)))
+        for c in range(gy):
+            self.enc.encode_bin(1, ctx(f"LastY{ch}", off_y + (c >> shift_y)))
+        if gy < max_y:
+            self.enc.encode_bin(0, ctx(f"LastY{ch}", off_y + (gy >> shift_y)))
+        if gx > 3:
+            px = pos_x - int(MIN_IN_GROUP[gx])
+            for i in range(((gx - 2) >> 1) - 1, -1, -1):
+                self.enc.encode_bin_ep((px >> i) & 1)
+        if gy > 3:
+            py = pos_y - int(MIN_IN_GROUP[gy])
+            for i in range(((gy - 2) >> 1) - 1, -1, -1):
+                self.enc.encode_bin_ep((py >> i) & 1)
+
+    # ---- main ------------------------------------------------------------
+
+    def code(self, coeff: np.ndarray, *, is_luma: bool):
+        """Encode one TU's (h, w) coefficient array (must be non-empty)."""
+        h, w = coeff.shape
+        log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+        cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
+        log2_cg = cgl2w + cgl2h
+        wig = min(ZERO_OUT_TH, w) >> cgl2w      # widthInGroups
+        hig = min(ZERO_OUT_TH, h) >> cgl2h
+        scan = grouped_scan(w, h)
+        cg_scan = diag_scan(wig, hig)
+        ch = 0 if is_luma else 1
+
+        flat = coeff.reshape(-1)
+        nz_scan = np.nonzero(flat[scan[:, 0]])[0]
+        assert nz_scan.size, "residual coding on empty TU"
+        scan_pos_last = int(nz_scan[-1])
+        sig_groups = set(int(p) >> log2_cg for p in nz_scan)
+
+        last_idx, last_x, last_y = scan[scan_pos_last]
+        self._last_sig_coeff(int(last_x), int(last_y), w, h, is_luma)
+
+        ratio = CTX_BIN_RATIO_LUMA if is_luma else CTX_BIN_RATIO_CHROMA
+        tb_zoned = min(ZERO_OUT_TH, w) * min(ZERO_OUT_TH, h)
+        reg_bin_limit = (tb_zoned * ratio) >> 4
+
+        sig_cg_flags = np.zeros(wig * hig, bool)
+        state = 0
+        for subset in range(scan_pos_last >> log2_cg, -1, -1):
+            cg_pos = int(cg_scan[subset][0])       # idx in CG grid
+            cg_x, cg_y = int(cg_scan[subset][1]), int(cg_scan[subset][2])
+            is_sig_group = subset in sig_groups
+            if is_sig_group:
+                sig_cg_flags[cg_pos] = True
+            min_sub = subset << log2_cg
+            max_sub = min_sub + (1 << log2_cg) - 1
+            is_last_cg = subset == (scan_pos_last >> log2_cg)
+
+            # sig group flag
+            is_not_first = subset > 0
+            if not is_last_cg and is_not_first:
+                sig_right = cg_x + 1 < wig and sig_cg_flags[cg_pos + 1]
+                sig_lower = cg_y + 1 < hig and sig_cg_flags[cg_pos + wig]
+                gctx = ctx(f"SigCoeffGroup{ch}",
+                           1 if (sig_right or sig_lower) else 0)
+                self.enc.encode_bin(1 if is_sig_group else 0, gctx)
+                if not is_sig_group:
+                    continue
+
+            state, reg_bin_limit = self._code_subblock(
+                coeff, scan, w, h, min_sub, max_sub,
+                scan_pos_last, is_last_cg, is_not_first, state,
+                reg_bin_limit, is_luma)
+
+    def _code_subblock(self, coeff, scan, w, h, min_sub, max_sub,
+                       scan_pos_last, is_last_cg, is_not_first, state,
+                       reg_bin_limit, is_luma):
+        enc = self.enc
+        ch = 0 if is_luma else 1
+        flat = coeff.reshape(-1)
+        first_sig = scan_pos_last if is_last_cg else max_sub
+        infer_sig_pos = (first_sig if first_sig == scan_pos_last
+                         else (min_sub if is_not_first else -1))
+        num_nonzero = 0
+        sign_pattern = 0
+        rem_reg_bins = reg_bin_limit
+        tmpl_diag = {}
+        ctx_off = {}
+        first_nz = first_sig
+        last_nz = -1
+
+        next_pos = first_sig
+        while next_pos >= min_sub and rem_reg_bins >= 4:
+            idx, x, y = (int(v) for v in scan[next_pos])
+            c = int(flat[idx])
+            sig = 1 if c else 0
+            sum_abs, num_pos = self._sig_ctx_parts(coeff, x, y, w, h)
+            diag = x + y
+            template_set = False
+            if num_nonzero or next_pos != infer_sig_pos:
+                ctx_ofs = min((sum_abs + 1) >> 1, 3) + (4 if diag < 2 else 0)
+                if is_luma:
+                    ctx_ofs += 4 if diag < 5 else 0
+                sig_set = ch + 2 * max(0, state - 1)
+                enc.encode_bin(sig, ctx(f"SigFlag{sig_set}", ctx_ofs))
+                rem_reg_bins -= 1
+                template_set = True
+            elif next_pos != scan_pos_last:
+                template_set = True   # side-effect-only sigCtxIdAbs call
+            sum1 = sum_abs - num_pos
+            if sig:
+                # ctxOffsetAbs: 0 for the very first (last-scan) coefficient
+                # where sigCtxIdAbs was never invoked (m_tmplCpDiag == -1)
+                if not template_set:
+                    off = 0
+                else:
+                    off = min(sum1, 4) + 1
+                    if diag == 0:
+                        off += 15 if is_luma else 5
+                    elif is_luma:
+                        off += 10 if diag < 3 else (5 if diag < 10 else 0)
+                num_nonzero += 1
+                first_nz = next_pos
+                last_nz = max(last_nz, next_pos)
+                rem = abs(c) - 1
+                if next_pos != scan_pos_last:
+                    sign_pattern <<= 1
+                if c < 0:
+                    sign_pattern += 1
+                gt1 = 1 if rem else 0
+                enc.encode_bin(gt1, ctx(f"GtxFlag{2 + ch}", off))
+                rem_reg_bins -= 1
+                if gt1:
+                    rem -= 1
+                    enc.encode_bin(rem & 1, ctx(f"ParFlag{ch}", off))
+                    rem >>= 1
+                    rem_reg_bins -= 1
+                    gt2 = 1 if rem else 0
+                    enc.encode_bin(gt2, ctx(f"GtxFlag{ch}", off))
+                    rem_reg_bins -= 1
+            state = (self.state_tab >> ((state << 2) + ((c & 1) << 1))) & 3
+            next_pos -= 1
+
+        first_pos_mode2 = next_pos
+
+        # pass 2: remainders for positions coded in pass 1
+        for pos in range(first_sig, first_pos_mode2, -1):
+            idx, x, y = (int(v) for v in scan[pos])
+            sum_all = self._template_abs_sum(coeff, x, y, w, h, 4)
+            rice = int(GO_RICE_PARS[sum_all])
+            abs_level = abs(int(flat[idx]))
+            if abs_level >= 4:
+                enc.encode_rem_abs_ep((abs_level - 4) >> 1, rice,
+                                      COEF_REMAIN_BIN_REDUCTION,
+                                      self.max_log2_dyn)
+
+        # bypass pass: fully EP-coded positions
+        for pos in range(first_pos_mode2, min_sub - 1, -1):
+            idx, x, y = (int(v) for v in scan[pos])
+            c = int(flat[idx])
+            abs_level = abs(c)
+            sum_all = self._template_abs_sum(coeff, x, y, w, h, 0)
+            rice = int(GO_RICE_PARS[sum_all])
+            pos0 = (1 if state < 2 else 2) << rice
+            rem = (pos0 if abs_level == 0
+                   else abs_level - 1 if abs_level <= pos0 else abs_level)
+            enc.encode_rem_abs_ep(rem, rice, COEF_REMAIN_BIN_REDUCTION,
+                                  self.max_log2_dyn)
+            state = (self.state_tab >> ((state << 2) + ((abs_level & 1) << 1))) & 3
+            if abs_level:
+                num_nonzero += 1
+                first_nz = pos
+                last_nz = max(last_nz, pos)
+                sign_pattern <<= 1
+                if c < 0:
+                    sign_pattern += 1
+
+        num_signs = num_nonzero
+        if self.sign_hiding and (last_nz - first_nz) >= 4:
+            num_signs -= 1
+            sign_pattern >>= 1
+        if num_signs:
+            enc.encode_bins_ep(sign_pattern, num_signs)
+        return state, rem_reg_bins

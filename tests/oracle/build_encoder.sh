@@ -25,7 +25,7 @@ wait
 # DecoderLib objects (DecLib is referenced by EncLib for recon debugging)
 bash "$(dirname "$0")/build_decoder.sh" "$OUT" >/dev/null 2>&1 || true
 
-ls "$OUT"/*.o | grep -v oracle_api > /tmp/enc_objlist.txt
+ls "$OUT"/*.o | grep -vE "oracle_api|BinDecoder|BinEncoder" > /tmp/enc_objlist.txt
 g++ -o "$OUT/EncoderApp" ./*.o "$OUT"/dec/*.o $(cat /tmp/enc_objlist.txt) 2>/tmp/enc_link_err.txt \
   || { # DecoderApp main conflicts: drop decoder app objects
        g++ -o "$OUT/EncoderApp" ./*.o \

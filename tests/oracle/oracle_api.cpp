@@ -40,7 +40,10 @@
 #include "IntraPrediction.h"
 #include "Unit.h"
 #include "Slice.h"
+#include "CodingStructure.h"
+#include "ContextModelling.h"
 #include "../EncoderLib/BinEncoder.h"
+#include "../EncoderLib/CABACWriter.h"
 #include "../DecoderLib/BinDecoder.h"
 #undef private
 #undef protected
@@ -228,6 +231,106 @@ int oracle_cabac_decode(const unsigned char* data, int nbytes,
     else                    bins_out[i] = dec.decodeBinTrm();
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// residual_coding oracle: drives the real CABACWriter::residual_coding on a
+// caller-provided coefficient block with a minimally-constructed TU.
+// Returns bytes written (stream terminated via encodeBinTrm(1)+finish).
+// ---------------------------------------------------------------------------
+int oracle_residual_code(const int* coeffs, int w, int h, int isLumaFlag,
+                         int qp, int initId, unsigned char* out) {
+  static bool romInit = false;
+  if (!romInit) { initROM(); romInit = true; }
+
+  static SPS* spsp = nullptr;
+  static PPS* ppsp = nullptr;
+  static Slice* slicep = nullptr;
+  static CodingStructure* csp = nullptr;
+  if (!spsp) {
+    spsp = new SPS();
+    spsp->setBitDepth(CHANNEL_TYPE_LUMA, 10);
+    spsp->setBitDepth(CHANNEL_TYPE_CHROMA, 10);
+    ppsp = new PPS();
+    slicep = new Slice();
+    slicep->setSignDataHidingEnabledFlag(false);
+    slicep->setDepQuantEnabledFlag(false);
+    slicep->setTSResidualCodingDisabledFlag(false);
+    slicep->setSPS(spsp);
+    static XUCache cache;
+    csp = new CodingStructure(cache.cuCache, cache.puCache, cache.tuCache);
+    csp->sps = spsp;
+    csp->slice = slicep;
+    csp->pps = ppsp;
+  }
+  SPS& sps = *spsp;
+  CodingStructure& cs = *csp;
+
+  const ComponentID compID = isLumaFlag ? COMPONENT_Y : COMPONENT_Cb;
+  UnitArea ua(isLumaFlag ? CHROMA_400 : CHROMA_420,
+              Area(0, 0, isLumaFlag ? w : 2 * w, isLumaFlag ? h : 2 * h));
+  CodingUnit cu(ua);
+  cu.cs = &cs;
+  cu.bdpcmMode = cu.bdpcmModeChroma = 0;
+  cu.sbtInfo = 0;
+  cu.mtsFlag = 0;
+  TransformUnit tu(ua);
+  tu.cs = &cs;
+  tu.cu = &cu;
+  tu.mtsIdx[COMPONENT_Y] = tu.mtsIdx[COMPONENT_Cb] = tu.mtsIdx[COMPONENT_Cr]
+      = MTS_DCT2_DCT2;
+  cs.pcv = nullptr;  // not used on this path; avoid garbage reads
+  static std::vector<TCoeff> cbuf[3];
+  for (int i = 0; i < 3; i++) cbuf[i].assign(w * h, 0);
+  // set coefficient pointers directly (tu.init needs cs->pcv)
+  for (int i = 0; i < 3; i++) tu.m_coeffs[i] = cbuf[i].data();
+  TCoeff* dst = cbuf[compID].data();
+  for (int i = 0; i < w * h; i++) dst[i] = coeffs[i];
+
+  BinEncoder_Std enc;
+  OutputBitstream bs;
+  enc.init(&bs);
+  enc.reset(qp, initId);
+  CABACWriter writer(enc);
+  writer.residual_coding(tu, compID, nullptr);
+  enc.encodeBinTrm(1);
+  enc.finish();
+  const std::vector<uint8_t>& fifo = bs.getFIFO();
+  for (size_t i = 0; i < fifo.size(); i++) out[i] = fifo[i];
+  return (int)fifo.size();
+}
+
+// Dump all context-set (name, offset, size) triples as a text blob.
+int oracle_ctxset_dump(char* out, int cap) {
+  std::ostringstream ss;
+#define DUMP1(NAME) ss << #NAME << " " << ContextSetCfg::NAME.Offset << " " \
+                       << ContextSetCfg::NAME.Size << "\n"
+#define DUMPA(NAME, N) for (int i = 0; i < N; i++) \
+    ss << #NAME << i << " " << ContextSetCfg::NAME[i].Offset << " " \
+       << ContextSetCfg::NAME[i].Size << "\n"
+  DUMP1(SplitFlag); DUMP1(SplitQtFlag); DUMP1(SplitHvFlag); DUMP1(Split12Flag);
+  DUMP1(ModeConsFlag); DUMP1(SkipFlag); DUMP1(MergeFlag); DUMP1(MergeIdx);
+  DUMP1(PredMode); DUMP1(MultiRefLineIdx); DUMP1(IntraLumaMpmFlag);
+  DUMP1(IntraLumaPlanarFlag); DUMP1(CclmModeFlag); DUMP1(CclmModeIdx);
+  DUMP1(IntraChromaPredMode); DUMP1(MipFlag); DUMP1(DeltaQP);
+  DUMP1(BDPCMMode); DUMP1(QtRootCbf); DUMP1(ACTFlag);
+  DUMPA(QtCbf, 3); DUMPA(SigCoeffGroup, 2); DUMPA(LastX, 2); DUMPA(LastY, 2);
+  DUMPA(SigFlag, 6); DUMPA(ParFlag, 2); DUMPA(GtxFlag, 4);
+  DUMP1(TsSigCoeffGroup); DUMP1(TsSigFlag); DUMP1(TsParFlag); DUMP1(TsGtxFlag);
+  DUMP1(TsLrg1Flag); DUMP1(TsResidualSign);
+  DUMP1(SaoMergeFlag); DUMP1(SaoTypeIdx);
+  DUMP1(TransformSkipFlag); DUMP1(MTSIdx); DUMP1(LFNSTIdx); DUMP1(PLTFlag);
+  DUMP1(ChromaQpAdjFlag); DUMP1(ChromaQpAdjIdc);
+  DUMP1(ctbAlfFlag); DUMP1(ctbAlfAlternative); DUMP1(AlfUseTemporalFilt);
+  DUMP1(CcAlfFilterControlFlag); DUMP1(IBCFlag); DUMP1(ISPMode);
+  DUMP1(JointCbCrFlag);
+#undef DUMP1
+#undef DUMPA
+  std::string s = ss.str();
+  int n = (int)std::min<size_t>(s.size(), cap - 1);
+  memcpy(out, s.data(), n);
+  out[n] = 0;
+  return n;
 }
 
 // Dump standard-initialized context states (p1 sums) and rates.
