@@ -1,0 +1,431 @@
+"""All-intra VVC frame encoder (minimal-conformance configuration).
+
+Produces standard bitstreams decodable by the stock VTM-10.0 decoder, using
+this framework's kernels for every compute stage:
+
+  intra prediction  -> ops.intra      (bit-exact vs VTM)
+  transforms        -> ops.transforms (bit-exact)
+  quantization      -> ops.quant
+  entropy coding    -> codec.cabac + codec.residual (byte-exact)
+  headers           -> codec.headers  (validated via VTM's parser)
+
+Syntax contracts: CABACWriter.cpp coding_tree_unit :158 / coding_tree :394 /
+split_cu_mode :567 / coding_unit :660 / intra_luma_pred_modes :1057 /
+intra_chroma_pred_mode :1259 / transform_unit :2406 / cbf_comp :2305;
+context derivation ContextModelling.cpp CtxSplit :131; MPM list
+UnitTools.cpp:591; QP derivation Quant.cpp QpParam :54.
+
+Round-1 scope: single tree, QT-only partition (SPS max MTT depth 0), CTU
+128, frames multiples of 64 (implicit boundary QT), tools off. Mode
+decision is pluggable: ``mode_select`` = "planar" | "satd" (RMD over the
+full 67-mode set using the batched SATD kernel).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import intra as intra_ops
+from ..ops.distortion import satd as satd_kernel
+from ..ops.quant import dequantize, quantize
+from ..ops.transforms import forward_transform, inverse_transform
+from .cabac import BinEncoder, ContextStore
+from .headers import VVCConfig, pps_nal, slice_nal, sps_nal
+from .residual import ResidualCoder, ctx
+
+import jax.numpy as jnp
+
+PLANAR, DC, HOR, VER, VDIA = 0, 1, 18, 50, 66
+DM_CHROMA = 67
+NUM_MPM = 6
+
+
+def derive_chroma_qp_table(start_minus26=0, delta_in_minus1=(0,),
+                           delta_out=(0,), bit_depth=10):
+    """ChromaQpMappingTable::derivedChromaQPMappingTables (Slice.cpp)."""
+    qp_bd_offset = 6 * (bit_depth - 8)
+    n = len(delta_in_minus1)
+    qp_in = [start_minus26 + 26]
+    qp_out = [qp_in[0]]
+    for j in range(n):
+        qp_in.append(qp_in[j] + delta_in_minus1[j] + 1)
+        qp_out.append(qp_out[j] + delta_out[j])
+    table = np.zeros(64 + qp_bd_offset, np.int32)  # index qpi + qp_bd_offset
+    def set_t(qpi, v):
+        table[qpi + qp_bd_offset] = v
+    def get_t(qpi):
+        return int(table[qpi + qp_bd_offset])
+    set_t(qp_in[0], qp_out[0])
+    for k in range(qp_in[0] - 1, -qp_bd_offset - 1, -1):
+        set_t(k, max(-qp_bd_offset, min(63, get_t(k + 1) - 1)))
+    for j in range(n):
+        sh = (delta_in_minus1[j] + 1) >> 1
+        for m, k in enumerate(range(qp_in[j] + 1, qp_in[j + 1] + 1), 1):
+            set_t(k, get_t(qp_in[j])
+                  + ((qp_out[j + 1] - qp_out[j]) * m + sh)
+                  // (delta_in_minus1[j] + 1))
+    for k in range(qp_in[n] + 1, 64):
+        set_t(k, max(-qp_bd_offset, min(63, get_t(k - 1) + 1)))
+    return table, qp_bd_offset
+
+
+@dataclass
+class CuInfo:
+    x: int
+    y: int
+    w: int
+    h: int
+    qt_depth: int
+    mode: int = PLANAR
+
+
+class FrameEncoder:
+    """Encodes one intra frame to a slice-data CABAC payload + recon."""
+
+    def __init__(self, cfg: VVCConfig, *, mode_select: str = "satd",
+                 rmd_modes: tuple | None = None):
+        self.cfg = cfg
+        self.mode_select = mode_select
+        self.rmd_modes = rmd_modes or tuple(range(67))
+        self.qp_table, self.qp_bd_offset = derive_chroma_qp_table(
+            bit_depth=cfg.bit_depth)
+
+    # ---- neighbour state -------------------------------------------------
+
+    def _init_state(self):
+        cfg = self.cfg
+        r4, c4 = cfg.height // 4, cfg.width // 4
+        self.coded = np.zeros((r4, c4), bool)          # luma 4x4 units decoded
+        self.unit_mode = np.full((r4, c4), PLANAR, np.int32)
+        self.unit_w = np.zeros((r4, c4), np.int32)
+        self.unit_h = np.zeros((r4, c4), np.int32)
+        self.unit_qt = np.zeros((r4, c4), np.int32)
+        self.recon_y = np.zeros((cfg.height, cfg.width), np.int32)
+        self.recon_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
+        self.recon_v = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
+
+    def _cu_at(self, x, y):
+        """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
+        if x < 0 or y < 0 or y >= self.cfg.height or x >= self.cfg.width:
+            return None
+        r, c = y // 4, x // 4
+        if not self.coded[r, c]:
+            return None
+        return (int(self.unit_w[r, c]), int(self.unit_h[r, c]),
+                int(self.unit_qt[r, c]), int(self.unit_mode[r, c]))
+
+    # ---- split syntax ----------------------------------------------------
+
+    def _write_split_flag(self, enc, x, y, size, qt_depth, do_split):
+        """split_cu_mode for the QT-only config (CABACWriter.cpp:567)."""
+        cfg = self.cfg
+        can_no = size <= 64 or False  # 128 intra CU legal but we force split
+        # legality: canQt iff size > minQT
+        can_qt = size > cfg.min_qt_intra
+        if size == 128:
+            can_no = True   # VVC allows 128 intra CU (TUs tile implicitly)
+        # boundary-implicit split: if CU exceeds picture, QT is implicit
+        implicit = (x + size > cfg.width) or (y + size > cfg.height)
+        if implicit:
+            return  # no bin: implicit QT
+        if not can_qt:
+            return  # no split possible -> no bin
+        # ctxSpl (ContextModelling.cpp:131): neighbour-size based
+        ctx_spl = 0
+        left = self._cu_at(x - 1, y)
+        above = self._cu_at(x, y - 1)
+        if left:
+            ctx_spl += 1 if left[1] < size else 0
+        if above:
+            ctx_spl += 1 if above[0] < size else 0
+        num_split = 2  # only QT possible -> numSplit = 2, minus 1 -> 1
+        ctx_spl += 3 * (1 >> 1)  # (numSplit-1)>>1 = 0
+        enc.encode_bin(1 if do_split else 0, ctx("SplitFlag", ctx_spl))
+        if not do_split:
+            return
+        # canQt && canBtt? no BTT in this config -> no qt flag bin
+        return
+
+    # ---- intra mode syntax -----------------------------------------------
+
+    def _mpm_list(self, cu: CuInfo):
+        """PU::getIntraMPMs (UnitTools.cpp:591)."""
+        left = self._cu_at(cu.x - 1, cu.y + cu.h - 1)
+        above = None
+        if cu.y % 128 != 0:   # above must be in same CTU
+            above = self._cu_at(cu.x + cu.w - 1, cu.y - 1)
+        left_dir = left[3] if left else PLANAR
+        above_dir = above[3] if above else PLANAR
+        offset = 67 - 6
+        mod = offset + 3
+        mpm = [PLANAR, DC, VER, HOR, VER - 4, VER + 4]
+        if left_dir == above_dir:
+            if left_dir > DC:
+                mpm = [PLANAR, left_dir,
+                       ((left_dir + offset) % mod) + 2,
+                       ((left_dir - 1) % mod) + 2,
+                       ((left_dir + offset - 1) % mod) + 2,
+                       (left_dir % mod) + 2]
+        else:
+            if left_dir > DC and above_dir > DC:
+                mpm = [PLANAR, left_dir, above_dir, 0, 0, 0]
+                mx = max(left_dir, above_dir)
+                mn = min(left_dir, above_dir)
+                if mx - mn == 1:
+                    mpm[3] = ((mn + offset) % mod) + 2
+                    mpm[4] = ((mx - 1) % mod) + 2
+                    mpm[5] = ((mn + offset - 1) % mod) + 2
+                elif mx - mn >= 62:
+                    mpm[3] = ((mn - 1) % mod) + 2
+                    mpm[4] = ((mx + offset) % mod) + 2
+                    mpm[5] = (mn % mod) + 2
+                elif mx - mn == 2:
+                    mpm[3] = ((mn - 1) % mod) + 2
+                    mpm[4] = ((mn + offset) % mod) + 2
+                    mpm[5] = ((mx - 1) % mod) + 2
+                else:
+                    mpm[3] = ((mn + offset) % mod) + 2
+                    mpm[4] = ((mn - 1) % mod) + 2
+                    mpm[5] = ((mx + offset) % mod) + 2
+            elif left_dir + above_dir >= 2:
+                mx = max(left_dir, above_dir)
+                mpm = [PLANAR, mx,
+                       ((mx + offset) % mod) + 2,
+                       ((mx - 1) % mod) + 2,
+                       ((mx + offset - 1) % mod) + 2,
+                       (mx % mod) + 2]
+        return mpm
+
+    def _write_trunc_bin(self, enc, symbol, max_symbol):
+        """xWriteTruncBinCode (CABACWriter.cpp:913); 61 symbols -> thresh 5."""
+        thresh = 0
+        while (1 << (thresh + 1)) <= max_symbol:
+            thresh += 1
+        val = 1 << thresh
+        b = max_symbol - val
+        if symbol < val - b:
+            enc.encode_bins_ep(symbol, thresh)
+        else:
+            sym = symbol + val - b
+            enc.encode_bins_ep(sym, thresh + 1)
+
+    def _write_intra_luma_mode(self, enc, cu: CuInfo):
+        mpm = self._mpm_list(cu)
+        mpm_idx = mpm.index(cu.mode) if cu.mode in mpm else NUM_MPM
+        enc.encode_bin(1 if mpm_idx < NUM_MPM else 0, ctx("IntraLumaMpmFlag"))
+        if mpm_idx < NUM_MPM:
+            # not-planar flag: ctx 1 (no ISP)
+            enc.encode_bin(1 if mpm_idx > 0 else 0,
+                           ctx("IntraLumaPlanarFlag", 1))
+            if mpm_idx:
+                enc.encode_bin_ep(1 if mpm_idx > 1 else 0)
+            if mpm_idx > 1:
+                enc.encode_bin_ep(1 if mpm_idx > 2 else 0)
+            if mpm_idx > 2:
+                enc.encode_bin_ep(1 if mpm_idx > 3 else 0)
+            if mpm_idx > 3:
+                enc.encode_bin_ep(1 if mpm_idx > 4 else 0)
+        else:
+            spred = sorted(mpm)
+            mode = cu.mode
+            for m in reversed(spred):
+                if mode > m:
+                    mode -= 1
+            self._write_trunc_bin(enc, mode, 67 - NUM_MPM)
+
+    def _write_intra_chroma_mode(self, enc):
+        # always DM (derived mode): cclm off -> single ctx bin 0
+        enc.encode_bin(0, ctx("IntraChromaPredMode"))
+
+    # ---- prediction + residual ------------------------------------------
+
+    def _refs_for_block(self, plane, x, y, w, h, scale, bit_depth):
+        """Build (top_u, left_u, top_f, left_f) (1, 2W+3)/(1, 2H+3) arrays."""
+        fw = self.cfg.width // scale
+        fh = self.cfg.height // scale
+        def avail(px, py):
+            if px < 0 or py < 0 or px >= fw or py >= fh:
+                return False
+            return bool(self.coded[py * scale // 4, px * scale // 4])
+        top_raw = np.zeros((1, 2 * w), np.int32)
+        avail_top = np.zeros((1, 2 * w), bool)
+        for i in range(2 * w):
+            px, py = x + i, y - 1
+            if avail(px, py):
+                top_raw[0, i] = plane[py, px]
+                avail_top[0, i] = True
+        left_raw = np.zeros((1, 2 * h), np.int32)
+        avail_left = np.zeros((1, 2 * h), bool)
+        for i in range(2 * h):
+            px, py = x - 1, y + i
+            if avail(px, py):
+                left_raw[0, i] = plane[py, px]
+                avail_left[0, i] = True
+        corner = np.zeros((1,), np.int32)
+        avail_c = np.zeros((1,), bool)
+        if avail(x - 1, y - 1):
+            corner[0] = plane[y - 1, x - 1]
+            avail_c[0] = True
+        top, left = intra_ops.fill_reference_samples(
+            jnp.asarray(top_raw), jnp.asarray(left_raw),
+            jnp.asarray(avail_top), jnp.asarray(avail_left),
+            jnp.asarray(avail_c), jnp.asarray(corner), bit_depth=bit_depth)
+        top_f, left_f = intra_ops.filter_reference_samples(top, left)
+        return top, left, top_f, left_f
+
+    def _choose_luma_mode(self, org, refs, w, h):
+        if self.mode_select == "planar":
+            return PLANAR
+        preds = intra_ops.predict_block(
+            *refs, w=w, h=h, modes=self.rmd_modes, is_luma=True,
+            bit_depth=self.cfg.bit_depth)        # (1, M, h, w)
+        costs = satd_kernel(jnp.asarray(org)[None, None], preds,
+                            bit_depth=self.cfg.bit_depth)
+        return int(self.rmd_modes[int(np.argmin(np.asarray(costs)[0]))])
+
+    def _code_tu_component(self, enc_rc, org, pred, x, y, w, h, qp, is_luma):
+        resid = org.astype(np.int32) - np.asarray(pred, np.int32)
+        coef = np.asarray(forward_transform(
+            jnp.asarray(resid)[None], bit_depth=self.cfg.bit_depth))[0]
+        lev = np.asarray(quantize(jnp.asarray(coef)[None], w=w, h=h, qp=qp,
+                                  bit_depth=self.cfg.bit_depth))[0]
+        cbf = bool(lev.any())
+        if cbf:
+            deq = np.asarray(dequantize(jnp.asarray(lev)[None], w=w, h=h,
+                                        qp=qp, bit_depth=self.cfg.bit_depth))[0]
+            rec_resid = np.asarray(inverse_transform(
+                jnp.asarray(deq)[None], bit_depth=self.cfg.bit_depth))[0]
+        else:
+            rec_resid = np.zeros_like(resid)
+        recon = np.clip(np.asarray(pred, np.int32) + rec_resid, 0,
+                        (1 << self.cfg.bit_depth) - 1)
+        return cbf, lev, recon
+
+    # ---- CU coding -------------------------------------------------------
+
+    def _encode_cu(self, enc, rc, org_y, org_u, org_v, cu: CuInfo):
+        cfg = self.cfg
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        # luma prediction + mode choice
+        refs = self._refs_for_block(self.recon_y, x, y, w, h, 1,
+                                    cfg.bit_depth)
+        org = org_y[y:y + h, x:x + w]
+        cu.mode = self._choose_luma_mode(org, refs, w, h)
+        pred_y = np.asarray(intra_ops.predict_block(
+            *refs, w=w, h=h, modes=(cu.mode,), is_luma=True,
+            bit_depth=cfg.bit_depth))[0, 0]
+
+        # chroma: DM mode on co-located; chroma block at half res
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        refs_u = self._refs_for_block(self.recon_u, cx, cy, cw, chh, 2,
+                                      cfg.bit_depth)
+        refs_v = self._refs_for_block(self.recon_v, cx, cy, cw, chh, 2,
+                                      cfg.bit_depth)
+        chroma_mode = cu.mode
+        pred_u = np.asarray(intra_ops.predict_block(
+            *refs_u, w=cw, h=chh, modes=(chroma_mode,), is_luma=False,
+            bit_depth=cfg.bit_depth))[0, 0]
+        pred_v = np.asarray(intra_ops.predict_block(
+            *refs_v, w=cw, h=chh, modes=(chroma_mode,), is_luma=False,
+            bit_depth=cfg.bit_depth))[0, 0]
+
+        qp_y = cfg.qp + self.qp_bd_offset
+        qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
+        qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
+            + cfg.chroma_qp_offset
+        qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
+
+        cbf_y, lev_y, rec_y = self._code_tu_component(
+            rc, org, pred_y, x, y, w, h, qp_y, True)
+        cbf_u, lev_u, rec_u = self._code_tu_component(
+            rc, org_u[cy:cy + chh, cx:cx + cw], pred_u, cx, cy, cw, chh,
+            qp_c, False)
+        cbf_v, lev_v, rec_v = self._code_tu_component(
+            rc, org_v[cy:cy + chh, cx:cx + cw], pred_v, cx, cy, cw, chh,
+            qp_c, False)
+
+        # ---- syntax: coding_unit ----
+        # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm/mip/mrl/isp
+        self._write_intra_luma_mode(enc, cu)
+        self._write_intra_chroma_mode(enc)
+        # transform_unit: cbf_cb, cbf_cr, then cbf_luma
+        enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
+        enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
+        enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+        if cbf_y:
+            rc.code(lev_y, is_luma=True)
+        if cbf_u:
+            rc.code(lev_u, is_luma=False)
+        if cbf_v:
+            rc.code(lev_v, is_luma=False)
+
+        # ---- state update ----
+        self.recon_y[y:y + h, x:x + w] = rec_y
+        self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
+        self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
+        r, c = y // 4, x // 4
+        self.coded[r:r + h // 4, c:c + w // 4] = True
+        self.unit_mode[r:r + h // 4, c:c + w // 4] = cu.mode
+        self.unit_w[r:r + h // 4, c:c + w // 4] = w
+        self.unit_h[r:r + h // 4, c:c + w // 4] = h
+        self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+
+    # ---- coding tree -----------------------------------------------------
+
+    def _encode_tree(self, enc, rc, org, x, y, size, qt_depth, qt_map):
+        cfg = self.cfg
+        if x >= cfg.width or y >= cfg.height:
+            return
+        implicit = (x + size > cfg.width) or (y + size > cfg.height)
+        # split decision: follow the predicted QT map (qt value per 64 block
+        # counts from the 64 level: pred depth + 1 vs qt_depth from 128)
+        want_split = False
+        if size > 64:
+            want_split = True
+        elif size > cfg.min_qt_intra:
+            pred = int(qt_map[min(y, cfg.height - 1) // 8,
+                              min(x, cfg.width - 1) // 8]) + 1
+            want_split = qt_depth < pred
+        do_split = want_split or implicit
+        self._write_split_flag(enc, x, y, size, qt_depth, do_split)
+        if do_split:
+            half = size // 2
+            for dy in (0, half):
+                for dx in (0, half):
+                    self._encode_tree(enc, rc, org, x + dx, y + dy, half,
+                                      qt_depth + 1, qt_map)
+            return
+        cu = CuInfo(x, y, size, size, qt_depth)
+        self._encode_cu(enc, rc, org[0], org[1], org[2], cu)
+
+    # ---- frame -----------------------------------------------------------
+
+    def encode_frame(self, y, u, v, qt_map=None, poc: int = 0):
+        """Encode one frame. Returns (bitstream_bytes, recon (y,u,v))."""
+        cfg = self.cfg
+        assert y.shape == (cfg.height, cfg.width)
+        self._init_state()
+        if qt_map is None:
+            qt_map = np.ones((cfg.height // 8, cfg.width // 8), np.int32)
+        ctxs = ContextStore.standard_init(cfg.qp, 2)  # I-slice ctx table
+        enc = BinEncoder(ctxs)
+        rc = ResidualCoder(enc)
+        org = (y.astype(np.int32), u.astype(np.int32), v.astype(np.int32))
+        n_ctu_x = (cfg.width + 127) // 128
+        n_ctu_y = (cfg.height + 127) // 128
+        for cty in range(n_ctu_y):
+            for ctx_i in range(n_ctu_x):
+                self._encode_tree(enc, rc, org, ctx_i * 128, cty * 128, 128,
+                                  0, qt_map)
+        enc.encode_bin_trm(1)          # end_of_slice_one_bit
+        enc.finish()
+        slice_data = enc.write_stop_bit_and_align()
+
+        out = bytearray()
+        if poc == 0:
+            out += sps_nal(cfg)
+            out += pps_nal(cfg)
+        out += slice_nal(cfg, poc, slice_data)
+        return bytes(out), (self.recon_y.copy(), self.recon_u.copy(),
+                            self.recon_v.copy())

