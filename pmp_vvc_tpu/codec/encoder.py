@@ -32,6 +32,8 @@ from ..ops.quant import dequantize, quantize
 from ..ops.transforms import forward_transform, inverse_transform
 from .cabac import BinEncoder, ContextStore
 from .headers import VVCConfig, pps_nal, slice_nal, sps_nal
+from .mtt import SplitState, write_split_cu_mode
+from .partition import MapPartitioner, PartitionConstraints, Split
 from .residual import ResidualCoder, ctx
 
 import jax.numpy as jnp
@@ -117,35 +119,22 @@ class FrameEncoder:
 
     # ---- split syntax ----------------------------------------------------
 
-    def _write_split_flag(self, enc, x, y, size, qt_depth, do_split):
-        """split_cu_mode for the QT-only config (CABACWriter.cpp:567)."""
+    def _neighbor(self, x, y):
+        info = self._cu_at(x, y)
+        if info is None:
+            return None
+        return (info[0], info[1], info[2])   # (w, h, qt_depth)
+
+    def _write_split(self, enc, x, y, w, h, state, split):
+        """Full split_cu_mode (QT+MTT) unless the split is implicit."""
         cfg = self.cfg
-        can_no = size <= 64 or False  # 128 intra CU legal but we force split
-        # legality: canQt iff size > minQT
-        can_qt = size > cfg.min_qt_intra
-        if size == 128:
-            can_no = True   # VVC allows 128 intra CU (TUs tile implicitly)
-        # boundary-implicit split: if CU exceeds picture, QT is implicit
-        implicit = (x + size > cfg.width) or (y + size > cfg.height)
+        implicit = (x + w > cfg.width) or (y + h > cfg.height)
         if implicit:
-            return  # no bin: implicit QT
-        if not can_qt:
-            return  # no split possible -> no bin
-        # ctxSpl (ContextModelling.cpp:131): neighbour-size based
-        ctx_spl = 0
-        left = self._cu_at(x - 1, y)
-        above = self._cu_at(x, y - 1)
-        if left:
-            ctx_spl += 1 if left[1] < size else 0
-        if above:
-            ctx_spl += 1 if above[0] < size else 0
-        num_split = 2  # only QT possible -> numSplit = 2, minus 1 -> 1
-        ctx_spl += 3 * (1 >> 1)  # (numSplit-1)>>1 = 0
-        enc.encode_bin(1 if do_split else 0, ctx("SplitFlag", ctx_spl))
-        if not do_split:
+            assert split == Split.QT, "only implicit QT supported (64-mult frames)"
             return
-        # canQt && canBtt? no BTT in this config -> no qt flag bin
-        return
+        left = self._neighbor(x - 1, y)
+        above = self._neighbor(x, y - 1)
+        write_split_cu_mode(enc, split, w, h, state, cfg, left, above)
 
     # ---- intra mode syntax -----------------------------------------------
 
@@ -373,41 +362,107 @@ class FrameEncoder:
 
     # ---- coding tree -----------------------------------------------------
 
-    def _encode_tree(self, enc, rc, org, x, y, size, qt_depth, qt_map):
+    @staticmethod
+    def _children(x, y, w, h, split):
+        """Child geometry in (x=col, y=row) convention, coding order."""
+        if split == Split.QT:
+            return [(x, y, w // 2, h // 2), (x + w // 2, y, w // 2, h // 2),
+                    (x, y + h // 2, w // 2, h // 2),
+                    (x + w // 2, y + h // 2, w // 2, h // 2)]
+        if split == Split.BT_H:
+            return [(x, y, w, h // 2), (x, y + h // 2, w, h // 2)]
+        if split == Split.BT_V:
+            return [(x, y, w // 2, h), (x + w // 2, y, w // 2, h)]
+        if split == Split.TT_H:
+            return [(x, y, w, h // 4), (x, y + h // 4, w, h // 2),
+                    (x, y + 3 * h // 4, w, h // 4)]
+        if split == Split.TT_V:
+            return [(x, y, w // 4, h), (x + w // 4, y, w // 2, h),
+                    (x + 3 * w // 4, y, w // 4, h)]
+        return []
+
+    def _encode_tree(self, enc, rc, org, x, y, w, h, state, decide):
         cfg = self.cfg
         if x >= cfg.width or y >= cfg.height:
             return
-        implicit = (x + size > cfg.width) or (y + size > cfg.height)
-        # split decision: follow the predicted QT map (qt value per 64 block
-        # counts from the 64 level: pred depth + 1 vs qt_depth from 128)
-        want_split = False
-        if size > 64:
-            want_split = True
-        elif size > cfg.min_qt_intra:
-            pred = int(qt_map[min(y, cfg.height - 1) // 8,
-                              min(x, cfg.width - 1) // 8]) + 1
-            want_split = qt_depth < pred
-        do_split = want_split or implicit
-        self._write_split_flag(enc, x, y, size, qt_depth, do_split)
-        if do_split:
-            half = size // 2
-            for dy in (0, half):
-                for dx in (0, half):
-                    self._encode_tree(enc, rc, org, x + dx, y + dy, half,
-                                      qt_depth + 1, qt_map)
+        split = decide(x, y, w, h, state)
+        self._write_split(enc, x, y, w, h, state, split)
+        if split != Split.NONE:
+            for i, (cx, cy, cw, chh) in enumerate(
+                    self._children(x, y, w, h, split)):
+                cstate = SplitState(
+                    last_split=split, part_idx=i,
+                    qt_depth=state.qt_depth + (1 if split == Split.QT else 0),
+                    mtt_depth=state.mtt_depth
+                    + (0 if split == Split.QT else 1))
+                self._encode_tree(enc, rc, org, cx, cy, cw, chh, cstate,
+                                  decide)
             return
-        cu = CuInfo(x, y, size, size, qt_depth)
+        cu = CuInfo(x, y, w, h, state.qt_depth)
         self._encode_cu(enc, rc, org[0], org[1], org[2], cu)
 
+    def _qt_map_decider(self, qt_map):
+        """QT-only decisions from the predicted QT-depth map."""
+        cfg = self.cfg
+        def decide(x, y, w, h, state):
+            implicit = (x + w > cfg.width) or (y + h > cfg.height)
+            if w > 64 or implicit:
+                return Split.QT
+            if state.mtt_depth == 0 and w == h and w > cfg.min_qt_intra:
+                pred = int(qt_map[min(y, cfg.height - 1) // 8,
+                                  min(x, cfg.width - 1) // 8]) + 1
+                if state.qt_depth < pred:
+                    return Split.QT
+            return Split.NONE
+        return decide
+
+    def _map_decider(self, hor, ver, qt, dire):
+        """Full PMP map-driven decisions via the partition scheduler."""
+        cfg = self.cfg
+        cons = PartitionConstraints(
+            ctu_size=cfg.ctu_size, min_qt=cfg.min_qt_intra,
+            max_bt=cfg.max_bt_intra, max_tt=cfg.max_tt_intra,
+            max_mtt_depth=cfg.max_mtt_depth_intra,
+            min_cb=1 << cfg.log2_min_cb)
+        part = MapPartitioner(hor, ver, qt, dire, accel_level=3,
+                              constraints=cons)
+        table = {}
+        for r in range(cfg.height // 64):
+            for c in range(cfg.width // 64):
+                tree = part.derive_ctu(r, c)
+                stack = [tree]
+                while stack:
+                    n = stack.pop()
+                    # scheduler coords: x=row, y=col -> encoder (col, row)
+                    table[(n.y, n.x, n.w, n.h)] = n.split
+                    stack.extend(n.children)
+
+        def decide(x, y, w, h, state):
+            implicit = (x + w > cfg.width) or (y + h > cfg.height)
+            if w > 64 or h > 64 or implicit:
+                return Split.QT
+            return table.get((x, y, w, h), Split.NONE)
+        return decide
+
+    # ---- frame -----------------------------------------------------------
     # ---- frame -----------------------------------------------------------
 
-    def encode_frame(self, y, u, v, qt_map=None, poc: int = 0):
-        """Encode one frame. Returns (bitstream_bytes, recon (y,u,v))."""
+    def encode_frame(self, y, u, v, qt_map=None, maps=None, poc: int = 0):
+        """Encode one frame. Returns (bitstream_bytes, recon (y,u,v)).
+
+        ``maps``: optional (hor, ver, qt, dire) frame partition maps for
+        full MTT map-driven coding; else ``qt_map`` drives QT-only coding.
+        """
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width)
+        assert cfg.width % 64 == 0 and cfg.height % 64 == 0
         self._init_state()
-        if qt_map is None:
-            qt_map = np.ones((cfg.height // 8, cfg.width // 8), np.int32)
+        if maps is not None:
+            decide = self._map_decider(*maps)
+        else:
+            if qt_map is None:
+                qt_map = np.ones((cfg.height // 8, cfg.width // 8), np.int32)
+            decide = self._qt_map_decider(qt_map)
         ctxs = ContextStore.standard_init(cfg.qp, 2)  # I-slice ctx table
         enc = BinEncoder(ctxs)
         rc = ResidualCoder(enc)
@@ -416,8 +471,8 @@ class FrameEncoder:
         n_ctu_y = (cfg.height + 127) // 128
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):
-                self._encode_tree(enc, rc, org, ctx_i * 128, cty * 128, 128,
-                                  0, qt_map)
+                self._encode_tree(enc, rc, org, ctx_i * 128, cty * 128,
+                                  128, 128, SplitState(), decide)
         enc.encode_bin_trm(1)          # end_of_slice_one_bit
         enc.finish()
         slice_data = enc.write_stop_bit_and_align()

@@ -1,0 +1,157 @@
+"""MTT split legality + split_cu_mode syntax (single-tree luma, intra).
+
+Contracts:
+- legality: QTBTPartitioner::canSplit (UnitPartitioner.cpp:371-468):
+  no QT below MTT, min/max BT/TT sizes (min sizes = MinCbSize), 64-sample
+  max-TB interaction, TT-middle parallel-BT ban.
+- syntax + contexts: CABACWriter::split_cu_mode (CABACWriter.cpp:567) and
+  DeriveCtx::CtxSplit (ContextModelling.cpp:131).
+
+The encoder uses a MinCbSize-8 configuration for MTT streams so the
+single-tree small-chroma (SCIPU / local dual tree) machinery is never
+triggered; 4-size CUs are then illegal by SPS, matching the decoder's
+inference.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .partition import Split
+from .residual import ctx
+
+MAX_TB = 64
+
+
+@dataclass(frozen=True)
+class SplitState:
+    """Per-node state the legality rules depend on."""
+
+    last_split: Split = Split.NONE      # split that created this node
+    part_idx: int = 0                   # index among siblings
+    qt_depth: int = 0
+    mtt_depth: int = 0
+
+
+def can_split_set(w, h, state: SplitState, cfg):
+    """canSplit for single-tree luma, non-boundary. Returns dict incl. NONE."""
+    min_cb = 1 << cfg.log2_min_cb
+    min_bt = min_tt = min_cb
+    max_btd = cfg.max_mtt_depth_intra
+    can = {Split.NONE: True, Split.QT: True, Split.BT_H: True,
+           Split.BT_V: True, Split.TT_H: True, Split.TT_V: True}
+
+    can_btt = state.mtt_depth < max_btd
+    if state.last_split not in (Split.NONE, Split.QT):
+        can[Split.QT] = False
+    if w <= cfg.min_qt_intra:
+        can[Split.QT] = False
+    if state.last_split in (Split.TT_H, Split.TT_V) and state.part_idx == 1:
+        # middle TT child can't repeat the parallel BT split
+        if state.last_split == Split.TT_H:
+            can[Split.BT_H] = False
+        else:
+            can[Split.BT_V] = False
+    if can_btt and (w <= min_bt and h <= min_bt) \
+            and (w <= min_tt and h <= min_tt):
+        can_btt = False
+    if can_btt and (w > cfg.max_bt_intra or h > cfg.max_bt_intra) \
+            and (w > cfg.max_tt_intra or h > cfg.max_tt_intra):
+        can_btt = False
+    if not can_btt:
+        can[Split.BT_H] = can[Split.BT_V] = False
+        can[Split.TT_H] = can[Split.TT_V] = False
+        return can
+    if w > cfg.max_bt_intra or h > cfg.max_bt_intra:
+        can[Split.BT_H] = can[Split.BT_V] = False
+    if h <= min_bt:
+        can[Split.BT_H] = False
+    if w > MAX_TB and h <= MAX_TB:
+        can[Split.BT_H] = False
+    if w <= min_bt:
+        can[Split.BT_V] = False
+    if w <= MAX_TB and h > MAX_TB:
+        can[Split.BT_V] = False
+    if h <= 2 * min_tt or h > cfg.max_tt_intra or w > cfg.max_tt_intra:
+        can[Split.TT_H] = False
+    if w > MAX_TB or h > MAX_TB:
+        can[Split.TT_H] = False
+    if w <= 2 * min_tt or w > cfg.max_tt_intra or h > cfg.max_tt_intra:
+        can[Split.TT_V] = False
+    if w > MAX_TB or h > MAX_TB:
+        can[Split.TT_V] = False
+    return can
+
+
+def derive_split_ctx(w, h, state: SplitState, can, left, above):
+    """DeriveCtx::CtxSplit. ``left``/``above`` = (w, h, qt_depth) or None."""
+    ctx_spl = 0
+    if left:
+        ctx_spl += 1 if left[1] < h else 0
+    if above:
+        ctx_spl += 1 if above[0] < w else 0
+    num_split = (2 if can[Split.QT] else 0) \
+        + (1 if can[Split.BT_H] else 0) + (1 if can[Split.BT_V] else 0) \
+        + (1 if can[Split.TT_H] else 0) + (1 if can[Split.TT_V] else 0)
+    if num_split > 0:
+        num_split -= 1
+    ctx_spl += 3 * (num_split >> 1)
+
+    ctx_qt = (1 if left and left[2] > state.qt_depth else 0) \
+        + (1 if above and above[2] > state.qt_depth else 0) \
+        + (0 if state.qt_depth < 2 else 3)
+
+    num_hor = (1 if can[Split.BT_H] else 0) + (1 if can[Split.TT_H] else 0)
+    num_ver = (1 if can[Split.BT_V] else 0) + (1 if can[Split.TT_V] else 0)
+    if num_ver == num_hor:
+        w_above = above[0] if above else 1
+        h_left = left[1] if left else 1
+        dep_above = w // w_above
+        dep_left = h // h_left
+        if dep_above == dep_left or not left or not above:
+            ctx_hv = 0
+        elif dep_above < dep_left:
+            ctx_hv = 1
+        else:
+            ctx_hv = 2
+    elif num_ver < num_hor:
+        ctx_hv = 3
+    else:
+        ctx_hv = 4
+
+    ctx_hor_bt = 1 if state.mtt_depth <= 1 else 0
+    ctx_ver_bt = 3 if state.mtt_depth <= 1 else 2
+    return ctx_spl, ctx_qt, ctx_hv, ctx_hor_bt, ctx_ver_bt
+
+
+def write_split_cu_mode(enc, split: Split, w, h, state: SplitState, cfg,
+                        left, above):
+    """CABACWriter::split_cu_mode bin sequence."""
+    can = can_split_set(w, h, state, cfg)
+    ctx_spl, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = derive_split_ctx(
+        w, h, state, can, left, above)
+    can_split = any(can[s] for s in (Split.QT, Split.BT_H, Split.BT_V,
+                                     Split.TT_H, Split.TT_V))
+    is_no = split == Split.NONE
+    assert can[split], (split, w, h, state)
+    if can[Split.NONE] and can_split:
+        enc.encode_bin(0 if is_no else 1, ctx("SplitFlag", ctx_spl))
+    if is_no:
+        return
+    can_btt = any(can[s] for s in (Split.BT_H, Split.BT_V,
+                                   Split.TT_H, Split.TT_V))
+    is_qt = split == Split.QT
+    if can[Split.QT] and can_btt:
+        enc.encode_bin(1 if is_qt else 0, ctx("SplitQtFlag", ctx_qt))
+    if is_qt:
+        return
+    can_hor = can[Split.BT_H] or can[Split.TT_H]
+    can_ver = can[Split.BT_V] or can[Split.TT_V]
+    is_ver = split in (Split.BT_V, Split.TT_V)
+    if can_ver and can_hor:
+        enc.encode_bin(1 if is_ver else 0, ctx("SplitHvFlag", ctx_hv))
+    can14 = can[Split.TT_V] if is_ver else can[Split.TT_H]
+    can12 = can[Split.BT_V] if is_ver else can[Split.BT_H]
+    is12 = split in (Split.BT_V, Split.BT_H)
+    if can12 and can14:
+        enc.encode_bin(1 if is12 else 0,
+                       ctx("Split12Flag", ctx_v12 if is_ver else ctx_h12))

@@ -187,7 +187,8 @@ class MapPartitioner:
         pred_qt = int(self.qt[x >> 3, y >> 3]) + 1
         return qt_depth < pred_qt and mtt_depth < 3
 
-    def decide(self, x, y, h, w, qt_depth, mtt_depth):
+    def decide(self, x, y, h, w, qt_depth, mtt_depth,
+               last_split=Split.NONE, part_idx=0):
         """One split decision: (Split, needs_rdo)."""
         if not self._gated(x, y, h, w, qt_depth, mtt_depth):
             # outside the map gate the reference runs stock RDO; that is a
@@ -201,6 +202,11 @@ class MapPartitioner:
         c = self.c
         for s in (Split.QT, Split.BT_H, Split.BT_V, Split.TT_H, Split.TT_V):
             can[s] = can[s] and c.can_split(s, w, h, qt_depth, mtt_depth)
+        # TT-middle parallel-BT ban (UnitPartitioner.cpp canSplit :419)
+        if last_split == Split.TT_H and part_idx == 1:
+            can[Split.BT_H] = False
+        if last_split == Split.TT_V and part_idx == 1:
+            can[Split.BT_V] = False
 
         if can[Split.BT_H] and can[Split.TT_H]:
             mid = self.map_can_split(x + (h >> 2), y, h >> 1, w,
@@ -222,19 +228,20 @@ class MapPartitioner:
                 return s, False
         return Split.NONE, False
 
-    def derive_tree(self, x, y, h, w, qt_depth=0, mtt_depth=0) -> CuNode:
+    def derive_tree(self, x, y, h, w, qt_depth=0, mtt_depth=0,
+                    last_split=Split.NONE, part_idx=0) -> CuNode:
         node = CuNode(x, y, h, w, qt_depth, mtt_depth)
-        split, needs_rdo = self.decide(x, y, h, w, qt_depth, mtt_depth)
+        split, needs_rdo = self.decide(x, y, h, w, qt_depth, mtt_depth,
+                                       last_split, part_idx)
         node.split = split
         node.needs_rdo = needs_rdo
         if split != Split.NONE:
-            for cx, cy, ch, cw in split_children(x, y, h, w, split):
+            for i, (cx, cy, ch, cw) in enumerate(
+                    split_children(x, y, h, w, split)):
                 cqt = qt_depth + 1 if split == Split.QT else qt_depth
                 cmt = mtt_depth if split == Split.QT else mtt_depth + 1
-                # TT outer thirds conceptually gain +2 but VTM tracks +1
-                # per split level for the gating depth
                 node.children.append(
-                    self.derive_tree(cx, cy, ch, cw, cqt, cmt))
+                    self.derive_tree(cx, cy, ch, cw, cqt, cmt, split, i))
         return node
 
     def derive_ctu(self, ctu_row: int, ctu_col: int, size: int = 64):

@@ -60,3 +60,45 @@ def test_bitstream_decodes_bit_exact(tmp_path, mode_select, qp, deep_qt):
     mse = ((recon[0].astype(float) - y) ** 2).mean()
     psnr = 10 * math.log10(1023 ** 2 / mse)
     assert psnr > 28.0, psnr
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_mtt_map_driven_bitstream_decodes(tmp_path):
+    """Full PMP flow: maps -> reconciliation -> MTT tree -> bitstream ->
+    stock decoder, bit-exact."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+    from pmp_vvc_tpu.pmp.map2partition import MapToPartition
+
+    w, h = 128, 128
+    y, u, v = _synth(w, h, seed=3)
+    hor = np.zeros((h // 4, w // 4), np.uint8)
+    ver = np.zeros_like(hor)
+    qt = np.zeros((h // 8, w // 8), np.int32)
+    dire = np.zeros((3, h // 4, w // 4), np.int8)
+    for bx in range(h // 64):
+        for by in range(w // 64):
+            r = np.random.RandomState(bx * 31 + by)
+            qtb = np.full((8, 8), r.randint(0, 2), float)
+            msbt = np.clip(r.randn(3, 16, 16) * 0.3
+                           + np.cumsum(r.rand(3, 1, 1) < 0.6, 0), 0, 3)
+            msd = r.randn(3, 16, 16) * 0.9
+            p, d = MapToPartition(qtb, msbt, msd, 1).get_partition()
+            hor[bx*16:(bx+1)*16, by*16:(by+1)*16] = p[0][:16, :16]
+            ver[bx*16:(bx+1)*16, by*16:(by+1)*16] = p[1][:16, :16]
+            qt[bx*8:(bx+1)*8, by*8:(by+1)*8] = qtb.astype(int)
+            dire[:, bx*16:(bx+1)*16, by*16:(by+1)*16] = d
+
+    cfg = VVCConfig(width=w, height=h, qp=32, log2_min_cb=3,
+                    max_mtt_depth_intra=3, max_bt_intra=32, max_tt_intra=32)
+    enc = FrameEncoder(cfg, mode_select="satd", rmd_modes=(0, 1, 18, 50))
+    bs, recon = enc.encode_frame(y, u, v, maps=(hor, ver, qt, dire))
+
+    bit = tmp_path / "mtt.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
