@@ -1,0 +1,115 @@
+"""CLI: encode a YUV sequence to a VVC bitstream.
+
+The TPU-native counterpart of the reference demo flow
+(codec/demo/README.md): partition maps come either from the bundled
+Down-Up-CNN predictors (``--model-dir``), from a PartitionMat txt
+(``--partition-mat``), or a uniform QT depth (``--qt-depth``).
+
+Usage:
+  python -m pmp_vvc_tpu.cli.encode --input seq.yuv --width 192 --height 128 \
+      --frames 2 --qp 32 --output out.bin [--model-dir trained_models] [--mtt]
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--width", type=int, required=True)
+    ap.add_argument("--height", type=int, required=True)
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--qp", type=int, default=32)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--is10bit", action="store_true")
+    ap.add_argument("--model-dir", default=None,
+                    help="reference .pkl checkpoints for map prediction")
+    ap.add_argument("--partition-mat", default=None,
+                    help="PartitionMat txt (reference exchange format)")
+    ap.add_argument("--qt-depth", type=int, default=1,
+                    help="uniform QT depth if no maps given")
+    ap.add_argument("--mtt", action="store_true",
+                    help="MTT partitioning (needs maps)")
+    ap.add_argument("--mode-select", default="satd",
+                    choices=["satd", "planar"])
+    ap.add_argument("--recon", default=None, help="write recon YUV here")
+    args = ap.parse_args(argv)
+
+    from ..codec.encoder import FrameEncoder
+    from ..codec.headers import VVCConfig
+    from ..codec.partition import read_partition_txt
+    from ..data.yuv import read_yuv420
+
+    w, h = args.width, args.height
+    y, u, v = read_yuv420(args.input, w, h, args.frames,
+                          is10bit=args.is10bit)
+    if not args.is10bit:
+        y, u, v = (p.astype(np.int32) << 2 for p in (y, u, v))
+
+    maps_per_frame = None
+    if args.partition_mat:
+        maps_per_frame = read_partition_txt(args.partition_mat, h, w)
+    elif args.model_dir:
+        from ..pmp.predict import CompPredictor
+        from ..pmp.map2partition import blocks_to_frame_partition
+        from ..data.yuv import blocks_for_sequence
+        pred = CompPredictor.from_reference_checkpoints(
+            True, pathlib.Path(args.model_dir) / f"Luma_Q_{args.qp}.pkl")
+        luma_in, _ = blocks_for_sequence(
+            (np.asarray(y) >> 2).astype(np.uint8),
+            (np.asarray(u) >> 2).astype(np.uint8),
+            (np.asarray(v) >> 2).astype(np.uint8))
+        qt, bt, dire = pred.predict(luma_in)
+        per = (w // 64) * (h // 64)
+        maps_per_frame = []
+        for f in range(y.shape[0]):
+            s = slice(f * per, (f + 1) * per)
+            maps_per_frame.append(blocks_to_frame_partition(
+                qt[s], bt[s], dire[s], w, h, True))
+
+    if args.mtt:
+        cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
+                        max_mtt_depth_intra=3, max_bt_intra=32,
+                        max_tt_intra=32)
+    else:
+        cfg = VVCConfig(width=w, height=h, qp=args.qp)
+    enc = FrameEncoder(cfg, mode_select=args.mode_select)
+
+    out = bytearray()
+    recons = []
+    t0 = time.time()
+    for f in range(y.shape[0]):
+        if maps_per_frame is not None:
+            m = maps_per_frame[min(f, len(maps_per_frame) - 1)]
+            if args.mtt:
+                bs, recon = enc.encode_frame(y[f], u[f], v[f],
+                                             maps=m, poc=f)
+            else:
+                bs, recon = enc.encode_frame(y[f], u[f], v[f],
+                                             qt_map=m[2], poc=f)
+        else:
+            qt = np.full((h // 8, w // 8), args.qt_depth, np.int32)
+            bs, recon = enc.encode_frame(y[f], u[f], v[f], qt_map=qt, poc=f)
+        out += bs
+        recons.append(recon)
+        print(f"POC {f}: {len(bs)} bytes  "
+              f"({time.time() - t0:.1f}s elapsed)", file=sys.stderr)
+
+    pathlib.Path(args.output).write_bytes(bytes(out))
+    if args.recon:
+        with open(args.recon, "wb") as fp:
+            for ry, ru, rv in recons:
+                fp.write(ry.astype(np.uint16).tobytes())
+                fp.write(ru.astype(np.uint16).tobytes())
+                fp.write(rv.astype(np.uint16).tobytes())
+    print(f"wrote {len(out)} bytes to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,29 @@ from .mtt import SplitState, write_split_cu_mode
 from .partition import MapPartitioner, PartitionConstraints, Split
 from .residual import ResidualCoder, ctx
 
+import jax
 import jax.numpy as jnp
+
+import functools
+
+
+@functools.cache
+def _jit_predict(w, h, modes, is_luma, bit_depth):
+    def f(tu, lu, tf, lf):
+        return intra_ops.predict_block(tu, lu, tf, lf, w=w, h=h,
+                                       modes=modes, is_luma=is_luma,
+                                       bit_depth=bit_depth)
+    return jax.jit(f)
+
+
+@functools.cache
+def _jit_refs(w, h, bit_depth):
+    def f(top_raw, left_raw, at, al, ac, corner):
+        top, left = intra_ops.fill_reference_samples(
+            top_raw, left_raw, at, al, ac, corner, bit_depth=bit_depth)
+        tf, lf = intra_ops.filter_reference_samples(top, left)
+        return top, left, tf, lf
+    return jax.jit(f)
 
 PLANAR, DC, HOR, VER, VDIA = 0, 1, 18, 50, 66
 DM_CHROMA = 67
@@ -233,42 +255,51 @@ class FrameEncoder:
         """Build (top_u, left_u, top_f, left_f) (1, 2W+3)/(1, 2H+3) arrays."""
         fw = self.cfg.width // scale
         fh = self.cfg.height // scale
-        def avail(px, py):
-            if px < 0 or py < 0 or px >= fw or py >= fh:
-                return False
-            return bool(self.coded[py * scale // 4, px * scale // 4])
+        s4 = scale // 4 if scale >= 4 else None
+        coded = self.coded
+
+        def avail_row(px0, py, n):  # horizontal run at row py
+            out = np.zeros(n, bool)
+            if 0 <= py < fh:
+                xs = np.arange(px0, px0 + n)
+                ok = (xs >= 0) & (xs < fw)
+                cs = np.clip(xs * scale // 4, 0, coded.shape[1] - 1)
+                out[ok] = coded[py * scale // 4, cs[ok]]
+            return out
+
+        def avail_col(px, py0, n):
+            out = np.zeros(n, bool)
+            if 0 <= px < fw:
+                ys = np.arange(py0, py0 + n)
+                ok = (ys >= 0) & (ys < fh)
+                rs = np.clip(ys * scale // 4, 0, coded.shape[0] - 1)
+                out[ok] = coded[rs[ok], px * scale // 4]
+            return out
+
         top_raw = np.zeros((1, 2 * w), np.int32)
-        avail_top = np.zeros((1, 2 * w), bool)
-        for i in range(2 * w):
-            px, py = x + i, y - 1
-            if avail(px, py):
-                top_raw[0, i] = plane[py, px]
-                avail_top[0, i] = True
+        avail_top = avail_row(x, y - 1, 2 * w)[None]
+        if y > 0:
+            span = min(2 * w, fw - x)
+            top_raw[0, :span] = plane[y - 1, x:x + span]
         left_raw = np.zeros((1, 2 * h), np.int32)
-        avail_left = np.zeros((1, 2 * h), bool)
-        for i in range(2 * h):
-            px, py = x - 1, y + i
-            if avail(px, py):
-                left_raw[0, i] = plane[py, px]
-                avail_left[0, i] = True
+        avail_left = avail_col(x - 1, y, 2 * h)[None]
+        if x > 0:
+            span = min(2 * h, fh - y)
+            left_raw[0, :span] = plane[y:y + span, x - 1]
         corner = np.zeros((1,), np.int32)
-        avail_c = np.zeros((1,), bool)
-        if avail(x - 1, y - 1):
+        avail_c = avail_row(x - 1, y - 1, 1)
+        if avail_c[0]:
             corner[0] = plane[y - 1, x - 1]
-            avail_c[0] = True
-        top, left = intra_ops.fill_reference_samples(
+        return _jit_refs(w, h, bit_depth)(
             jnp.asarray(top_raw), jnp.asarray(left_raw),
             jnp.asarray(avail_top), jnp.asarray(avail_left),
-            jnp.asarray(avail_c), jnp.asarray(corner), bit_depth=bit_depth)
-        top_f, left_f = intra_ops.filter_reference_samples(top, left)
-        return top, left, top_f, left_f
+            jnp.asarray(avail_c), jnp.asarray(corner))
 
     def _choose_luma_mode(self, org, refs, w, h):
         if self.mode_select == "planar":
             return PLANAR
-        preds = intra_ops.predict_block(
-            *refs, w=w, h=h, modes=self.rmd_modes, is_luma=True,
-            bit_depth=self.cfg.bit_depth)        # (1, M, h, w)
+        preds = _jit_predict(w, h, self.rmd_modes, True,
+                             self.cfg.bit_depth)(*refs)   # (1, M, h, w)
         costs = satd_kernel(jnp.asarray(org)[None, None], preds,
                             bit_depth=self.cfg.bit_depth)
         return int(self.rmd_modes[int(np.argmin(np.asarray(costs)[0]))])
@@ -301,9 +332,8 @@ class FrameEncoder:
                                     cfg.bit_depth)
         org = org_y[y:y + h, x:x + w]
         cu.mode = self._choose_luma_mode(org, refs, w, h)
-        pred_y = np.asarray(intra_ops.predict_block(
-            *refs, w=w, h=h, modes=(cu.mode,), is_luma=True,
-            bit_depth=cfg.bit_depth))[0, 0]
+        pred_y = np.asarray(_jit_predict(w, h, (cu.mode,), True,
+                                         cfg.bit_depth)(*refs))[0, 0]
 
         # chroma: DM mode on co-located; chroma block at half res
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
@@ -312,12 +342,9 @@ class FrameEncoder:
         refs_v = self._refs_for_block(self.recon_v, cx, cy, cw, chh, 2,
                                       cfg.bit_depth)
         chroma_mode = cu.mode
-        pred_u = np.asarray(intra_ops.predict_block(
-            *refs_u, w=cw, h=chh, modes=(chroma_mode,), is_luma=False,
-            bit_depth=cfg.bit_depth))[0, 0]
-        pred_v = np.asarray(intra_ops.predict_block(
-            *refs_v, w=cw, h=chh, modes=(chroma_mode,), is_luma=False,
-            bit_depth=cfg.bit_depth))[0, 0]
+        cpred = _jit_predict(cw, chh, (chroma_mode,), False, cfg.bit_depth)
+        pred_u = np.asarray(cpred(*refs_u))[0, 0]
+        pred_v = np.asarray(cpred(*refs_v))[0, 0]
 
         qp_y = cfg.qp + self.qp_bd_offset
         qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
