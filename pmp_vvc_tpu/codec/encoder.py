@@ -29,7 +29,8 @@ import numpy as np
 from ..ops import intra as intra_ops
 from ..ops.distortion import satd as satd_kernel
 from ..ops.quant import dequantize, quantize
-from ..ops.transforms import forward_transform, inverse_transform
+from ..ops.transforms import (DCT2, DCT8, DST7, forward_transform,
+                              inverse_transform)
 from .cabac import BinEncoder, ContextStore
 from .headers import VVCConfig, pps_nal, slice_nal, sps_nal
 from .mtt import SplitState, write_split_cu_mode
@@ -128,6 +129,11 @@ class FrameEncoder:
         self.recon_y = np.zeros((cfg.height, cfg.width), np.int32)
         self.recon_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
         self.recon_v = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
+        if cfg.dual_tree:
+            self.coded_c = np.zeros((r4, c4), bool)   # chroma-tree units
+            self.unit_w_c = np.zeros((r4, c4), np.int32)   # luma units
+            self.unit_h_c = np.zeros((r4, c4), np.int32)
+            self.unit_qt_c = np.zeros((r4, c4), np.int32)
 
     def _cu_at(self, x, y):
         """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
@@ -141,22 +147,31 @@ class FrameEncoder:
 
     # ---- split syntax ----------------------------------------------------
 
-    def _neighbor(self, x, y):
+    def _neighbor(self, x, y, chroma=False):
+        if chroma:
+            if x < 0 or y < 0 or y >= self.cfg.height or x >= self.cfg.width:
+                return None
+            r, c = y // 4, x // 4
+            if not self.coded_c[r, c]:
+                return None
+            return (int(self.unit_w_c[r, c]), int(self.unit_h_c[r, c]),
+                    int(self.unit_qt_c[r, c]))
         info = self._cu_at(x, y)
         if info is None:
             return None
         return (info[0], info[1], info[2])   # (w, h, qt_depth)
 
-    def _write_split(self, enc, x, y, w, h, state, split):
+    def _write_split(self, enc, x, y, w, h, state, split, chroma=False):
         """Full split_cu_mode (QT+MTT) unless the split is implicit."""
         cfg = self.cfg
-        implicit = (x + w > cfg.width) or (y + h > cfg.height)
+        implicit = (x + w > cfg.width) or (y + h > cfg.height) \
+            or (cfg.dual_tree and (w > 64 or h > 64))
         if implicit:
             assert split == Split.QT, "only implicit QT supported (64-mult frames)"
             return
-        left = self._neighbor(x - 1, y)
-        above = self._neighbor(x, y - 1)
-        write_split_cu_mode(enc, split, w, h, state, cfg, left, above)
+        left = self._neighbor(x - 1, y, chroma)
+        above = self._neighbor(x, y - 1, chroma)
+        write_split_cu_mode(enc, split, w, h, state, cfg, left, above, chroma)
 
     # ---- intra mode syntax -----------------------------------------------
 
@@ -251,12 +266,12 @@ class FrameEncoder:
 
     # ---- prediction + residual ------------------------------------------
 
-    def _refs_for_block(self, plane, x, y, w, h, scale, bit_depth):
+    def _refs_for_block(self, plane, x, y, w, h, scale, bit_depth,
+                        coded=None):
         """Build (top_u, left_u, top_f, left_f) (1, 2W+3)/(1, 2H+3) arrays."""
         fw = self.cfg.width // scale
         fh = self.cfg.height // scale
-        s4 = scale // 4 if scale >= 4 else None
-        coded = self.coded
+        coded = self.coded if coded is None else coded
 
         def avail_row(px0, py, n):  # horizontal run at row py
             out = np.zeros(n, bool)
@@ -304,23 +319,179 @@ class FrameEncoder:
                             bit_depth=self.cfg.bit_depth)
         return int(self.rmd_modes[int(np.argmin(np.asarray(costs)[0]))])
 
-    def _code_tu_component(self, enc_rc, org, pred, x, y, w, h, qp, is_luma):
-        resid = org.astype(np.int32) - np.asarray(pred, np.int32)
+    # mtsIdx -> (trTypeHor, trTypeVer); TypeDef MtsType order
+    _MTS_TR = {0: (DCT2, DCT2), 2: (DST7, DST7), 3: (DCT8, DST7),
+               4: (DST7, DCT8), 5: (DCT8, DCT8)}
+
+    def _tq_roundtrip(self, resid, w, h, qp, mts_idx):
+        th, tv = self._MTS_TR[mts_idx]
+        bd = self.cfg.bit_depth
         coef = np.asarray(forward_transform(
-            jnp.asarray(resid)[None], bit_depth=self.cfg.bit_depth))[0]
+            jnp.asarray(resid)[None], th, tv, bit_depth=bd))[0]
         lev = np.asarray(quantize(jnp.asarray(coef)[None], w=w, h=h, qp=qp,
-                                  bit_depth=self.cfg.bit_depth))[0]
-        cbf = bool(lev.any())
-        if cbf:
+                                  bit_depth=bd))[0]
+        if lev.any():
             deq = np.asarray(dequantize(jnp.asarray(lev)[None], w=w, h=h,
-                                        qp=qp, bit_depth=self.cfg.bit_depth))[0]
+                                        qp=qp, bit_depth=bd))[0]
             rec_resid = np.asarray(inverse_transform(
-                jnp.asarray(deq)[None], bit_depth=self.cfg.bit_depth))[0]
+                jnp.asarray(deq)[None], th, tv, bit_depth=bd))[0]
         else:
             rec_resid = np.zeros_like(resid)
+        return lev, rec_resid
+
+    def _code_tu_component(self, enc_rc, org, pred, x, y, w, h, qp, is_luma,
+                           try_mts=False):
+        """Returns (cbf, levels, recon, mts_idx)."""
+        resid = org.astype(np.int32) - np.asarray(pred, np.int32)
+        candidates = [0]
+        if try_mts:
+            candidates += [2, 3, 4, 5]
+        lam = 0.57 * 2.0 ** ((self.cfg.qp - 12) / 3.0)
+        best = None
+        for mts_idx in candidates:
+            lev, rec_resid = self._tq_roundtrip(resid, w, h, qp, mts_idx)
+            if mts_idx != 0:
+                # decoder infers DCT2 unless last scan pos >= 1 and the
+                # 16x16 coefficient constraint holds; skip unusable cands
+                nz = np.nonzero(lev.reshape(-1))[0]
+                if nz.size == 0:
+                    continue
+                from .residual import grouped_scan
+                scan = grouped_scan(w, h)
+                nz_scan = np.nonzero(lev.reshape(-1)[scan[:, 0]])[0]
+                if nz_scan.size == 0 or nz_scan[-1] < 1:
+                    continue
+                if (lev[:, 16:].any() or lev[16:, :].any()):
+                    continue
+            err = rec_resid.astype(np.int64) - resid
+            cost = float((err * err).sum()) + lam * 16.0 * int(
+                np.count_nonzero(lev))
+            if best is None or cost < best[0]:
+                best = (cost, mts_idx, lev, rec_resid)
+        _, mts_idx, lev, rec_resid = best
+        cbf = bool(lev.any())
         recon = np.clip(np.asarray(pred, np.int32) + rec_resid, 0,
                         (1 << self.cfg.bit_depth) - 1)
-        return cbf, lev, recon
+        return cbf, lev, recon, mts_idx
+
+    def _write_mts_idx(self, enc, mts_idx, cu_w, cu_h, cbf_y, last_pos,
+                       violates):
+        """CABACWriter::mts_idx (:2721) for single-TU intra CUs."""
+        cfg = self.cfg
+        allowed = (cfg.mts_intra and cu_w <= 32 and cu_h <= 32)
+        if not allowed or violates or not cbf_y or last_pos < 1:
+            return
+        symbol = 1 if mts_idx != 0 else 0
+        enc.encode_bin(symbol, ctx("MTSIdx", 0))
+        if symbol:
+            for i in range(3):
+                s = 1 if mts_idx > i + 2 else 0
+                enc.encode_bin(s, ctx("MTSIdx", 1 + i))
+                if not s:
+                    break
+
+    # ---- dual-tree CU coding --------------------------------------------
+
+    def _encode_luma_cu(self, enc, rc, org_y, cu: CuInfo):
+        """Dual-tree luma CU: intra luma mode + luma TU only."""
+        cfg = self.cfg
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        refs = self._refs_for_block(self.recon_y, x, y, w, h, 1,
+                                    cfg.bit_depth)
+        org = org_y[y:y + h, x:x + w]
+        cu.mode = self._choose_luma_mode(org, refs, w, h)
+        pred_y = np.asarray(_jit_predict(w, h, (cu.mode,), True,
+                                         cfg.bit_depth)(*refs))[0, 0]
+        qp_y = cfg.qp + self.qp_bd_offset
+        try_mts = cfg.mts_intra and w <= 32 and h <= 32
+        cbf_y, lev_y, rec_y, mts_idx = self._code_tu_component(
+            rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts)
+
+        self._write_intra_luma_mode(enc, cu)
+        # sep-tree luma: no chroma cbfs / modes
+        enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+        last_pos_y, violates_mts = -1, False
+        if cbf_y:
+            last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
+        self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                            violates_mts)
+
+        self.recon_y[y:y + h, x:x + w] = rec_y
+        r, c = y // 4, x // 4
+        self.coded[r:r + h // 4, c:c + w // 4] = True
+        self.unit_mode[r:r + h // 4, c:c + w // 4] = cu.mode
+        self.unit_w[r:r + h // 4, c:c + w // 4] = w
+        self.unit_h[r:r + h // 4, c:c + w // 4] = h
+        self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+
+    def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo):
+        """Dual-tree chroma CU (luma-unit coords): DM mode + Cb/Cr TUs."""
+        cfg = self.cfg
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        # DM = co-located luma mode at the chroma block centre
+        # (PU::getCoLocatedIntraLumaMode; centre pos in luma units)
+        cx_l = x + w // 2
+        cy_l = y + h // 2
+        mode = int(self.unit_mode[cy_l // 4, cx_l // 4])
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        refs_u = self._refs_for_block(self.recon_u, cx, cy, cw, chh, 2,
+                                      cfg.bit_depth, coded=self.coded_c)
+        refs_v = self._refs_for_block(self.recon_v, cx, cy, cw, chh, 2,
+                                      cfg.bit_depth, coded=self.coded_c)
+        cpred = _jit_predict(cw, chh, (mode,), False, cfg.bit_depth)
+        pred_u = np.asarray(cpred(*refs_u))[0, 0]
+        pred_v = np.asarray(cpred(*refs_v))[0, 0]
+        qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
+        qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
+            + cfg.chroma_qp_offset
+        qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
+        cbf_u, lev_u, rec_u, _ = self._code_tu_component(
+            rc, self._org_u[cy:cy + chh, cx:cx + cw], pred_u,
+            cx, cy, cw, chh, qp_c, False)
+        cbf_v, lev_v, rec_v, _ = self._code_tu_component(
+            rc, self._org_v[cy:cy + chh, cx:cx + cw], pred_v,
+            cx, cy, cw, chh, qp_c, False)
+
+        # chroma-tree CU syntax: intra_chroma_pred_mode (DM), then TU
+        self._write_intra_chroma_mode(enc)
+        enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
+        enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
+        if cbf_u:
+            rc.code(lev_u, is_luma=False)
+        if cbf_v:
+            rc.code(lev_v, is_luma=False)
+
+        self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
+        self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
+        r, c = y // 4, x // 4
+        self.coded_c[r:r + h // 4, c:c + w // 4] = True
+        self.unit_w_c[r:r + h // 4, c:c + w // 4] = w
+        self.unit_h_c[r:r + h // 4, c:c + w // 4] = h
+        self.unit_qt_c[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+
+    def _encode_tree_ch(self, enc, rc, org, x, y, w, h, state, decide,
+                        chroma):
+        cfg = self.cfg
+        if x >= cfg.width or y >= cfg.height:
+            return
+        split = decide(x, y, w, h, state)
+        self._write_split(enc, x, y, w, h, state, split, chroma)
+        if split != Split.NONE:
+            for i, (cx, cy, cw, chh) in enumerate(
+                    self._children(x, y, w, h, split)):
+                cstate = SplitState(
+                    last_split=split, part_idx=i,
+                    qt_depth=state.qt_depth + (1 if split == Split.QT else 0),
+                    mtt_depth=state.mtt_depth
+                    + (0 if split == Split.QT else 1))
+                self._encode_tree_ch(enc, rc, org, cx, cy, cw, chh, cstate,
+                                     decide, chroma)
+            return
+        cu = CuInfo(x, y, w, h, state.qt_depth)
+        if chroma:
+            self._encode_chroma_cu(enc, rc, org[1], org[2], cu)
+        else:
+            self._encode_luma_cu(enc, rc, org[0], cu)
 
     # ---- CU coding -------------------------------------------------------
 
@@ -352,12 +523,13 @@ class FrameEncoder:
             + cfg.chroma_qp_offset
         qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
 
-        cbf_y, lev_y, rec_y = self._code_tu_component(
-            rc, org, pred_y, x, y, w, h, qp_y, True)
-        cbf_u, lev_u, rec_u = self._code_tu_component(
+        try_mts = self.cfg.mts_intra and w <= 32 and h <= 32
+        cbf_y, lev_y, rec_y, mts_idx = self._code_tu_component(
+            rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts)
+        cbf_u, lev_u, rec_u, _ = self._code_tu_component(
             rc, org_u[cy:cy + chh, cx:cx + cw], pred_u, cx, cy, cw, chh,
             qp_c, False)
-        cbf_v, lev_v, rec_v = self._code_tu_component(
+        cbf_v, lev_v, rec_v, _ = self._code_tu_component(
             rc, org_v[cy:cy + chh, cx:cx + cw], pred_v, cx, cy, cw, chh,
             qp_c, False)
 
@@ -369,12 +541,16 @@ class FrameEncoder:
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
         enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+        last_pos_y, violates_mts = -1, False
         if cbf_y:
-            rc.code(lev_y, is_luma=True)
+            last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
         if cbf_u:
             rc.code(lev_u, is_luma=False)
         if cbf_v:
             rc.code(lev_v, is_luma=False)
+        # residual_lfnst_mode: sps off -> no bins; then mts_idx
+        self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                            violates_mts)
 
         # ---- state update ----
         self.recon_y[y:y + h, x:x + w] = rec_y
@@ -443,14 +619,21 @@ class FrameEncoder:
             return Split.NONE
         return decide
 
-    def _map_decider(self, hor, ver, qt, dire):
+    def _map_decider(self, hor, ver, qt, dire, chroma=False):
         """Full PMP map-driven decisions via the partition scheduler."""
         cfg = self.cfg
-        cons = PartitionConstraints(
-            ctu_size=cfg.ctu_size, min_qt=cfg.min_qt_intra,
-            max_bt=cfg.max_bt_intra, max_tt=cfg.max_tt_intra,
-            max_mtt_depth=cfg.max_mtt_depth_intra,
-            min_cb=1 << cfg.log2_min_cb)
+        if chroma:
+            cons = PartitionConstraints(
+                ctu_size=cfg.ctu_size, min_qt=cfg.chroma_min_qt,
+                max_bt=cfg.chroma_max_bt, max_tt=cfg.chroma_max_tt,
+                max_mtt_depth=cfg.chroma_max_mtt_depth,
+                min_cb=1 << cfg.log2_min_cb, chroma=True)
+        else:
+            cons = PartitionConstraints(
+                ctu_size=cfg.ctu_size, min_qt=cfg.min_qt_intra,
+                max_bt=cfg.max_bt_intra, max_tt=cfg.max_tt_intra,
+                max_mtt_depth=cfg.max_mtt_depth_intra,
+                min_cb=1 << cfg.log2_min_cb)
         part = MapPartitioner(hor, ver, qt, dire, accel_level=3,
                               constraints=cons)
         table = {}
@@ -474,22 +657,44 @@ class FrameEncoder:
     # ---- frame -----------------------------------------------------------
     # ---- frame -----------------------------------------------------------
 
-    def encode_frame(self, y, u, v, qt_map=None, maps=None, poc: int = 0):
+    def encode_frame(self, y, u, v, qt_map=None, maps=None,
+                     chroma_maps=None, poc: int = 0):
         """Encode one frame. Returns (bitstream_bytes, recon (y,u,v)).
 
         ``maps``: optional (hor, ver, qt, dire) frame partition maps for
         full MTT map-driven coding; else ``qt_map`` drives QT-only coding.
+        ``chroma_maps``: chroma-component maps for the dual chroma tree
+        (defaults to ``maps``).
         """
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width)
         assert cfg.width % 64 == 0 and cfg.height % 64 == 0
         self._init_state()
+        self._org_u = u.astype(np.int32)
+        self._org_v = v.astype(np.int32)
         if maps is not None:
             decide = self._map_decider(*maps)
         else:
             if qt_map is None:
                 qt_map = np.ones((cfg.height // 8, cfg.width // 8), np.int32)
             decide = self._qt_map_decider(qt_map)
+        if cfg.dual_tree:
+            cmaps = chroma_maps or maps
+            if cmaps is not None:
+                decide_c = self._map_decider(*cmaps, chroma=True)
+            else:
+                cqt = (qt_map if qt_map is not None else
+                       np.ones((cfg.height // 8, cfg.width // 8), np.int32))
+                def decide_c(x, yy, w, h, state, _q=cqt):
+                    if w > 64:
+                        return Split.QT
+                    if state.mtt_depth == 0 and w == h \
+                            and w > cfg.chroma_min_qt:
+                        pred = int(_q[min(yy, cfg.height - 1) // 8,
+                                      min(x, cfg.width - 1) // 8]) + 1
+                        if state.qt_depth < pred:
+                            return Split.QT
+                    return Split.NONE
         ctxs = ContextStore.standard_init(cfg.qp, 2)  # I-slice ctx table
         enc = BinEncoder(ctxs)
         rc = ResidualCoder(enc)
@@ -498,8 +703,23 @@ class FrameEncoder:
         n_ctu_y = (cfg.height + 127) // 128
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):
-                self._encode_tree(enc, rc, org, ctx_i * 128, cty * 128,
-                                  128, 128, SplitState(), decide)
+                bx, by = ctx_i * 128, cty * 128
+                if not cfg.dual_tree:
+                    self._encode_tree(enc, rc, org, bx, by,
+                                      128, 128, SplitState(), decide)
+                    continue
+                # dual tree: implicit QT to 64, then per 64 quadrant the
+                # luma tree followed by the chroma tree
+                # (CABACWriter::coding_tree dual path, :431-470)
+                for (qx, qy, qw, qh) in self._children(bx, by, 128, 128,
+                                                       Split.QT):
+                    if qx >= cfg.width or qy >= cfg.height:
+                        continue
+                    st = SplitState(last_split=Split.QT, qt_depth=1)
+                    self._encode_tree_ch(enc, rc, org, qx, qy, qw, qh,
+                                         st, decide, False)
+                    self._encode_tree_ch(enc, rc, org, qx, qy, qw, qh,
+                                         st, decide_c, True)
         enc.encode_bin_trm(1)          # end_of_slice_one_bit
         enc.finish()
         slice_data = enc.write_stop_bit_and_align()

@@ -40,6 +40,10 @@ class VVCConfig:
     max_bt_intra: int = 8
     max_tt_intra: int = 8
     dual_tree: bool = False
+    chroma_min_qt: int = 8        # luma units (= 4 chroma samples)
+    chroma_max_mtt_depth: int = 3
+    chroma_max_bt: int = 32       # luma units
+    chroma_max_tt: int = 32
     log2_max_tb: int = 6
     # profile/level
     profile_idc: int = 1          # Main 10
@@ -126,7 +130,14 @@ def write_sps(cfg: VVCConfig) -> bytes:
         bw.write_uvlc(_flog2(cfg.max_bt_intra) - cfg.min_qt_log2)
         bw.write_uvlc(_flog2(cfg.max_tt_intra) - cfg.min_qt_log2)
     bw.write_flag(cfg.dual_tree)       # qtbtt_dual_tree_intra_flag
-    assert not cfg.dual_tree, "dual tree SPS fields not wired yet"
+    if cfg.dual_tree:
+        bw.write_uvlc(_flog2(cfg.chroma_min_qt) - cfg.log2_min_cb)
+        bw.write_uvlc(cfg.chroma_max_mtt_depth)
+        if cfg.chroma_max_mtt_depth != 0:
+            bw.write_uvlc(_flog2(cfg.chroma_max_bt)
+                          - _flog2(cfg.chroma_min_qt))
+            bw.write_uvlc(_flog2(cfg.chroma_max_tt)
+                          - _flog2(cfg.chroma_min_qt))
     # inter (B/P) partition constraints — mirrored minimal values
     bw.write_uvlc(cfg.min_qt_log2 - cfg.log2_min_cb)   # B-slice minQT
     bw.write_uvlc(0)                   # sps_max_mtt_hierarchy_depth_inter_slice
@@ -135,7 +146,9 @@ def write_sps(cfg: VVCConfig) -> bytes:
     bw.write_flag(cfg.transform_skip)
     assert not cfg.transform_skip
     bw.write_flag(cfg.mts_intra)       # sps_mts_enabled_flag
-    assert not cfg.mts_intra
+    if cfg.mts_intra:
+        bw.write_flag(1)               # sps_explicit_mts_intra_enabled_flag
+        bw.write_flag(0)               # sps_explicit_mts_inter_enabled_flag
     bw.write_flag(cfg.lfnst)
     # chroma tool block (chroma_format != 400)
     bw.write_flag(cfg.joint_cbcr)

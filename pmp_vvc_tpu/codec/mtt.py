@@ -32,19 +32,31 @@ class SplitState:
     mtt_depth: int = 0
 
 
-def can_split_set(w, h, state: SplitState, cfg):
-    """canSplit for single-tree luma, non-boundary. Returns dict incl. NONE."""
+def can_split_set(w, h, state: SplitState, cfg, chroma: bool = False):
+    """canSplit (luma or dual-tree-chroma channel), non-boundary.
+
+    ``w``/``h`` in luma units for both channels (the reference compares
+    the luma-projected area against luma-unit thresholds and applies
+    extra chroma-sample bans, UnitPartitioner.cpp:398-431).
+    """
     min_cb = 1 << cfg.log2_min_cb
     min_bt = min_tt = min_cb
-    max_btd = cfg.max_mtt_depth_intra
+    max_btd = cfg.chroma_max_mtt_depth if chroma else cfg.max_mtt_depth_intra
+    min_qt = cfg.chroma_min_qt if chroma else cfg.min_qt_intra
+    max_bt = cfg.chroma_max_bt if chroma else cfg.max_bt_intra
+    max_tt = cfg.chroma_max_tt if chroma else cfg.max_tt_intra
     can = {Split.NONE: True, Split.QT: True, Split.BT_H: True,
            Split.BT_V: True, Split.TT_H: True, Split.TT_V: True}
 
     can_btt = state.mtt_depth < max_btd
     if state.last_split not in (Split.NONE, Split.QT):
         can[Split.QT] = False
-    if w <= cfg.min_qt_intra:
+    if w <= min_qt:
         can[Split.QT] = False
+    if chroma:
+        cw, chh = w // 2, h // 2        # 4:2:0 chroma samples
+        if cw <= 4:
+            can[Split.QT] = False
     if state.last_split in (Split.TT_H, Split.TT_V) and state.part_idx == 1:
         # middle TT child can't repeat the parallel BT split
         if state.last_split == Split.TT_H:
@@ -54,14 +66,14 @@ def can_split_set(w, h, state: SplitState, cfg):
     if can_btt and (w <= min_bt and h <= min_bt) \
             and (w <= min_tt and h <= min_tt):
         can_btt = False
-    if can_btt and (w > cfg.max_bt_intra or h > cfg.max_bt_intra) \
-            and (w > cfg.max_tt_intra or h > cfg.max_tt_intra):
+    if can_btt and (w > max_bt or h > max_bt) \
+            and (w > max_tt or h > max_tt):
         can_btt = False
     if not can_btt:
         can[Split.BT_H] = can[Split.BT_V] = False
         can[Split.TT_H] = can[Split.TT_V] = False
         return can
-    if w > cfg.max_bt_intra or h > cfg.max_bt_intra:
+    if w > max_bt or h > max_bt:
         can[Split.BT_H] = can[Split.BT_V] = False
     if h <= min_bt:
         can[Split.BT_H] = False
@@ -71,14 +83,24 @@ def can_split_set(w, h, state: SplitState, cfg):
         can[Split.BT_V] = False
     if w <= MAX_TB and h > MAX_TB:
         can[Split.BT_V] = False
-    if h <= 2 * min_tt or h > cfg.max_tt_intra or w > cfg.max_tt_intra:
+    if h <= 2 * min_tt or h > max_tt or w > max_tt:
         can[Split.TT_H] = False
     if w > MAX_TB or h > MAX_TB:
         can[Split.TT_H] = False
-    if w <= 2 * min_tt or w > cfg.max_tt_intra or h > cfg.max_tt_intra:
+    if w <= 2 * min_tt or w > max_tt or h > max_tt:
         can[Split.TT_V] = False
     if w > MAX_TB or h > MAX_TB:
         can[Split.TT_V] = False
+    if chroma:
+        cw, chh = w // 2, h // 2
+        if cw * chh <= 16:
+            can[Split.BT_H] = False
+        if cw * chh <= 16 or cw == 4:
+            can[Split.BT_V] = False
+        if cw * chh <= 32:
+            can[Split.TT_H] = False
+        if cw * chh <= 32 or cw == 8:
+            can[Split.TT_V] = False
     return can
 
 
@@ -124,9 +146,9 @@ def derive_split_ctx(w, h, state: SplitState, can, left, above):
 
 
 def write_split_cu_mode(enc, split: Split, w, h, state: SplitState, cfg,
-                        left, above):
+                        left, above, chroma: bool = False):
     """CABACWriter::split_cu_mode bin sequence."""
-    can = can_split_set(w, h, state, cfg)
+    can = can_split_set(w, h, state, cfg, chroma)
     ctx_spl, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = derive_split_ctx(
         w, h, state, can, left, above)
     can_split = any(can[s] for s in (Split.QT, Split.BT_H, Split.BT_V,

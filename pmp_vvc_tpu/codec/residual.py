@@ -202,7 +202,11 @@ class ResidualCoder:
     # ---- main ------------------------------------------------------------
 
     def code(self, coeff: np.ndarray, *, is_luma: bool):
-        """Encode one TU's (h, w) coefficient array (must be non-empty)."""
+        """Encode one TU's (h, w) coefficient array (must be non-empty).
+
+        Returns (scan_pos_last, violates_mts_constraint) for the caller's
+        cuCtx bookkeeping (CABACWriter.cpp:2662-2706).
+        """
         h, w = coeff.shape
         log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
         cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
@@ -221,6 +225,7 @@ class ResidualCoder:
 
         last_idx, last_x, last_y = scan[scan_pos_last]
         self._last_sig_coeff(int(last_x), int(last_y), w, h, is_luma)
+        violates_mts = False
 
         ratio = CTX_BIN_RATIO_LUMA if is_luma else CTX_BIN_RATIO_CHROMA
         tb_zoned = min(ZERO_OUT_TH, w) * min(ZERO_OUT_TH, h)
@@ -253,6 +258,9 @@ class ResidualCoder:
                 coeff, scan, w, h, min_sub, max_sub,
                 scan_pos_last, is_last_cg, is_not_first, state,
                 reg_bin_limit, is_luma)
+            if is_luma and is_sig_group and (cg_x > 3 or cg_y > 3):
+                violates_mts = True
+        return scan_pos_last, violates_mts
 
     def _code_subblock(self, coeff, scan, w, h, min_sub, max_sub,
                        scan_pos_last, is_last_cg, is_not_first, state,

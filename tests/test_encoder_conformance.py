@@ -102,3 +102,55 @@ def test_mtt_map_driven_bitstream_decodes(tmp_path):
     assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
     data = np.fromfile(out, dtype=np.uint16)
     np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_dual_tree_mtt_mts_bitstream_decodes(tmp_path):
+    """CTC-shaped config: dual tree + separate luma/chroma map-driven MTT
+    + explicit intra MTS -> conformant, bit-exact on all planes."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+    from pmp_vvc_tpu.pmp.map2partition import MapToPartition
+
+    w, h = 128, 128
+    y, u, v = _synth(w, h, seed=9)
+
+    def synth_maps(cf, seed0):
+        hor = np.zeros((h // 4, w // 4), np.uint8)
+        ver = np.zeros_like(hor)
+        qt = np.zeros((h // 8, w // 8), np.int32)
+        dire = np.zeros((3, h // 4, w // 4), np.int8)
+        for bx in range(h // 64):
+            for by in range(w // 64):
+                r = np.random.RandomState(seed0 + bx * 31 + by)
+                qtb = np.full((8, 8), r.randint(0, 2), float)
+                msbt = np.clip(r.randn(3, 16, 16) * 0.3
+                               + np.cumsum(r.rand(3, 1, 1) < 0.6, 0), 0, 3)
+                p, d = MapToPartition(qtb, msbt,
+                                      r.randn(3, 16, 16) * 0.9,
+                                      cf).get_partition()
+                hor[bx*16:(bx+1)*16, by*16:(by+1)*16] = p[0][:16, :16]
+                ver[bx*16:(bx+1)*16, by*16:(by+1)*16] = p[1][:16, :16]
+                qt[bx*8:(bx+1)*8, by*8:(by+1)*8] = qtb.astype(int)
+                dire[:, bx*16:(bx+1)*16, by*16:(by+1)*16] = d
+        return hor, ver, qt, dire
+
+    cfg = VVCConfig(width=w, height=h, qp=32, dual_tree=True, mts_intra=True,
+                    log2_min_cb=3, max_mtt_depth_intra=3, max_bt_intra=32,
+                    max_tt_intra=32, chroma_max_mtt_depth=3,
+                    chroma_max_bt=32, chroma_max_tt=32)
+    enc = FrameEncoder(cfg, mode_select="satd", rmd_modes=(0, 1, 18, 34, 50))
+    bs, recon = enc.encode_frame(y, u, v, maps=synth_maps(1, 0),
+                                 chroma_maps=synth_maps(2, 100))
+    bit = tmp_path / "full.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        d[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
