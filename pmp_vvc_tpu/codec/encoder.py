@@ -32,7 +32,8 @@ from ..ops.quant import dequantize, quantize
 from ..ops.transforms import (DCT2, DCT8, DST7, forward_transform,
                               inverse_transform)
 from .cabac import BinEncoder, ContextStore
-from .headers import VVCConfig, pps_nal, slice_nal, sps_nal
+from .headers import (VVCConfig, decoded_picture_hash_sei,
+                      pps_nal, slice_nal, sps_nal)
 from .mtt import SplitState, write_split_cu_mode
 from .partition import MapPartitioner, PartitionConstraints, Split
 from .residual import ResidualCoder, ctx
@@ -729,5 +730,7 @@ class FrameEncoder:
             out += sps_nal(cfg)
             out += pps_nal(cfg)
         out += slice_nal(cfg, poc, slice_data)
+        out += decoded_picture_hash_sei(
+            (self.recon_y, self.recon_u, self.recon_v), cfg.bit_depth)
         return bytes(out), (self.recon_y.copy(), self.recon_u.copy(),
                             self.recon_v.copy())

@@ -20,6 +20,7 @@ NAL_CRA = 9
 NAL_SPS = 15
 NAL_PPS = 16
 NAL_PH = 19
+NAL_SUFFIX_SEI = 24
 
 
 def _flog2(v: int) -> int:
@@ -296,3 +297,30 @@ def sps_nal(cfg: VVCConfig) -> bytes:
 
 def pps_nal(cfg: VVCConfig) -> bytes:
     return nal_unit(NAL_PPS, write_pps(cfg))
+
+
+def decoded_picture_hash_sei(recon_planes, bit_depth: int = 10) -> bytes:
+    """Suffix-SEI NAL with the MD5 decoded-picture hash.
+
+    Contract: SEIwrite.cpp xWriteSEIDecodedPictureHash (payload type 132,
+    hash_type 0, 16 bytes per plane) and PicYuvMD5.cpp md5_plane (samples
+    raster order, little-endian, (bitDepth+7)/8 bytes each).
+    """
+    import hashlib
+
+    nbytes = (bit_depth + 7) // 8
+    digests = b""
+    for plane in recon_planes:
+        import numpy as _np
+        arr = _np.asarray(plane)
+        data = (arr.astype("<u2").tobytes() if nbytes == 2
+                else arr.astype(_np.uint8).tobytes())
+        digests += hashlib.md5(data).digest()
+    payload = bytes([0]) + digests          # hash_type MD5 + 3 x 16 bytes
+    bw = BitWriter()
+    bw.write(132, 8)                        # payload_type
+    bw.write(len(payload), 8)               # payload_size
+    bw.append_bytes(payload)
+    bw.write(1, 1)                          # rbsp trailing
+    bw.byte_align_zero()
+    return nal_unit(NAL_SUFFIX_SEI, bw.bytes())

@@ -47,6 +47,8 @@ def test_bitstream_decodes_bit_exact(tmp_path, mode_select, qp, deep_qt):
     r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-1000:] + r.stdout[-1000:]
+    # decoded-picture-hash SEI must verify (DecoderApp prints "(OK)")
+    assert "(OK)" in r.stdout, r.stdout[-1000:]
 
     data = np.fromfile(out, dtype=np.uint16)
     assert data.size == w * h * 3 // 2
