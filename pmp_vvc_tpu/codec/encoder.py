@@ -32,6 +32,7 @@ from ..ops.quant import dequantize, quantize
 from ..ops.transforms import (DCT2, DCT8, DST7, forward_transform,
                               inverse_transform)
 from .cabac import BinEncoder, ContextStore
+from .deblock import deblock_frame
 from .headers import (VVCConfig, decoded_picture_hash_sei,
                       pps_nal, slice_nal, sps_nal)
 from .mtt import SplitState, write_split_cu_mode
@@ -135,6 +136,8 @@ class FrameEncoder:
             self.unit_w_c = np.zeros((r4, c4), np.int32)   # luma units
             self.unit_h_c = np.zeros((r4, c4), np.int32)
             self.unit_qt_c = np.zeros((r4, c4), np.int32)
+        self.leaf_l = []                  # leaf CUs, luma coords
+        self.leaf_c = []                  # leaf CUs, chroma coords
 
     def _cu_at(self, x, y):
         """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
@@ -424,6 +427,7 @@ class FrameEncoder:
         self.unit_w[r:r + h // 4, c:c + w // 4] = w
         self.unit_h[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.leaf_l.append((x, y, w, h))
 
     def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo):
         """Dual-tree chroma CU (luma-unit coords): DM mode + Cb/Cr TUs."""
@@ -469,6 +473,7 @@ class FrameEncoder:
         self.unit_w_c[r:r + h // 4, c:c + w // 4] = w
         self.unit_h_c[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt_c[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.leaf_c.append((x // 2, y // 2, w // 2, h // 2))
 
     def _encode_tree_ch(self, enc, rc, org, x, y, w, h, state, decide,
                         chroma):
@@ -563,6 +568,8 @@ class FrameEncoder:
         self.unit_w[r:r + h // 4, c:c + w // 4] = w
         self.unit_h[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.leaf_l.append((x, y, w, h))
+        self.leaf_c.append((x // 2, y // 2, w // 2, h // 2))
 
     # ---- coding tree -----------------------------------------------------
 
@@ -724,6 +731,15 @@ class FrameEncoder:
         enc.encode_bin_trm(1)          # end_of_slice_one_bit
         enc.finish()
         slice_data = enc.write_stop_bit_and_align()
+
+        if not cfg.deblocking_disabled:
+            qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
+            qp_c_db = max(-self.qp_bd_offset,
+                          min(63, int(self.qp_table[qpi + self.qp_bd_offset])
+                              + cfg.chroma_qp_offset))
+            deblock_frame(self.recon_y, self.recon_u, self.recon_v,
+                          self.leaf_l, self.leaf_c, cfg.qp, qp_c_db,
+                          bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size)
 
         out = bytearray()
         if poc == 0:

@@ -156,3 +156,62 @@ def test_dual_tree_mtt_mts_bitstream_decodes(tmp_path):
         d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         d[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+@pytest.mark.parametrize("dual_tree,qp,w,h", [
+    (False, 37, 192, 128),      # QT-only, long filters (>=32 blocks)
+    (True, 27, 128, 192),       # dual tree + MTT + MTS, hor CTU boundary
+])
+def test_deblocking_bit_exact(tmp_path, dual_tree, qp, w, h):
+    """Deblocking on: our in-loop filter must match the stock decoder's
+    (LoopFilter.cpp), verified via bit-exact recon + hash SEI (OK)."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (h // 16, w // 16)).astype(np.float64)
+    y = np.clip(np.kron(base, np.ones((16, 16)))
+                + rng.randn(h, w) * 4, 0, 255).astype(np.int32) << 2
+    u = np.clip(np.kron(base[::2, ::2], np.ones((16, 16)))[:h // 2, :w // 2]
+                + rng.randn(h // 2, w // 2) * 2, 0, 255).astype(np.int32) << 2
+    v = (255 - np.clip(np.kron(base[::2, ::2],
+                               np.ones((16, 16)))[:h // 2, :w // 2],
+                       0, 255)).astype(np.int32) << 2
+
+    if dual_tree:
+        cfg = VVCConfig(width=w, height=h, qp=qp, deblocking_disabled=False,
+                        dual_tree=True, mts_intra=True, log2_min_cb=3,
+                        max_mtt_depth_intra=3, max_bt_intra=32,
+                        max_tt_intra=32, chroma_max_mtt_depth=3,
+                        chroma_max_bt=32, chroma_max_tt=32)
+        qt = rng.randint(1, 3, (h // 8, w // 8)).astype(np.int32)
+        hor = np.zeros((h // 4, w // 4), np.int32)
+        ver = np.zeros((h // 4, w // 4), np.int32)
+        hor[::4, :] = 1
+        ver[:, ::4] = 1
+        dire = np.zeros((3, h // 4, w // 4), np.int32)
+        maps = (hor, ver, qt, dire)
+        enc = FrameEncoder(cfg, mode_select="satd",
+                           rmd_modes=tuple(range(0, 67, 8)))
+        bs, recon = enc.encode_frame(y, u, v, maps=maps)
+    else:
+        cfg = VVCConfig(width=w, height=h, qp=qp, deblocking_disabled=False)
+        enc = FrameEncoder(cfg, mode_select="satd",
+                           rmd_modes=tuple(range(0, 67, 8)))
+        bs, recon = enc.encode_frame(y, u, v)
+
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    dy = data[:w * h].reshape(h, w)
+    du = data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+    dv = data[w * h + w * h // 4:].reshape(h // 2, w // 2)
+    np.testing.assert_array_equal(dy, recon[0])
+    np.testing.assert_array_equal(du, recon[1])
+    np.testing.assert_array_equal(dv, recon[2])
