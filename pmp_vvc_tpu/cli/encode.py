@@ -38,8 +38,17 @@ def main(argv=None):
                     help="MTT partitioning (needs maps)")
     ap.add_argument("--mode-select", default="satd",
                     choices=["satd", "planar"])
+    ap.add_argument("--no-deblock", action="store_true",
+                    help="disable the deblocking filter")
+    ap.add_argument("--sao", action="store_true",
+                    help="enable SAO (with per-CTU RD decision)")
     ap.add_argument("--recon", default=None, help="write recon YUV here")
     args = ap.parse_args(argv)
+
+    import jax
+    # sequential per-block coding is latency-bound: the tunneled TPU
+    # backend only adds RTT; force CPU (batched TPU paths are separate)
+    jax.config.update("jax_platforms", "cpu")
 
     from ..codec.encoder import FrameEncoder
     from ..codec.headers import VVCConfig
@@ -73,12 +82,13 @@ def main(argv=None):
             maps_per_frame.append(blocks_to_frame_partition(
                 qt[s], bt[s], dire[s], w, h, True))
 
+    filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao)
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,
-                        max_tt_intra=32)
+                        max_tt_intra=32, **filt)
     else:
-        cfg = VVCConfig(width=w, height=h, qp=args.qp)
+        cfg = VVCConfig(width=w, height=h, qp=args.qp, **filt)
     enc = FrameEncoder(cfg, mode_select=args.mode_select)
 
     out = bytearray()

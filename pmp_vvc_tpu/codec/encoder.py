@@ -27,12 +27,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..ops import intra as intra_ops
+from ..ops import mip as mip_ops
 from ..ops.distortion import satd as satd_kernel
 from ..ops.quant import dequantize, quantize
 from ..ops.transforms import (DCT2, DCT8, DST7, forward_transform,
                               inverse_transform)
 from .cabac import BinEncoder, ContextStore
 from .deblock import deblock_frame
+from .sao import apply_sao_frame, decide_sao_frame, write_sao_ctu
 from .headers import (VVCConfig, decoded_picture_hash_sei,
                       pps_nal, slice_nal, sps_nal)
 from .mtt import SplitState, write_split_cu_mode
@@ -55,6 +57,14 @@ def _jit_predict(w, h, modes, is_luma, bit_depth):
 
 
 @functools.cache
+def _jit_mip(w, h, bit_depth):
+    def f(top, left):
+        return mip_ops.predict_mip_all(top, left, w=w, h=h,
+                                       bit_depth=bit_depth)
+    return jax.jit(f)
+
+
+@functools.cache
 def _jit_refs(w, h, bit_depth):
     def f(top_raw, left_raw, at, al, ac, corner):
         top, left = intra_ops.fill_reference_samples(
@@ -62,6 +72,46 @@ def _jit_refs(w, h, bit_depth):
         tf, lf = intra_ops.filter_reference_samples(top, left)
         return top, left, tf, lf
     return jax.jit(f)
+
+class RecordingEncoder:
+    """Records the bin sequence of a slice-data pass for later replay.
+
+    VTM writes the final bitstream in a second entropy pass after the
+    in-loop filters are decided (EncSlice::encodeSlice); this captures
+    pass 1 so pass 2 can interleave the SAO CTU syntax
+    (CABACWriter::coding_tree_unit order: sao() first, :158).
+    """
+
+    def __init__(self):
+        self.ops = []
+        self.ctu_marks = []
+
+    def mark_ctu(self):
+        self.ctu_marks.append(len(self.ops))
+
+    def encode_bin(self, v, ctx_id):
+        self.ops.append(("b", v, ctx_id))
+
+    def encode_bin_ep(self, v):
+        self.ops.append(("ep", v))
+
+    def encode_bins_ep(self, bins, n):
+        self.ops.append(("eps", bins, n))
+
+    def encode_rem_abs_ep(self, value, rice_par, cutoff, max_log2_tr_range):
+        self.ops.append(("rem", value, rice_par, cutoff, max_log2_tr_range))
+
+    def replay(self, enc, start, end):
+        for op in self.ops[start:end]:
+            if op[0] == "b":
+                enc.encode_bin(op[1], op[2])
+            elif op[0] == "ep":
+                enc.encode_bin_ep(op[1])
+            elif op[0] == "eps":
+                enc.encode_bins_ep(op[1], op[2])
+            else:
+                enc.encode_rem_abs_ep(op[1], op[2], op[3], op[4])
+
 
 PLANAR, DC, HOR, VER, VDIA = 0, 1, 18, 50, 66
 DM_CHROMA = 67
@@ -105,6 +155,9 @@ class CuInfo:
     h: int
     qt_depth: int
     mode: int = PLANAR
+    mip: bool = False
+    mip_mode: int = 0
+    mip_transpose: bool = False
 
 
 class FrameEncoder:
@@ -138,6 +191,7 @@ class FrameEncoder:
             self.unit_qt_c = np.zeros((r4, c4), np.int32)
         self.leaf_l = []                  # leaf CUs, luma coords
         self.leaf_c = []                  # leaf CUs, chroma coords
+        self.unit_mip = np.zeros((r4, c4), bool)
 
     def _cu_at(self, x, y):
         """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
@@ -241,6 +295,25 @@ class FrameEncoder:
             enc.encode_bins_ep(sym, thresh + 1)
 
     def _write_intra_luma_mode(self, enc, cu: CuInfo):
+        if self.cfg.mip:
+            # DeriveCtx::CtxMipFlag (ContextModelling.cpp:557)
+            left = self._cu_at(cu.x - 1, cu.y)
+            above = self._cu_at(cu.x, cu.y - 1)
+            ctx_id = 0
+            if left is not None and self.unit_mip[cu.y // 4,
+                                                  (cu.x - 1) // 4]:
+                ctx_id += 1
+            if above is not None and self.unit_mip[(cu.y - 1) // 4,
+                                                   cu.x // 4]:
+                ctx_id += 1
+            if cu.w > 2 * cu.h or cu.h > 2 * cu.w:
+                ctx_id = 3
+            enc.encode_bin(1 if cu.mip else 0, ctx("MipFlag", ctx_id))
+            if cu.mip:
+                enc.encode_bin_ep(1 if cu.mip_transpose else 0)
+                self._write_trunc_bin(enc, cu.mip_mode,
+                                      mip_ops.num_modes(cu.w, cu.h))
+                return
         mpm = self._mpm_list(cu)
         mpm_idx = mpm.index(cu.mode) if cu.mode in mpm else NUM_MPM
         enc.encode_bin(1 if mpm_idx < NUM_MPM else 0, ctx("IntraLumaMpmFlag"))
@@ -323,6 +396,33 @@ class FrameEncoder:
                             bit_depth=self.cfg.bit_depth)
         return int(self.rmd_modes[int(np.argmin(np.asarray(costs)[0]))])
 
+    def _choose_luma(self, cu: CuInfo, org, refs, w, h):
+        """Pick angular-vs-MIP by SATD; fills cu and returns the pred."""
+        cfg = self.cfg
+        cu.mode = self._choose_luma_mode(org, refs, w, h)
+        pred = np.asarray(_jit_predict(w, h, (cu.mode,), True,
+                                       cfg.bit_depth)(*refs))[0, 0]
+        if not cfg.mip or self.mode_select == "planar":
+            return pred
+        mip_preds = np.asarray(_jit_mip(w, h, cfg.bit_depth)(
+            refs[0][0], refs[1][0]))                  # (2M, h, w)
+        costs = np.asarray(satd_kernel(
+            jnp.asarray(org)[None, None], jnp.asarray(mip_preds)[None],
+            bit_depth=cfg.bit_depth))[0]
+        best = int(np.argmin(costs))
+        ang_cost = int(np.asarray(satd_kernel(
+            jnp.asarray(org)[None, None],
+            jnp.asarray(pred)[None, None],
+            bit_depth=cfg.bit_depth))[0, 0])
+        if int(costs[best]) < ang_cost:
+            n = mip_ops.num_modes(w, h)
+            cu.mip = True
+            cu.mip_transpose = best >= n
+            cu.mip_mode = best % n
+            cu.mode = PLANAR          # neighbour MPM / chroma DM view
+            return mip_preds[best]
+        return pred
+
     # mtsIdx -> (trTypeHor, trTypeVer); TypeDef MtsType order
     _MTS_TR = {0: (DCT2, DCT2), 2: (DST7, DST7), 3: (DCT8, DST7),
                4: (DST7, DCT8), 5: (DCT8, DCT8)}
@@ -403,9 +503,7 @@ class FrameEncoder:
         refs = self._refs_for_block(self.recon_y, x, y, w, h, 1,
                                     cfg.bit_depth)
         org = org_y[y:y + h, x:x + w]
-        cu.mode = self._choose_luma_mode(org, refs, w, h)
-        pred_y = np.asarray(_jit_predict(w, h, (cu.mode,), True,
-                                         cfg.bit_depth)(*refs))[0, 0]
+        pred_y = self._choose_luma(cu, org, refs, w, h)
         qp_y = cfg.qp + self.qp_bd_offset
         try_mts = cfg.mts_intra and w <= 32 and h <= 32
         cbf_y, lev_y, rec_y, mts_idx = self._code_tu_component(
@@ -427,6 +525,7 @@ class FrameEncoder:
         self.unit_w[r:r + h // 4, c:c + w // 4] = w
         self.unit_h[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
         self.leaf_l.append((x, y, w, h))
 
     def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo):
@@ -508,9 +607,7 @@ class FrameEncoder:
         refs = self._refs_for_block(self.recon_y, x, y, w, h, 1,
                                     cfg.bit_depth)
         org = org_y[y:y + h, x:x + w]
-        cu.mode = self._choose_luma_mode(org, refs, w, h)
-        pred_y = np.asarray(_jit_predict(w, h, (cu.mode,), True,
-                                         cfg.bit_depth)(*refs))[0, 0]
+        pred_y = self._choose_luma(cu, org, refs, w, h)
 
         # chroma: DM mode on co-located; chroma block at half res
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
@@ -568,6 +665,7 @@ class FrameEncoder:
         self.unit_w[r:r + h // 4, c:c + w // 4] = w
         self.unit_h[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
         self.leaf_l.append((x, y, w, h))
         self.leaf_c.append((x // 2, y // 2, w // 2, h // 2))
 
@@ -703,8 +801,12 @@ class FrameEncoder:
                         if state.qt_depth < pred:
                             return Split.QT
                     return Split.NONE
-        ctxs = ContextStore.standard_init(cfg.qp, 2)  # I-slice ctx table
-        enc = BinEncoder(ctxs)
+        if cfg.sao:
+            # pass 1 records bins; the final pass interleaves SAO CTU
+            # syntax once the filtered recon is known (EncSlice 2-pass)
+            enc = RecordingEncoder()
+        else:
+            enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
         rc = ResidualCoder(enc)
         org = (y.astype(np.int32), u.astype(np.int32), v.astype(np.int32))
         n_ctu_x = (cfg.width + 127) // 128
@@ -712,6 +814,8 @@ class FrameEncoder:
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):
                 bx, by = ctx_i * 128, cty * 128
+                if cfg.sao:
+                    enc.mark_ctu()
                 if not cfg.dual_tree:
                     self._encode_tree(enc, rc, org, bx, by,
                                       128, 128, SplitState(), decide)
@@ -728,10 +832,6 @@ class FrameEncoder:
                                          st, decide, False)
                     self._encode_tree_ch(enc, rc, org, qx, qy, qw, qh,
                                          st, decide_c, True)
-        enc.encode_bin_trm(1)          # end_of_slice_one_bit
-        enc.finish()
-        slice_data = enc.write_stop_bit_and_align()
-
         if not cfg.deblocking_disabled:
             qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
             qp_c_db = max(-self.qp_bd_offset,
@@ -740,6 +840,26 @@ class FrameEncoder:
             deblock_frame(self.recon_y, self.recon_u, self.recon_v,
                           self.leaf_l, self.leaf_c, cfg.qp, qp_c_db,
                           bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size)
+
+        if cfg.sao:
+            recs = [self.recon_y, self.recon_u, self.recon_v]
+            sao_params = decide_sao_frame(org, recs, 128, cfg.qp,
+                                          bit_depth=cfg.bit_depth)
+            apply_sao_frame(recs, sao_params, 128, bit_depth=cfg.bit_depth)
+            # pass 2: real CABAC with SAO syntax at each CTU start
+            rec_enc = enc
+            enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
+            marks = rec_enc.ctu_marks + [len(rec_enc.ops)]
+            i = 0
+            for cty in range(n_ctu_y):
+                for cx_i in range(n_ctu_x):
+                    write_sao_ctu(enc, sao_params[i], cx_i > 0, cty > 0,
+                                  cfg.bit_depth)
+                    rec_enc.replay(enc, marks[i], marks[i + 1])
+                    i += 1
+        enc.encode_bin_trm(1)          # end_of_slice_one_bit
+        enc.finish()
+        slice_data = enc.write_stop_bit_and_align()
 
         out = bytearray()
         if poc == 0:

@@ -279,7 +279,11 @@ def write_slice_header(cfg: VVCConfig, poc: int) -> BitWriter:
     bw.write_flag(0)                   # sh_no_output_of_prior_pics_flag
     # no alf/lmcs/scaling/rpl/cabac-init/tmvp/wp blocks
     bw.write_svlc(0)                   # sh_qp_delta (sliceQp == pps init)
-    # no chroma qp / sao / deblock override / dep-quant / sign-hide / ts
+    # no chroma qp offsets / cu chroma qp adj (pps flags 0)
+    if cfg.sao:                        # sps_sao_enabled && !sao_info_in_ph
+        bw.write_flag(1)               # slice_sao_luma_flag
+        bw.write_flag(1)               # slice_sao_chroma_flag
+    # no deblock override / dep-quant / sign-hide / ts
     return bw
 
 

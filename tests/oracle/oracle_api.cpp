@@ -38,6 +38,7 @@
 #include "Rom.h"
 #include "RdCost.h"
 #include "IntraPrediction.h"
+#include "MatrixIntraPrediction.h"
 #include "Unit.h"
 #include "Slice.h"
 #include "CodingStructure.h"
@@ -187,6 +188,21 @@ struct OracleIntra : public IntraPrediction {
 };
 
 extern "C" {
+// MatrixIntraPrediction is self-contained: refs in, w*h ints out.
+void oracle_mip_pred(const short* top, const short* left, int* out,
+                     int w, int h, int modeIdx, int transpose,
+                     int bitDepth) {
+  static MatrixIntraPrediction mip;
+  const int stride = 2 * w + 3;
+  std::vector<Pel> buf(stride * 2);
+  for (int i = 0; i < stride; i++) buf[i] = top[i];
+  buf[stride] = left[0];
+  for (int i = 1; i < 2 * h + 3 && i < stride; i++) buf[stride + i] = left[i];
+  CPelBuf src(buf.data(), stride, 2);
+  mip.prepareInputForPred(src, Area(0, 0, w, h), bitDepth, COMPONENT_Y);
+  mip.predBlock(out, modeIdx, transpose != 0, bitDepth, COMPONENT_Y);
+}
+
 void oracle_intra_pred(const short* top, const short* left, short* out,
                        int w, int h, int mode, int bitDepth, int isLuma) {
   static OracleIntra intra;

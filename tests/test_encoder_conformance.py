@@ -215,3 +215,40 @@ def test_deblocking_bit_exact(tmp_path, dual_tree, qp, w, h):
     np.testing.assert_array_equal(dy, recon[0])
     np.testing.assert_array_equal(du, recon[1])
     np.testing.assert_array_equal(dv, recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_sao_bit_exact(tmp_path):
+    """SAO + deblocking on: two-pass entropy coding with per-CTU SAO
+    syntax (sao_block_pars) and decoder-exact offsetBlock application."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    w, h = 192, 192
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, (h // 16, w // 16)).astype(np.float64)
+    y = np.clip(np.kron(base, np.ones((16, 16)))
+                + rng.randn(h, w) * 5, 0, 255).astype(np.int32) << 2
+    u = np.clip(np.kron(base[::2, ::2], np.ones((16, 16)))[:h // 2, :w // 2]
+                + rng.randn(h // 2, w // 2) * 3, 0, 255).astype(np.int32) << 2
+    v = (255 - np.clip(np.kron(base[::2, ::2],
+                               np.ones((16, 16)))[:h // 2, :w // 2],
+                       0, 255)).astype(np.int32) << 2
+    cfg = VVCConfig(width=w, height=h, qp=37, deblocking_disabled=False,
+                    sao=True)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 8)))
+    bs, recon = enc.encode_frame(y, u, v)
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])

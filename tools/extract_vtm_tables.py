@@ -91,6 +91,21 @@ def extract_frac_bits(vtm: pathlib.Path) -> np.ndarray:
     return arr.reshape(256, 2).astype(np.uint32)
 
 
+def extract_mip(vtm: pathlib.Path) -> dict:
+    """MipData.h weight matrices (H.266 Table 25-27 constants)."""
+    import numpy as np
+    body = (vtm / "MipData.h").read_text()
+    out = {}
+    for name, shape in (("mipMatrix4x4", (16, 16, 4)),
+                        ("mipMatrix8x8", (8, 16, 8)),
+                        ("mipMatrix16x16", (6, 64, 7))):
+        m = re.search(name + r"\[[^=]*=\s*\{(.*?)\n\};", body, re.S)
+        nums = [int(x) for x in re.findall(r"\d+", m.group(1))]
+        arr = np.array(nums, np.int32).reshape(shape)
+        out[name] = arr
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vtm", type=pathlib.Path, default=DEFAULT_VTM)
@@ -106,6 +121,10 @@ def main():
                            else args.vtm)
     np.savez_compressed(OUT_DIR / "cabac_frac_bits.npz", frac_bits=fb)
     print("cabac_frac_bits.npz:", fb.shape)
+
+    mip = extract_mip(args.vtm)
+    np.savez_compressed(OUT_DIR / "mip_matrices.npz", **mip)
+    print("mip_matrices.npz:", {k: v.shape for k, v in mip.items()})
 
 
 if __name__ == "__main__":
