@@ -42,6 +42,10 @@ def main(argv=None):
                     help="disable the deblocking filter")
     ap.add_argument("--sao", action="store_true",
                     help="enable SAO (with per-CTU RD decision)")
+    ap.add_argument("--mip", action="store_true",
+                    help="matrix intra prediction (SATD-selected per CU)")
+    ap.add_argument("--cclm", action="store_true",
+                    help="CCLM chroma (single tree only)")
     ap.add_argument("--recon", default=None, help="write recon YUV here")
     args = ap.parse_args(argv)
 
@@ -82,7 +86,8 @@ def main(argv=None):
             maps_per_frame.append(blocks_to_frame_partition(
                 qt[s], bt[s], dire[s], w, h, True))
 
-    filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao)
+    filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao,
+                mip=args.mip, cclm=args.cclm)
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,

@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..ops import intra as intra_ops
+from ..ops import cclm as cclm_ops
 from ..ops import mip as mip_ops
 from ..ops.distortion import satd as satd_kernel
 from ..ops.quant import dequantize, quantize
@@ -158,6 +159,7 @@ class CuInfo:
     mip: bool = False
     mip_mode: int = 0
     mip_transpose: bool = False
+    cclm: bool = False
 
 
 class FrameEncoder:
@@ -192,6 +194,7 @@ class FrameEncoder:
         self.leaf_l = []                  # leaf CUs, luma coords
         self.leaf_c = []                  # leaf CUs, chroma coords
         self.unit_mip = np.zeros((r4, c4), bool)
+        self.n_cclm = 0                   # CUs that chose CCLM
 
     def _cu_at(self, x, y):
         """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
@@ -337,8 +340,15 @@ class FrameEncoder:
                     mode -= 1
             self._write_trunc_bin(enc, mode, 67 - NUM_MPM)
 
-    def _write_intra_chroma_mode(self, enc):
-        # always DM (derived mode): cclm off -> single ctx bin 0
+    def _write_intra_chroma_mode(self, enc, cclm=False):
+        """intra_chroma_pred_mode (CABACWriter.cpp:1258-1276)."""
+        if self.cfg.cclm and not self.cfg.dual_tree:
+            enc.encode_bin(1 if cclm else 0, ctx("CclmModeFlag"))
+            if cclm:
+                # LM_CHROMA = symbol 0 of getLMSymbolList
+                enc.encode_bin(0, ctx("CclmModeIdx"))
+                return
+        # DM (derived mode): single ctx bin 0
         enc.encode_bin(0, ctx("IntraChromaPredMode"))
 
     # ---- prediction + residual ------------------------------------------
@@ -609,6 +619,18 @@ class FrameEncoder:
         org = org_y[y:y + h, x:x + w]
         pred_y = self._choose_luma(cu, org, refs, w, h)
 
+        qp_y = cfg.qp + self.qp_bd_offset
+        qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
+        qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
+            + cfg.chroma_qp_offset
+        qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
+
+        try_mts = self.cfg.mts_intra and w <= 32 and h <= 32
+        cbf_y, lev_y, rec_y, mts_idx = self._code_tu_component(
+            rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts)
+        # luma recon written early: CCLM downsamples the co-located luma
+        self.recon_y[y:y + h, x:x + w] = rec_y
+
         # chroma: DM mode on co-located; chroma block at half res
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         refs_u = self._refs_for_block(self.recon_u, cx, cy, cw, chh, 2,
@@ -620,26 +642,48 @@ class FrameEncoder:
         pred_u = np.asarray(cpred(*refs_u))[0, 0]
         pred_v = np.asarray(cpred(*refs_v))[0, 0]
 
-        qp_y = cfg.qp + self.qp_bd_offset
-        qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
-        qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
-            + cfg.chroma_qp_offset
-        qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
+        org_cu = org_u[cy:cy + chh, cx:cx + cw]
+        org_cv = org_v[cy:cy + chh, cx:cx + cw]
+        if cfg.cclm and not cfg.dual_tree:
+            la, aa = cx > 0, cy > 0
+            interior, dsa, dsl = cclm_ops.downsample_luma(
+                self.recon_y, cx, cy, cw, chh, la, aa, 128)
+            lm_preds = []
+            for refs_c in (refs_u, refs_v):
+                a, b, sh = cclm_ops.lm_parameters(
+                    dsa, dsl, np.asarray(refs_c[0][0]),
+                    np.asarray(refs_c[1][0]), cw, chh, aa, la,
+                    cfg.bit_depth)
+                lm_preds.append(cclm_ops.cclm_pred(interior, a, b, sh,
+                                                   cfg.bit_depth))
 
-        try_mts = self.cfg.mts_intra and w <= 32 and h <= 32
-        cbf_y, lev_y, rec_y, mts_idx = self._code_tu_component(
-            rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts)
+            def _satd2(o1, p1, o2, p2):
+                return (int(np.asarray(satd_kernel(
+                    jnp.asarray(o1)[None, None],
+                    jnp.asarray(p1, jnp.int32)[None, None],
+                    bit_depth=cfg.bit_depth))[0, 0])
+                    + int(np.asarray(satd_kernel(
+                        jnp.asarray(o2)[None, None],
+                        jnp.asarray(p2, jnp.int32)[None, None],
+                        bit_depth=cfg.bit_depth))[0, 0]))
+            if _satd2(org_cu, lm_preds[0], org_cv, lm_preds[1]) \
+                    < _satd2(org_cu, pred_u, org_cv, pred_v):
+                cu.cclm = True
+                self.n_cclm += 1
+                pred_u = lm_preds[0].astype(np.int32)
+                pred_v = lm_preds[1].astype(np.int32)
+
         cbf_u, lev_u, rec_u, _ = self._code_tu_component(
-            rc, org_u[cy:cy + chh, cx:cx + cw], pred_u, cx, cy, cw, chh,
+            rc, org_cu, pred_u, cx, cy, cw, chh,
             qp_c, False)
         cbf_v, lev_v, rec_v, _ = self._code_tu_component(
-            rc, org_v[cy:cy + chh, cx:cx + cw], pred_v, cx, cy, cw, chh,
+            rc, org_cv, pred_v, cx, cy, cw, chh,
             qp_c, False)
 
         # ---- syntax: coding_unit ----
-        # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm/mip/mrl/isp
+        # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm/mrl/isp
         self._write_intra_luma_mode(enc, cu)
-        self._write_intra_chroma_mode(enc)
+        self._write_intra_chroma_mode(enc, cclm=cu.cclm)
         # transform_unit: cbf_cb, cbf_cr, then cbf_luma
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
@@ -656,7 +700,6 @@ class FrameEncoder:
                             violates_mts)
 
         # ---- state update ----
-        self.recon_y[y:y + h, x:x + w] = rec_y
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
         r, c = y // 4, x // 4

@@ -54,6 +54,10 @@ def get_oracle(build_timeout=600):
             ctypes.POINTER(ctypes.c_ubyte)]
     if hasattr(lib, "oracle_satd"):
         lib.oracle_satd.restype = ctypes.c_longlong
+        lib.oracle_mip_pred.argtypes = [
+            ctypes.POINTER(ctypes.c_short), ctypes.POINTER(ctypes.c_short),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.oracle_satd.argtypes = [ctypes.POINTER(ctypes.c_short),
                                     ctypes.POINTER(ctypes.c_short),
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]

@@ -193,11 +193,10 @@ void oracle_mip_pred(const short* top, const short* left, int* out,
                      int w, int h, int modeIdx, int transpose,
                      int bitDepth) {
   static MatrixIntraPrediction mip;
-  const int stride = 2 * w + 3;
-  std::vector<Pel> buf(stride * 2);
-  for (int i = 0; i < stride; i++) buf[i] = top[i];
-  buf[stride] = left[0];
-  for (int i = 1; i < 2 * h + 3 && i < stride; i++) buf[stride + i] = left[i];
+  const int stride = std::max(2 * w + 3, 2 * h + 3);
+  std::vector<Pel> buf(stride * 2, 0);
+  for (int i = 0; i < 2 * w + 3; i++) buf[i] = top[i];
+  for (int i = 0; i < 2 * h + 3; i++) buf[stride + i] = left[i];
   CPelBuf src(buf.data(), stride, 2);
   mip.prepareInputForPred(src, Area(0, 0, w, h), bitDepth, COMPONENT_Y);
   mip.predBlock(out, modeIdx, transpose != 0, bitDepth, COMPONENT_Y);

@@ -252,3 +252,72 @@ def test_sao_bit_exact(tmp_path):
         data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_mip_bit_exact(tmp_path):
+    """MIP on (SATD chooses angular-vs-MIP per CU): mip_flag ctx +
+    transpose + TB mode syntax, matrix prediction decoder-exact."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    w, h = 192, 128
+    y, u, v = _synth(w, h, seed=9)
+    cfg = VVCConfig(width=w, height=h, qp=32, mip=True)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 6)))
+    bs, recon = enc.encode_frame(y, u, v)
+    assert enc.unit_mip.sum() > 0, "no CU chose MIP on this content"
+
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_cclm_bit_exact(tmp_path):
+    """CCLM (LM_CHROMA) on, luma-correlated chroma so the SATD decision
+    actually selects it: template fit + 6-tap luma downsample + linear
+    transform must match the decoder's (xGetLMParameters)."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    w, h = 192, 128
+    rng = np.random.RandomState(13)
+    base = rng.randint(0, 256, (h // 16, w // 16)).astype(np.float64)
+    y = np.clip(np.kron(base, np.ones((16, 16)))
+                + rng.randn(h, w) * 5, 0, 255).astype(np.int32) << 2
+    u = np.clip((y >> 2) * 0.7 + 40 + rng.randn(h, w) * 2,
+                0, 255).astype(np.int32)[::2, ::2] << 2
+    v = np.clip(255 - (y >> 2) * 0.5 - 20 + rng.randn(h, w) * 2,
+                0, 255).astype(np.int32)[::2, ::2] << 2
+    cfg = VVCConfig(width=w, height=h, qp=32, cclm=True, mip=True,
+                    deblocking_disabled=False, sao=True)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 8)))
+    bs, recon = enc.encode_frame(y, u, v)
+    assert enc.n_cclm > 0, "no CU chose CCLM on correlated content"
+
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])

@@ -106,6 +106,22 @@ def extract_mip(vtm: pathlib.Path) -> dict:
     return out
 
 
+def extract_lfnst(vtm: pathlib.Path) -> dict:
+    """RomLFNST.cpp kernels + intra-mode -> set LUT (H.266 Table 38)."""
+    import numpy as np
+    src = (vtm / "RomLFNST.cpp").read_text()
+    out = {}
+    for name, shape in (("g_lfnstLut", (95,)), ("g_lfnst8x8", (4, 2, 16, 48)),
+                        ("g_lfnst4x4", (4, 2, 16, 16))):
+        m = re.search(re.escape(name) + r"\[[^=]*=\s*\{(.*?)\n\};", src,
+                      re.S)
+        body = re.sub(r"//[^\n]*", "", m.group(1))
+        nums = [int(x) for x in re.findall(r"-?\d+", body)]
+        assert len(nums) == int(np.prod(shape))
+        out[name.replace("g_", "")] = np.array(nums, np.int32).reshape(shape)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vtm", type=pathlib.Path, default=DEFAULT_VTM)
@@ -125,6 +141,10 @@ def main():
     mip = extract_mip(args.vtm)
     np.savez_compressed(OUT_DIR / "mip_matrices.npz", **mip)
     print("mip_matrices.npz:", {k: v.shape for k, v in mip.items()})
+
+    lf = extract_lfnst(args.vtm)
+    np.savez_compressed(OUT_DIR / "lfnst.npz", **lf)
+    print("lfnst.npz:", {k: v.shape for k, v in lf.items()})
 
 
 if __name__ == "__main__":
