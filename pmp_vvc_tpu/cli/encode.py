@@ -46,6 +46,8 @@ def main(argv=None):
                     help="matrix intra prediction (SATD-selected per CU)")
     ap.add_argument("--cclm", action="store_true",
                     help="CCLM chroma (single tree only)")
+    ap.add_argument("--lfnst", action="store_true",
+                    help="low-frequency non-separable transform")
     ap.add_argument("--recon", default=None, help="write recon YUV here")
     args = ap.parse_args(argv)
 
@@ -87,7 +89,7 @@ def main(argv=None):
                 qt[s], bt[s], dire[s], w, h, True))
 
     filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao,
-                mip=args.mip, cclm=args.cclm)
+                mip=args.mip, cclm=args.cclm, lfnst=args.lfnst)
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..ops import intra as intra_ops
 from ..ops import cclm as cclm_ops
+from ..ops import lfnst as lfnst_ops
 from ..ops import mip as mip_ops
 from ..ops.distortion import satd as satd_kernel
 from ..ops.quant import dequantize, quantize
@@ -195,6 +196,7 @@ class FrameEncoder:
         self.leaf_c = []                  # leaf CUs, chroma coords
         self.unit_mip = np.zeros((r4, c4), bool)
         self.n_cclm = 0                   # CUs that chose CCLM
+        self.n_lfnst = 0                  # CUs that chose LFNST
 
     def _cu_at(self, x, y):
         """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
@@ -437,16 +439,24 @@ class FrameEncoder:
     _MTS_TR = {0: (DCT2, DCT2), 2: (DST7, DST7), 3: (DCT8, DST7),
                4: (DST7, DCT8), 5: (DCT8, DCT8)}
 
-    def _tq_roundtrip(self, resid, w, h, qp, mts_idx):
+    def _tq_roundtrip(self, resid, w, h, qp, mts_idx, lfnst_idx=0,
+                      intra_mode=0):
         th, tv = self._MTS_TR[mts_idx]
         bd = self.cfg.bit_depth
         coef = np.asarray(forward_transform(
             jnp.asarray(resid)[None], th, tv, bit_depth=bd))[0]
+        if lfnst_idx:
+            # secondary transform (DCT2 primary only, TrQuant.cpp:1066)
+            coef = lfnst_ops.fwd_lfnst(coef, intra_mode, lfnst_idx,
+                                       w, h).astype(np.int32)
         lev = np.asarray(quantize(jnp.asarray(coef)[None], w=w, h=h, qp=qp,
                                   bit_depth=bd))[0]
         if lev.any():
             deq = np.asarray(dequantize(jnp.asarray(lev)[None], w=w, h=h,
                                         qp=qp, bit_depth=bd))[0]
+            if lfnst_idx:
+                deq = lfnst_ops.inv_lfnst(deq, intra_mode, lfnst_idx,
+                                          w, h).astype(np.int32)
             rec_resid = np.asarray(inverse_transform(
                 jnp.asarray(deq)[None], th, tv, bit_depth=bd))[0]
         else:
@@ -454,39 +464,75 @@ class FrameEncoder:
         return lev, rec_resid
 
     def _code_tu_component(self, enc_rc, org, pred, x, y, w, h, qp, is_luma,
-                           try_mts=False):
-        """Returns (cbf, levels, recon, mts_idx)."""
+                           try_mts=False, try_lfnst=False, intra_mode=0):
+        """Returns (cbf, levels, recon, mts_idx, lfnst_idx)."""
         resid = org.astype(np.int32) - np.asarray(pred, np.int32)
-        candidates = [0]
+        candidates = [(0, 0)]
         if try_mts:
-            candidates += [2, 3, 4, 5]
+            candidates += [(m, 0) for m in (2, 3, 4, 5)]
+        if try_lfnst and w >= 4 and h >= 4:
+            candidates += [(0, 1), (0, 2)]
         lam = 0.57 * 2.0 ** ((self.cfg.qp - 12) / 3.0)
+        from .residual import grouped_scan
         best = None
-        for mts_idx in candidates:
-            lev, rec_resid = self._tq_roundtrip(resid, w, h, qp, mts_idx)
-            if mts_idx != 0:
-                # decoder infers DCT2 unless last scan pos >= 1 and the
-                # 16x16 coefficient constraint holds; skip unusable cands
-                nz = np.nonzero(lev.reshape(-1))[0]
-                if nz.size == 0:
-                    continue
-                from .residual import grouped_scan
+        for mts_idx, lfnst_idx in candidates:
+            lev, rec_resid = self._tq_roundtrip(resid, w, h, qp, mts_idx,
+                                                lfnst_idx, intra_mode)
+            if mts_idx != 0 or lfnst_idx != 0:
+                # decoder infers DCT2/no-LFNST unless last scan pos >= 1
+                # (mtsLastScanPos / lfnstLastScanPos); skip unusable cands
                 scan = grouped_scan(w, h)
                 nz_scan = np.nonzero(lev.reshape(-1)[scan[:, 0]])[0]
                 if nz_scan.size == 0 or nz_scan[-1] < 1:
                     continue
-                if (lev[:, 16:].any() or lev[16:, :].any()):
+                if mts_idx != 0 and (lev[:, 16:].any() or lev[16:, :].any()):
                     continue
             err = rec_resid.astype(np.int64) - resid
             cost = float((err * err).sum()) + lam * 16.0 * int(
                 np.count_nonzero(lev))
             if best is None or cost < best[0]:
-                best = (cost, mts_idx, lev, rec_resid)
-        _, mts_idx, lev, rec_resid = best
+                best = (cost, mts_idx, lfnst_idx, lev, rec_resid)
+        _, mts_idx, lfnst_idx, lev, rec_resid = best
         cbf = bool(lev.any())
         recon = np.clip(np.asarray(pred, np.int32) + rec_resid, 0,
                         (1 << self.cfg.bit_depth) - 1)
-        return cbf, lev, recon, mts_idx
+        return cbf, lev, recon, mts_idx, lfnst_idx
+
+    @staticmethod
+    def _scan_pos_last(lev, w, h):
+        """Last significant scan position (-1 if none)."""
+        from .residual import grouped_scan
+        nz = np.nonzero(lev.reshape(-1)[grouped_scan(w, h)[:, 0]])[0]
+        return int(nz[-1]) if nz.size else -1
+
+    def _write_lfnst_idx(self, enc, cu, lfnst_idx, comps, sep_tree):
+        """CABACWriter::residual_lfnst_mode (:2770-2820).
+
+        ``comps``: list of (w, h, lev) for every coded (cbf=1) TU
+        component of this CU in its channel scope."""
+        cfg = self.cfg
+        if not cfg.lfnst:
+            return
+        if cu is not None and cu.mip and not (cu.w >= 16 and cu.h >= 16):
+            return
+        last_ok = False
+        viol = False
+        for (w, h, lev) in comps:
+            if w < 4 or h < 4:
+                continue
+            last = self._scan_pos_last(lev, w, h)
+            if last < 0:
+                continue
+            max_pos = 7 if ((w == 4 and h == 4) or (w == 8 and h == 8)) \
+                else 15
+            viol |= last > max_pos
+            last_ok |= last >= 1
+        if not last_ok or viol:
+            return
+        enc.encode_bin(1 if lfnst_idx else 0,
+                       ctx("LFNSTIdx", 1 if sep_tree else 0))
+        if lfnst_idx:
+            enc.encode_bin(1 if lfnst_idx == 2 else 0, ctx("LFNSTIdx", 2))
 
     def _write_mts_idx(self, enc, mts_idx, cu_w, cu_h, cbf_y, last_pos,
                        violates):
@@ -516,8 +562,10 @@ class FrameEncoder:
         pred_y = self._choose_luma(cu, org, refs, w, h)
         qp_y = cfg.qp + self.qp_bd_offset
         try_mts = cfg.mts_intra and w <= 32 and h <= 32
-        cbf_y, lev_y, rec_y, mts_idx = self._code_tu_component(
-            rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts)
+        try_lfnst = cfg.lfnst and (not cu.mip or (w >= 16 and h >= 16))
+        cbf_y, lev_y, rec_y, mts_idx, lfnst_idx = self._code_tu_component(
+            rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts,
+            try_lfnst=try_lfnst, intra_mode=cu.mode)
 
         self._write_intra_luma_mode(enc, cu)
         # sep-tree luma: no chroma cbfs / modes
@@ -525,8 +573,13 @@ class FrameEncoder:
         last_pos_y, violates_mts = -1, False
         if cbf_y:
             last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
-        self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
-                            violates_mts)
+        if lfnst_idx:
+            self.n_lfnst += 1
+        self._write_lfnst_idx(enc, cu, lfnst_idx,
+                              [(w, h, lev_y)] if cbf_y else [], True)
+        if lfnst_idx == 0:
+            self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                                violates_mts)
 
         self.recon_y[y:y + h, x:x + w] = rec_y
         r, c = y // 4, x // 4
@@ -559,10 +612,10 @@ class FrameEncoder:
         qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
             + cfg.chroma_qp_offset
         qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
-        cbf_u, lev_u, rec_u, _ = self._code_tu_component(
+        cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
             rc, self._org_u[cy:cy + chh, cx:cx + cw], pred_u,
             cx, cy, cw, chh, qp_c, False)
-        cbf_v, lev_v, rec_v, _ = self._code_tu_component(
+        cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
             rc, self._org_v[cy:cy + chh, cx:cx + cw], pred_v,
             cx, cy, cw, chh, qp_c, False)
 
@@ -574,6 +627,13 @@ class FrameEncoder:
             rc.code(lev_u, is_luma=False)
         if cbf_v:
             rc.code(lev_v, is_luma=False)
+        if min(cw, chh) >= 4:       # residual_lfnst_mode chroma-tree gate
+            comps = []
+            if cbf_u:
+                comps.append((cw, chh, lev_u))
+            if cbf_v:
+                comps.append((cw, chh, lev_v))
+            self._write_lfnst_idx(enc, cu, 0, comps, True)
 
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
@@ -626,8 +686,10 @@ class FrameEncoder:
         qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
 
         try_mts = self.cfg.mts_intra and w <= 32 and h <= 32
-        cbf_y, lev_y, rec_y, mts_idx = self._code_tu_component(
-            rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts)
+        try_lfnst = cfg.lfnst and (not cu.mip or (w >= 16 and h >= 16))
+        cbf_y, lev_y, rec_y, mts_idx, lfnst_idx = self._code_tu_component(
+            rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts,
+            try_lfnst=try_lfnst, intra_mode=cu.mode)
         # luma recon written early: CCLM downsamples the co-located luma
         self.recon_y[y:y + h, x:x + w] = rec_y
 
@@ -673,12 +735,52 @@ class FrameEncoder:
                 pred_u = lm_preds[0].astype(np.int32)
                 pred_v = lm_preds[1].astype(np.int32)
 
-        cbf_u, lev_u, rec_u, _ = self._code_tu_component(
+        cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
             rc, org_cu, pred_u, cx, cy, cw, chh,
             qp_c, False)
-        cbf_v, lev_v, rec_v, _ = self._code_tu_component(
+        cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
             rc, org_cv, pred_v, cx, cy, cw, chh,
             qp_c, False)
+
+        if lfnst_idx:
+            # single tree: chroma coefficients share the LFNST signalling
+            # constraint (violatesLfnstConstrained[CHROMA], :2787); if a
+            # chroma TU breaks it the index can't be coded -> redo luma
+            # with LFNST off (chroma preds depend on luma recon via CCLM,
+            # but LFNST off only changes the luma residual, so the chroma
+            # TUs stay valid)
+            viol_c = False
+            for lv in ((lev_u if cbf_u else None), (lev_v if cbf_v else None)):
+                if lv is None or cw < 4 or chh < 4:
+                    continue
+                last = self._scan_pos_last(lv, cw, chh)
+                max_pos = 7 if ((cw == 4 and chh == 4)
+                                or (cw == 8 and chh == 8)) else 15
+                viol_c |= last > max_pos
+            if viol_c:
+                cbf_y, lev_y, rec_y, mts_idx, lfnst_idx = \
+                    self._code_tu_component(
+                        rc, org, pred_y, x, y, w, h, qp_y, True,
+                        try_mts=try_mts, intra_mode=cu.mode)
+                self.recon_y[y:y + h, x:x + w] = rec_y
+                if cu.cclm:
+                    # CCLM prediction read the old luma recon: recompute
+                    interior, dsa, dsl = cclm_ops.downsample_luma(
+                        self.recon_y, cx, cy, cw, chh, cx > 0, cy > 0, 128)
+                    lm_preds = []
+                    for refs_c in (refs_u, refs_v):
+                        a, b, sh = cclm_ops.lm_parameters(
+                            dsa, dsl, np.asarray(refs_c[0][0]),
+                            np.asarray(refs_c[1][0]), cw, chh, cy > 0,
+                            cx > 0, cfg.bit_depth)
+                        lm_preds.append(cclm_ops.cclm_pred(
+                            interior, a, b, sh, cfg.bit_depth))
+                    pred_u = lm_preds[0].astype(np.int32)
+                    pred_v = lm_preds[1].astype(np.int32)
+                    cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
+                        rc, org_cu, pred_u, cx, cy, cw, chh, qp_c, False)
+                    cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
+                        rc, org_cv, pred_v, cx, cy, cw, chh, qp_c, False)
 
         # ---- syntax: coding_unit ----
         # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm/mrl/isp
@@ -695,9 +797,20 @@ class FrameEncoder:
             rc.code(lev_u, is_luma=False)
         if cbf_v:
             rc.code(lev_v, is_luma=False)
-        # residual_lfnst_mode: sps off -> no bins; then mts_idx
-        self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
-                            violates_mts)
+        # residual_lfnst_mode then mts_idx (cu_residual tail order)
+        comps = []
+        if cbf_y:
+            comps.append((w, h, lev_y))
+        if cbf_u:
+            comps.append((cw, chh, lev_u))
+        if cbf_v:
+            comps.append((cw, chh, lev_v))
+        if lfnst_idx:
+            self.n_lfnst += 1
+        self._write_lfnst_idx(enc, cu, lfnst_idx, comps, False)
+        if lfnst_idx == 0:
+            self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                                violates_mts)
 
         # ---- state update ----
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u

@@ -321,3 +321,41 @@ def test_cclm_bit_exact(tmp_path):
         data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+@pytest.mark.parametrize("dual_tree", [False, True])
+def test_lfnst_bit_exact(tmp_path, dual_tree):
+    """LFNST on smooth directional content (where the RD proxy selects
+    it): kernel set/transpose via wide-angle LUT, fwd/inv secondary
+    transform, residual_lfnst_mode constraints — decoder-exact."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    w, h = 192, 128
+    y, u, v = _synth(w, h, seed=7)
+    kw = dict(width=w, height=h, qp=37, lfnst=True, mip=True)
+    if dual_tree:
+        kw.update(dual_tree=True, mts_intra=True, log2_min_cb=3,
+                  max_mtt_depth_intra=3, max_bt_intra=32, max_tt_intra=32,
+                  chroma_max_mtt_depth=3, chroma_max_bt=32,
+                  chroma_max_tt=32)
+    cfg = VVCConfig(**kw)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    bs, recon = enc.encode_frame(y, u, v)
+    assert enc.n_lfnst > 0, "no CU chose LFNST on smooth content"
+
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
