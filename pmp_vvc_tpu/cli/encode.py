@@ -48,7 +48,11 @@ def main(argv=None):
                     help="CCLM chroma (single tree only)")
     ap.add_argument("--lfnst", action="store_true",
                     help="low-frequency non-separable transform")
+    ap.add_argument("--dep-quant", action="store_true",
+                    help="dependent quantization (greedy state-following)")
     ap.add_argument("--recon", default=None, help="write recon YUV here")
+    ap.add_argument("--paint-partition", default=None,
+                    help="write recon YUV with CU edges painted (debug)")
     args = ap.parse_args(argv)
 
     import jax
@@ -89,7 +93,8 @@ def main(argv=None):
                 qt[s], bt[s], dire[s], w, h, True))
 
     filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao,
-                mip=args.mip, cclm=args.cclm, lfnst=args.lfnst)
+                mip=args.mip, cclm=args.cclm, lfnst=args.lfnst,
+                dep_quant=args.dep_quant)
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,
@@ -100,6 +105,8 @@ def main(argv=None):
 
     out = bytearray()
     recons = []
+    leafs = []
+    stats = []
     t0 = time.time()
     for f in range(y.shape[0]):
         if maps_per_frame is not None:
@@ -115,6 +122,9 @@ def main(argv=None):
             bs, recon = enc.encode_frame(y[f], u[f], v[f], qt_map=qt, poc=f)
         out += bs
         recons.append(recon)
+        leafs.append(list(enc.leaf_l))
+        from ..utils.visualize import frame_summary
+        stats.append(frame_summary((y[f], u[f], v[f]), recon, len(bs) * 8))
         print(f"POC {f}: {len(bs)} bytes  "
               f"({time.time() - t0:.1f}s elapsed)", file=sys.stderr)
 
@@ -125,6 +135,16 @@ def main(argv=None):
                 fp.write(ry.astype(np.uint16).tobytes())
                 fp.write(ru.astype(np.uint16).tobytes())
                 fp.write(rv.astype(np.uint16).tobytes())
+    if args.paint_partition:
+        from ..utils.visualize import paint_partition
+        with open(args.paint_partition, "wb") as fp:
+            for (ry, ru, rv), cus in zip(recons, leafs):
+                fp.write(paint_partition(ry, cus).astype(np.uint16)
+                         .tobytes())
+                fp.write(ru.astype(np.uint16).tobytes())
+                fp.write(rv.astype(np.uint16).tobytes())
+    from ..utils.visualize import frame_summary, print_summary
+    print_summary(stats)
     print(f"wrote {len(out)} bytes to {args.output}")
 
 

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..ops import intra as intra_ops
 from ..ops import cclm as cclm_ops
+from ..ops import depquant as dq_ops
 from ..ops import lfnst as lfnst_ops
 from ..ops import mip as mip_ops
 from ..ops.distortion import satd as satd_kernel
@@ -449,11 +450,22 @@ class FrameEncoder:
             # secondary transform (DCT2 primary only, TrQuant.cpp:1066)
             coef = lfnst_ops.fwd_lfnst(coef, intra_mode, lfnst_idx,
                                        w, h).astype(np.int32)
-        lev = np.asarray(quantize(jnp.asarray(coef)[None], w=w, h=h, qp=qp,
-                                  bit_depth=bd))[0]
+        if self.cfg.dep_quant:
+            from .residual import grouped_scan
+            scan = grouped_scan(w, h)[:, 0]
+            lev = dq_ops.dep_quant_trellis(
+                coef, scan, w=w, h=h, qp=qp,
+                bit_depth=bd).astype(np.int32)
+        else:
+            lev = np.asarray(quantize(jnp.asarray(coef)[None], w=w, h=h,
+                                      qp=qp, bit_depth=bd))[0]
         if lev.any():
-            deq = np.asarray(dequantize(jnp.asarray(lev)[None], w=w, h=h,
-                                        qp=qp, bit_depth=bd))[0]
+            if self.cfg.dep_quant:
+                deq = dq_ops.dep_dequant(lev, scan, w=w, h=h, qp=qp,
+                                         bit_depth=bd).astype(np.int32)
+            else:
+                deq = np.asarray(dequantize(jnp.asarray(lev)[None], w=w,
+                                            h=h, qp=qp, bit_depth=bd))[0]
             if lfnst_idx:
                 deq = lfnst_ops.inv_lfnst(deq, intra_mode, lfnst_idx,
                                           w, h).astype(np.int32)
@@ -963,7 +975,7 @@ class FrameEncoder:
             enc = RecordingEncoder()
         else:
             enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
-        rc = ResidualCoder(enc)
+        rc = ResidualCoder(enc, dep_quant=cfg.dep_quant)
         org = (y.astype(np.int32), u.astype(np.int32), v.astype(np.int32))
         n_ctu_x = (cfg.width + 127) // 128
         n_ctu_y = (cfg.height + 127) // 128

@@ -283,7 +283,10 @@ def write_slice_header(cfg: VVCConfig, poc: int) -> BitWriter:
     if cfg.sao:                        # sps_sao_enabled && !sao_info_in_ph
         bw.write_flag(1)               # slice_sao_luma_flag
         bw.write_flag(1)               # slice_sao_chroma_flag
-    # no deblock override / dep-quant / sign-hide / ts
+    # no deblock override (pps override disabled)
+    if cfg.dep_quant:
+        bw.write_flag(1)               # sh_dep_quant_used_flag
+    # sign-hide flag absent (sps off or dep-quant on); no ts flag
     return bw
 
 

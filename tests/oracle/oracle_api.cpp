@@ -254,8 +254,9 @@ int oracle_cabac_decode(const unsigned char* data, int nbytes,
 // caller-provided coefficient block with a minimally-constructed TU.
 // Returns bytes written (stream terminated via encodeBinTrm(1)+finish).
 // ---------------------------------------------------------------------------
-int oracle_residual_code(const int* coeffs, int w, int h, int isLumaFlag,
-                         int qp, int initId, unsigned char* out) {
+static int residual_code_impl(const int* coeffs, int w, int h,
+                              int isLumaFlag, int qp, int initId,
+                              int depQuant, unsigned char* out) {
   static bool romInit = false;
   if (!romInit) { initROM(); romInit = true; }
 
@@ -270,7 +271,6 @@ int oracle_residual_code(const int* coeffs, int w, int h, int isLumaFlag,
     ppsp = new PPS();
     slicep = new Slice();
     slicep->setSignDataHidingEnabledFlag(false);
-    slicep->setDepQuantEnabledFlag(false);
     slicep->setTSResidualCodingDisabledFlag(false);
     slicep->setSPS(spsp);
     static XUCache cache;
@@ -281,6 +281,7 @@ int oracle_residual_code(const int* coeffs, int w, int h, int isLumaFlag,
   }
   SPS& sps = *spsp;
   CodingStructure& cs = *csp;
+  slicep->setDepQuantEnabledFlag(depQuant != 0);
 
   const ComponentID compID = isLumaFlag ? COMPONENT_Y : COMPONENT_Cb;
   UnitArea ua(isLumaFlag ? CHROMA_400 : CHROMA_420,
@@ -320,6 +321,18 @@ int oracle_residual_code(const int* coeffs, int w, int h, int isLumaFlag,
 // Header-parsing oracle: run the real HLSyntaxReader over our RBSP bytes.
 // Returns 0 on success and fills a small summary; throws/aborts on misparse.
 // ---------------------------------------------------------------------------
+int oracle_residual_code(const int* coeffs, int w, int h, int isLumaFlag,
+                         int qp, int initId, unsigned char* out) {
+  return residual_code_impl(coeffs, w, h, isLumaFlag, qp, initId, 0, out);
+}
+
+int oracle_residual_code_dq(const int* coeffs, int w, int h, int isLumaFlag,
+                            int qp, int initId, int depQuant,
+                            unsigned char* out) {
+  return residual_code_impl(coeffs, w, h, isLumaFlag, qp, initId, depQuant,
+                            out);
+}
+
 int oracle_parse_sps(const unsigned char* rbsp, int n, int* out_fields) {
   static bool romInit2 = false;
   if (!romInit2) { initROM(); romInit2 = true; }

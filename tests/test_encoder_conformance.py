@@ -359,3 +359,33 @@ def test_lfnst_bit_exact(tmp_path, dual_tree):
         data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_dep_quant_bit_exact(tmp_path):
+    """Dependent quantization: trellis levels + state-machine dequant +
+    state-dependent residual contexts, decoder-exact with all tools."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    w, h = 192, 128
+    y, u, v = _synth(w, h, seed=7)
+    cfg = VVCConfig(width=w, height=h, qp=32, dep_quant=True, lfnst=True,
+                    mip=True, cclm=True, mts_intra=True,
+                    deblocking_disabled=False, sao=True)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 8)))
+    bs, recon = enc.encode_frame(y, u, v)
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
