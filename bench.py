@@ -18,6 +18,15 @@ def bench_tpu(batch=128, iters=10):
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: first tunnel compile is ~4 min; any
+    # rerun on this host should hit the cache
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from pmp_vvc_tpu.models import LumaMSBDNet, LumaQNet
     from pmp_vvc_tpu.pmp.structural import structural_vote
 

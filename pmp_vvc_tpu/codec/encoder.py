@@ -343,9 +343,11 @@ class FrameEncoder:
                     mode -= 1
             self._write_trunc_bin(enc, mode, 67 - NUM_MPM)
 
-    def _write_intra_chroma_mode(self, enc, cclm=False):
+    def _write_intra_chroma_mode(self, enc, cclm=False, cclm_allowed=None):
         """intra_chroma_pred_mode (CABACWriter.cpp:1258-1276)."""
-        if self.cfg.cclm and not self.cfg.dual_tree:
+        if cclm_allowed is None:
+            cclm_allowed = self.cfg.cclm and not self.cfg.dual_tree
+        if cclm_allowed:
             enc.encode_bin(1 if cclm else 0, ctx("CclmModeFlag"))
             if cclm:
                 # LM_CHROMA = symbol 0 of getLMSymbolList
@@ -353,6 +355,22 @@ class FrameEncoder:
                 return
         # DM (derived mode): single ctx bin 0
         enc.encode_bin(0, ctx("IntraChromaPredMode"))
+
+    def _cclm_allowed_dual(self, split_path):
+        """checkCCLMAllowed, dual tree, CTU 128 (Unit.cpp:378-443).
+
+        ``split_path`` = (split at the 64x64 chroma node, split of its
+        child) along this CU's path; self._luma_root_split = the split
+        of the co-located 64x64 luma node (quadrant root)."""
+        d1, d2 = split_path
+        ok = (d1 == Split.QT
+              or (d1 == Split.BT_H and d2 == Split.BT_V)
+              or d1 is None                        # 64x64 chroma leaf
+              or (d1 == Split.BT_H and d2 is None))
+        if not ok:
+            return False
+        lr = self._luma_root_split
+        return lr == Split.QT or lr == Split.NONE
 
     # ---- prediction + residual ------------------------------------------
 
@@ -603,8 +621,9 @@ class FrameEncoder:
         self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
         self.leaf_l.append((x, y, w, h))
 
-    def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo):
-        """Dual-tree chroma CU (luma-unit coords): DM mode + Cb/Cr TUs."""
+    def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo,
+                          split_path=(None, None)):
+        """Dual-tree chroma CU (luma-unit coords): DM/CCLM + Cb/Cr TUs."""
         cfg = self.cfg
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         # DM = co-located luma mode at the chroma block centre
@@ -620,6 +639,34 @@ class FrameEncoder:
         cpred = _jit_predict(cw, chh, (mode,), False, cfg.bit_depth)
         pred_u = np.asarray(cpred(*refs_u))[0, 0]
         pred_v = np.asarray(cpred(*refs_v))[0, 0]
+
+        cclm_ok = cfg.cclm and self._cclm_allowed_dual(split_path)
+        if cclm_ok:
+            la, aa = cx > 0, cy > 0
+            interior, dsa, dsl = cclm_ops.downsample_luma(
+                self.recon_y, cx, cy, cw, chh, la, aa, 128)
+            lm_preds = []
+            for refs_c in (refs_u, refs_v):
+                a, b, sh = cclm_ops.lm_parameters(
+                    dsa, dsl, np.asarray(refs_c[0][0]),
+                    np.asarray(refs_c[1][0]), cw, chh, aa, la,
+                    cfg.bit_depth)
+                lm_preds.append(cclm_ops.cclm_pred(interior, a, b, sh,
+                                                   cfg.bit_depth))
+            o_u = self._org_u[cy:cy + chh, cx:cx + cw]
+            o_v = self._org_v[cy:cy + chh, cx:cx + cw]
+
+            def _sc(o, pr):
+                return int(np.asarray(satd_kernel(
+                    jnp.asarray(o)[None, None],
+                    jnp.asarray(pr, jnp.int32)[None, None],
+                    bit_depth=cfg.bit_depth))[0, 0])
+            if (_sc(o_u, lm_preds[0]) + _sc(o_v, lm_preds[1])
+                    < _sc(o_u, pred_u) + _sc(o_v, pred_v)):
+                cu.cclm = True
+                self.n_cclm += 1
+                pred_u = lm_preds[0].astype(np.int32)
+                pred_v = lm_preds[1].astype(np.int32)
         qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
         qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
             + cfg.chroma_qp_offset
@@ -631,8 +678,9 @@ class FrameEncoder:
             rc, self._org_v[cy:cy + chh, cx:cx + cw], pred_v,
             cx, cy, cw, chh, qp_c, False)
 
-        # chroma-tree CU syntax: intra_chroma_pred_mode (DM), then TU
-        self._write_intra_chroma_mode(enc)
+        # chroma-tree CU syntax: intra_chroma_pred_mode, then TU
+        self._write_intra_chroma_mode(enc, cclm=cu.cclm,
+                                      cclm_allowed=cclm_ok)
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
         if cbf_u:
@@ -657,13 +705,18 @@ class FrameEncoder:
         self.leaf_c.append((x // 2, y // 2, w // 2, h // 2))
 
     def _encode_tree_ch(self, enc, rc, org, x, y, w, h, state, decide,
-                        chroma):
+                        chroma, depth64=0, path=(None, None)):
+        """``depth64``/``path`` track the splits at the 64x64 node and
+        its child along this CU's path (CU::getSplitAtDepth for
+        checkCCLMAllowed, Unit.cpp:378)."""
         cfg = self.cfg
         if x >= cfg.width or y >= cfg.height:
             return
         split = decide(x, y, w, h, state)
         self._write_split(enc, x, y, w, h, state, split, chroma)
         if split != Split.NONE:
+            npath = (split if depth64 == 0 else path[0],
+                     split if depth64 == 1 else path[1])
             for i, (cx, cy, cw, chh) in enumerate(
                     self._children(x, y, w, h, split)):
                 cstate = SplitState(
@@ -672,11 +725,14 @@ class FrameEncoder:
                     mtt_depth=state.mtt_depth
                     + (0 if split == Split.QT else 1))
                 self._encode_tree_ch(enc, rc, org, cx, cy, cw, chh, cstate,
-                                     decide, chroma)
+                                     decide, chroma, depth64 + 1, npath)
             return
         cu = CuInfo(x, y, w, h, state.qt_depth)
         if chroma:
-            self._encode_chroma_cu(enc, rc, org[1], org[2], cu)
+            npath = (path[0] if depth64 > 0 else None,
+                     path[1] if depth64 > 1 else None)
+            self._encode_chroma_cu(enc, rc, org[1], org[2], cu,
+                                   split_path=npath)
         else:
             self._encode_luma_cu(enc, rc, org[0], cu)
 
@@ -996,6 +1052,8 @@ class FrameEncoder:
                     if qx >= cfg.width or qy >= cfg.height:
                         continue
                     st = SplitState(last_split=Split.QT, qt_depth=1)
+                    # co-located 64x64 luma node split (checkCCLMAllowed)
+                    self._luma_root_split = decide(qx, qy, qw, qh, st)
                     self._encode_tree_ch(enc, rc, org, qx, qy, qw, qh,
                                          st, decide, False)
                     self._encode_tree_ch(enc, rc, org, qx, qy, qw, qh,

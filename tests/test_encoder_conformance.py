@@ -285,7 +285,8 @@ def test_mip_bit_exact(tmp_path):
 
 
 @pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
-def test_cclm_bit_exact(tmp_path):
+@pytest.mark.parametrize("dual_tree", [False, True])
+def test_cclm_bit_exact(tmp_path, dual_tree):
     """CCLM (LM_CHROMA) on, luma-correlated chroma so the SATD decision
     actually selects it: template fit + 6-tap luma downsample + linear
     transform must match the decoder's (xGetLMParameters)."""
@@ -301,8 +302,13 @@ def test_cclm_bit_exact(tmp_path):
                 0, 255).astype(np.int32)[::2, ::2] << 2
     v = np.clip(255 - (y >> 2) * 0.5 - 20 + rng.randn(h, w) * 2,
                 0, 255).astype(np.int32)[::2, ::2] << 2
-    cfg = VVCConfig(width=w, height=h, qp=32, cclm=True, mip=True,
-                    deblocking_disabled=False, sao=True)
+    kw = dict(width=w, height=h, qp=32, cclm=True, mip=True,
+              deblocking_disabled=False, sao=True)
+    if dual_tree:
+        kw.update(dual_tree=True, log2_min_cb=3, max_mtt_depth_intra=3,
+                  max_bt_intra=32, max_tt_intra=32, chroma_max_mtt_depth=3,
+                  chroma_max_bt=32, chroma_max_tt=32)
+    cfg = VVCConfig(**kw)
     enc = FrameEncoder(cfg, mode_select="satd",
                        rmd_modes=tuple(range(0, 67, 8)))
     bs, recon = enc.encode_frame(y, u, v)
