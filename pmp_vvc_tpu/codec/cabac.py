@@ -60,9 +60,11 @@ class ContextStore:
 
     def __init__(self, n: int):
         half = 1 << (PROB_BITS - 1)
-        self.state0 = np.full(n, half & MASK_0, np.int32)
-        self.state1 = np.full(n, half & MASK_1, np.int32)
-        self.rate = np.full(n, rate_from_log2_window(DWS), np.int32)
+        # plain python lists: the per-bin hot path would pay ~3x for
+        # numpy scalar indexing
+        self.state0 = [half & MASK_0] * n
+        self.state1 = [half & MASK_1] * n
+        self.rate = [rate_from_log2_window(DWS)] * n
 
     @classmethod
     def standard_init(cls, qp: int, init_id: int):
@@ -72,10 +74,10 @@ class ContextStore:
             states = z["states"][init_id, qp]      # (NUM_CTX,) p1 sums
             rates = z["rates"]
         store = cls(states.shape[0])
-        p1 = states.astype(np.int32)
-        store.state0 = (p1 >> 1) & MASK_0
-        store.state1 = (p1 >> 1) & MASK_1
-        store.rate = rates.astype(np.int32)
+        p1 = states.astype(np.int64)
+        store.state0 = ((p1 >> 1) & MASK_0).tolist()
+        store.state1 = ((p1 >> 1) & MASK_1).tolist()
+        store.rate = rates.astype(np.int64).tolist()
         return store
 
     def state(self, ctx) -> int:
@@ -98,6 +100,9 @@ class ContextStore:
         if bin_val:
             self.state0[ctx] += (0x7FFF >> rate0) & MASK_0
             self.state1[ctx] += (0x7FFF >> rate1) & MASK_1
+
+
+RENORM_LIST = [int(v) for v in RENORM_TABLE_32]
 
 
 class BinEncoder:
@@ -136,11 +141,16 @@ class BinEncoder:
             self.buffered_byte = lead & 0xFF
 
     def encode_bin(self, bin_val: int, ctx_id: int):
+        # inlined BinProbModel_Std get_lps/mps/update (hot path)
         c = self.ctx
-        lps = c.get_lps(ctx_id, self.range)
+        s0 = c.state0[ctx_id]
+        s1 = c.state1[ctx_id]
+        q = (s0 + s1) >> 8
+        qa = q ^ 0xFF if q & 0x80 else q
+        lps = ((qa >> 2) * (self.range >> 5) >> 1) + 4
         self.range -= lps
-        if bin_val != c.mps(ctx_id):
-            num_bits = int(RENORM_TABLE_32[lps >> 3])
+        if bin_val != (q >> 7):
+            num_bits = RENORM_LIST[lps >> 3]
             self.bits_left -= num_bits
             self.low = (self.low + self.range) << num_bits
             self.range = lps << num_bits
@@ -152,7 +162,16 @@ class BinEncoder:
             self.range <<= 1
             if self.bits_left < 12:
                 self._write_out()
-        c.update(ctx_id, bin_val)
+        rate = c.rate[ctx_id]
+        r0 = rate >> 4
+        r1 = rate & 15
+        s0 -= (s0 >> r0) & MASK_0
+        s1 -= (s1 >> r1) & MASK_1
+        if bin_val:
+            s0 += (0x7FFF >> r0) & MASK_0
+            s1 += (0x7FFF >> r1) & MASK_1
+        c.state0[ctx_id] = s0
+        c.state1[ctx_id] = s1
 
     def encode_bin_ep(self, bin_val: int):
         self.bits_left -= 1

@@ -115,6 +115,11 @@ def grouped_scan(w: int, h: int):
     return np.array(out, np.int32)
 
 
+@functools.cache
+def _scan_tuples(w: int, h: int):
+    return [(int(a), int(b), int(c)) for a, b, c in grouped_scan(w, h)]
+
+
 class ResidualCoder:
     """Codes one TU's coefficient block (regular path)."""
 
@@ -218,6 +223,22 @@ class ResidualCoder:
         ch = 0 if is_luma else 1
 
         flat = coeff.reshape(-1)
+        # whole-TU 5-neighbour template sums (ContextModelling.h windows):
+        # S[y, x] = f(a[y, x+1], a[y, x+2], a[y+1, x+1], a[y+1, x],
+        #             a[y+2, x]) with zero padding == the bounds guards
+        absc = np.abs(coeff.astype(np.int64))
+        pad = np.zeros((h + 2, w + 2), np.int64)
+
+        def _win5(a):
+            pad[:h, :w] = a
+            return (pad[0:h, 1:w + 1] + pad[0:h, 2:w + 2]
+                    + pad[1:h + 1, 1:w + 1] + pad[1:h + 1, 0:w]
+                    + pad[2:h + 2, 0:w])
+
+        self._ts_sum = _win5(np.minimum(4 + (absc & 1), absc)).tolist()
+        self._ts_num = _win5((absc != 0).astype(np.int64)).tolist()
+        self._ta_sum = _win5(absc).tolist()
+        self._flat = flat.tolist()
         nz_scan = np.nonzero(flat[scan[:, 0]])[0]
         assert nz_scan.size, "residual coding on empty TU"
         scan_pos_last = int(nz_scan[-1])
@@ -255,7 +276,7 @@ class ResidualCoder:
                     continue
 
             state, reg_bin_limit = self._code_subblock(
-                coeff, scan, w, h, min_sub, max_sub,
+                coeff, _scan_tuples(w, h), w, h, min_sub, max_sub,
                 scan_pos_last, is_last_cg, is_not_first, state,
                 reg_bin_limit, is_luma)
             if is_luma and is_sig_group and (cg_x > 3 or cg_y > 3):
@@ -267,7 +288,8 @@ class ResidualCoder:
                        reg_bin_limit, is_luma):
         enc = self.enc
         ch = 0 if is_luma else 1
-        flat = coeff.reshape(-1)
+        flat = self._flat
+        ts_sum, ts_num, ta_sum = self._ts_sum, self._ts_num, self._ta_sum
         first_sig = scan_pos_last if is_last_cg else max_sub
         infer_sig_pos = (first_sig if first_sig == scan_pos_last
                          else (min_sub if is_not_first else -1))
@@ -281,10 +303,11 @@ class ResidualCoder:
 
         next_pos = first_sig
         while next_pos >= min_sub and rem_reg_bins >= 4:
-            idx, x, y = (int(v) for v in scan[next_pos])
-            c = int(flat[idx])
+            idx, x, y = scan[next_pos]
+            c = flat[idx]
             sig = 1 if c else 0
-            sum_abs, num_pos = self._sig_ctx_parts(coeff, x, y, w, h)
+            sum_abs = ts_sum[y][x]
+            num_pos = ts_num[y][x]
             diag = x + y
             template_set = False
             if num_nonzero or next_pos != infer_sig_pos:
@@ -335,10 +358,10 @@ class ResidualCoder:
 
         # pass 2: remainders for positions coded in pass 1
         for pos in range(first_sig, first_pos_mode2, -1):
-            idx, x, y = (int(v) for v in scan[pos])
-            sum_all = self._template_abs_sum(coeff, x, y, w, h, 4)
+            idx, x, y = scan[pos]
+            sum_all = max(min(ta_sum[y][x] - 20, 31), 0)
             rice = int(GO_RICE_PARS[sum_all])
-            abs_level = abs(int(flat[idx]))
+            abs_level = abs(flat[idx])
             if abs_level >= 4:
                 enc.encode_rem_abs_ep((abs_level - 4) >> 1, rice,
                                       COEF_REMAIN_BIN_REDUCTION,
@@ -346,10 +369,10 @@ class ResidualCoder:
 
         # bypass pass: fully EP-coded positions
         for pos in range(first_pos_mode2, min_sub - 1, -1):
-            idx, x, y = (int(v) for v in scan[pos])
-            c = int(flat[idx])
+            idx, x, y = scan[pos]
+            c = flat[idx]
             abs_level = abs(c)
-            sum_all = self._template_abs_sum(coeff, x, y, w, h, 0)
+            sum_all = max(min(ta_sum[y][x], 31), 0)
             rice = int(GO_RICE_PARS[sum_all])
             pos0 = (1 if state < 2 else 2) << rice
             rem = (pos0 if abs_level == 0
