@@ -37,7 +37,7 @@ def main(argv=None):
     ap.add_argument("--mtt", action="store_true",
                     help="MTT partitioning (needs maps)")
     ap.add_argument("--mode-select", default="satd",
-                    choices=["satd", "planar"])
+                    choices=["satd", "rd", "planar"])
     ap.add_argument("--no-deblock", action="store_true",
                     help="disable the deblocking filter")
     ap.add_argument("--sao", action="store_true",

@@ -428,31 +428,85 @@ class FrameEncoder:
         return int(self.rmd_modes[int(np.argmin(np.asarray(costs)[0]))])
 
     def _choose_luma(self, cu: CuInfo, org, refs, w, h):
-        """Pick angular-vs-MIP by SATD; fills cu and returns the pred."""
+        """Pick the luma mode; fills cu and returns the pred.
+
+        mode_select "satd": RMD argmin (+ MIP by SATD).  "rd": VTM-style
+        two-stage — SATD shortlist (top 3 + MPMs + best MIP), then true
+        transform-quant RD (IntraSearch::estIntraPredLumaQT's structure,
+        single-pass simplification)."""
         cfg = self.cfg
-        cu.mode = self._choose_luma_mode(org, refs, w, h)
-        pred = np.asarray(_jit_predict(w, h, (cu.mode,), True,
-                                       cfg.bit_depth)(*refs))[0, 0]
-        if not cfg.mip or self.mode_select == "planar":
-            return pred
-        mip_preds = np.asarray(_jit_mip(w, h, cfg.bit_depth)(
-            refs[0][0], refs[1][0]))                  # (2M, h, w)
+        if self.mode_select == "planar":
+            cu.mode = PLANAR
+            return np.asarray(_jit_predict(w, h, (PLANAR,), True,
+                                           cfg.bit_depth)(*refs))[0, 0]
+        preds = _jit_predict(w, h, self.rmd_modes, True,
+                             cfg.bit_depth)(*refs)    # (1, M, h, w)
         costs = np.asarray(satd_kernel(
-            jnp.asarray(org)[None, None], jnp.asarray(mip_preds)[None],
+            jnp.asarray(org)[None, None], preds,
             bit_depth=cfg.bit_depth))[0]
-        best = int(np.argmin(costs))
-        ang_cost = int(np.asarray(satd_kernel(
-            jnp.asarray(org)[None, None],
-            jnp.asarray(pred)[None, None],
-            bit_depth=cfg.bit_depth))[0, 0])
-        if int(costs[best]) < ang_cost:
+        order = np.argsort(costs)
+        best_ang = int(self.rmd_modes[int(order[0])])
+
+        mip_best = None
+        if cfg.mip:
+            mip_preds = np.asarray(_jit_mip(w, h, cfg.bit_depth)(
+                refs[0][0], refs[1][0]))              # (2M, h, w)
+            mc = np.asarray(satd_kernel(
+                jnp.asarray(org)[None, None],
+                jnp.asarray(mip_preds)[None],
+                bit_depth=cfg.bit_depth))[0]
+            mip_best = (int(np.argmin(mc)), int(mc.min()))
+
+        if self.mode_select != "rd":
+            if mip_best is not None and mip_best[1] < int(costs[order[0]]):
+                n = mip_ops.num_modes(w, h)
+                cu.mip = True
+                cu.mip_transpose = mip_best[0] >= n
+                cu.mip_mode = mip_best[0] % n
+                cu.mode = PLANAR      # neighbour MPM / chroma DM view
+                return mip_preds[mip_best[0]]
+            cu.mode = best_ang
+            return np.asarray(_jit_predict(w, h, (cu.mode,), True,
+                                           cfg.bit_depth)(*refs))[0, 0]
+
+        # ---- stage 2: true RD over the shortlist ----
+        mpm = self._mpm_list(cu)
+        cands = []
+        for i in order[:3]:
+            m = int(self.rmd_modes[int(i)])
+            if m not in cands:
+                cands.append(m)
+        for m in mpm[:3]:
+            if m not in cands:
+                cands.append(m)
+        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        qp_y = cfg.qp + self.qp_bd_offset
+        cpred = _jit_predict(w, h, tuple(cands), True, cfg.bit_depth)
+        cand_preds = np.asarray(cpred(*refs))[0]      # (K, h, w)
+        best = None
+        for k, m in enumerate(cands):
+            pr = cand_preds[k]
+            resid = org.astype(np.int32) - pr
+            lev, rec = self._tq_roundtrip(resid, w, h, qp_y, 0)
+            err = rec.astype(np.int64) - resid
+            mode_bits = (2 + mpm.index(m) if m in mpm else 8)
+            cost = float((err * err).sum()) \
+                + lam * (16.0 * int(np.count_nonzero(lev)) + mode_bits)
+            if best is None or cost < best[0]:
+                best = (cost, m, False, 0, False, pr)
+        if mip_best is not None:
             n = mip_ops.num_modes(w, h)
-            cu.mip = True
-            cu.mip_transpose = best >= n
-            cu.mip_mode = best % n
-            cu.mode = PLANAR          # neighbour MPM / chroma DM view
-            return mip_preds[best]
-        return pred
+            pr = mip_preds[mip_best[0]].astype(np.int32)
+            resid = org.astype(np.int32) - pr
+            lev, rec = self._tq_roundtrip(resid, w, h, qp_y, 0)
+            err = rec.astype(np.int64) - resid
+            cost = float((err * err).sum()) \
+                + lam * (16.0 * int(np.count_nonzero(lev)) + 7)
+            if cost < best[0]:
+                best = (cost, PLANAR, True, mip_best[0] % n,
+                        mip_best[0] >= n, pr)
+        _, cu.mode, cu.mip, cu.mip_mode, cu.mip_transpose, pr = best
+        return pr
 
     # mtsIdx -> (trTypeHor, trTypeVer); TypeDef MtsType order
     _MTS_TR = {0: (DCT2, DCT2), 2: (DST7, DST7), 3: (DCT8, DST7),
