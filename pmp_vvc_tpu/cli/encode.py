@@ -53,6 +53,8 @@ def main(argv=None):
     ap.add_argument("--recon", default=None, help="write recon YUV here")
     ap.add_argument("--paint-partition", default=None,
                     help="write recon YUV with CU edges painted (debug)")
+    ap.add_argument("--bit-stats", action="store_true",
+                    help="print per-syntax-class bin statistics")
     args = ap.parse_args(argv)
 
     import jax
@@ -109,17 +111,21 @@ def main(argv=None):
     stats = []
     t0 = time.time()
     for f in range(y.shape[0]):
+        kw = dict(poc=f, collect_bin_stats=args.bit_stats)
         if maps_per_frame is not None:
             m = maps_per_frame[min(f, len(maps_per_frame) - 1)]
             if args.mtt:
-                bs, recon = enc.encode_frame(y[f], u[f], v[f],
-                                             maps=m, poc=f)
+                bs, recon = enc.encode_frame(y[f], u[f], v[f], maps=m, **kw)
             else:
-                bs, recon = enc.encode_frame(y[f], u[f], v[f],
-                                             qt_map=m[2], poc=f)
+                bs, recon = enc.encode_frame(y[f], u[f], v[f], qt_map=m[2],
+                                             **kw)
         else:
             qt = np.full((h // 8, w // 8), args.qt_depth, np.int32)
-            bs, recon = enc.encode_frame(y[f], u[f], v[f], qt_map=qt, poc=f)
+            bs, recon = enc.encode_frame(y[f], u[f], v[f], qt_map=qt, **kw)
+        if args.bit_stats and enc.bin_stats:
+            from ..utils.stats import print_bin_stats
+            print(f"-- POC {f} bin statistics:", file=sys.stderr)
+            print_bin_stats(enc.bin_stats)
         out += bs
         recons.append(recon)
         leafs.append(list(enc.leaf_l))

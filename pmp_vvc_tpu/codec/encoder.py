@@ -1042,7 +1042,8 @@ class FrameEncoder:
     # ---- frame -----------------------------------------------------------
 
     def encode_frame(self, y, u, v, qt_map=None, maps=None,
-                     chroma_maps=None, poc: int = 0):
+                     chroma_maps=None, poc: int = 0,
+                     collect_bin_stats: bool = False):
         """Encode one frame. Returns (bitstream_bytes, recon (y,u,v)).
 
         ``maps``: optional (hor, ver, qt, dire) frame partition maps for
@@ -1079,7 +1080,8 @@ class FrameEncoder:
                         if state.qt_depth < pred:
                             return Split.QT
                     return Split.NONE
-        if cfg.sao:
+        record = cfg.sao or collect_bin_stats
+        if record:
             # pass 1 records bins; the final pass interleaves SAO CTU
             # syntax once the filtered recon is known (EncSlice 2-pass)
             enc = RecordingEncoder()
@@ -1092,7 +1094,7 @@ class FrameEncoder:
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):
                 bx, by = ctx_i * 128, cty * 128
-                if cfg.sao:
+                if record:
                     enc.mark_ctu()
                 if not cfg.dual_tree:
                     self._encode_tree(enc, rc, org, bx, by,
@@ -1121,6 +1123,15 @@ class FrameEncoder:
                           self.leaf_l, self.leaf_c, cfg.qp, qp_c_db,
                           bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size)
 
+        self.bin_stats = None
+        if record and collect_bin_stats:
+            from ..utils.stats import bin_stats
+            self.bin_stats = bin_stats(enc.ops)
+        if record and not cfg.sao:
+            # replay into a real coder (no SAO syntax to interleave)
+            rec_enc = enc
+            enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
+            rec_enc.replay(enc, 0, len(rec_enc.ops))
         if cfg.sao:
             recs = [self.recon_y, self.recon_u, self.recon_v]
             sao_params = decide_sao_frame(org, recs, 128, cfg.qp,

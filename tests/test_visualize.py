@@ -24,3 +24,27 @@ def test_frame_summary_and_print():
     assert s["psnr_U"] == float("inf")
     avg = print_summary([s, s])
     assert abs(avg["psnr_Y"] - s["psnr_Y"]) < 1e-9
+
+
+def test_bin_stats_collection():
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+    from pmp_vvc_tpu.utils.stats import print_bin_stats
+
+    rng = np.random.RandomState(0)
+    y = rng.randint(0, 1024, (64, 64)).astype(np.int32)
+    u = rng.randint(0, 1024, (32, 32)).astype(np.int32)
+    v = rng.randint(0, 1024, (32, 32)).astype(np.int32)
+    enc = FrameEncoder(VVCConfig(width=64, height=64, qp=32),
+                       mode_select="planar")
+    bs1, _ = enc.encode_frame(y, u, v)
+    bs2, _ = enc.encode_frame(y, u, v, collect_bin_stats=True)
+    assert bs1 == bs2, "recording replay must not change the stream"
+    assert enc.bin_stats and sum(
+        v for k, v in enc.bin_stats.items() if not k.startswith("_")) > 100
+    assert "SigFlag0" in enc.bin_stats
+    print_bin_stats(enc.bin_stats, top=3)
