@@ -49,7 +49,9 @@ def main(argv=None):
     ap.add_argument("--lfnst", action="store_true",
                     help="low-frequency non-separable transform")
     ap.add_argument("--dep-quant", action="store_true",
-                    help="dependent quantization (greedy state-following)")
+                    help="dependent quantization (Viterbi TCQ)")
+    ap.add_argument("--mrl", action="store_true",
+                    help="multi-reference-line intra (lines 1/2)")
     ap.add_argument("--recon", default=None, help="write recon YUV here")
     ap.add_argument("--paint-partition", default=None,
                     help="write recon YUV with CU edges painted (debug)")
@@ -96,7 +98,7 @@ def main(argv=None):
 
     filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao,
                 mip=args.mip, cclm=args.cclm, lfnst=args.lfnst,
-                dep_quant=args.dep_quant)
+                dep_quant=args.dep_quant, mrl=args.mrl)
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,

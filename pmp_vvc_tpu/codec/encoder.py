@@ -162,6 +162,7 @@ class CuInfo:
     mip_mode: int = 0
     mip_transpose: bool = False
     cclm: bool = False
+    mrl: int = 0
 
 
 class FrameEncoder:
@@ -198,6 +199,7 @@ class FrameEncoder:
         self.unit_mip = np.zeros((r4, c4), bool)
         self.n_cclm = 0                   # CUs that chose CCLM
         self.n_lfnst = 0                  # CUs that chose LFNST
+        self.n_mrl = 0                    # CUs that chose MRL
 
     def _cu_at(self, x, y):
         """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
@@ -320,13 +322,25 @@ class FrameEncoder:
                 self._write_trunc_bin(enc, cu.mip_mode,
                                       mip_ops.num_modes(cu.w, cu.h))
                 return
+        if self.cfg.mrl and cu.y % 128 != 0:
+            # extend_ref_line (CABACWriter.cpp:979): not on the CTU top row
+            enc.encode_bin(1 if cu.mrl != 0 else 0,
+                           ctx("MultiRefLineIdx", 0))
+            if cu.mrl != 0:
+                enc.encode_bin(1 if cu.mrl != 1 else 0,
+                               ctx("MultiRefLineIdx", 1))
         mpm = self._mpm_list(cu)
         mpm_idx = mpm.index(cu.mode) if cu.mode in mpm else NUM_MPM
-        enc.encode_bin(1 if mpm_idx < NUM_MPM else 0, ctx("IntraLumaMpmFlag"))
+        if cu.mrl:
+            assert 0 < mpm_idx < NUM_MPM, "MRL requires a non-planar MPM"
+        else:
+            enc.encode_bin(1 if mpm_idx < NUM_MPM else 0,
+                           ctx("IntraLumaMpmFlag"))
         if mpm_idx < NUM_MPM:
-            # not-planar flag: ctx 1 (no ISP)
-            enc.encode_bin(1 if mpm_idx > 0 else 0,
-                           ctx("IntraLumaPlanarFlag", 1))
+            # not-planar flag: ctx 1 (no ISP); skipped for MRL (inferred)
+            if cu.mrl == 0:
+                enc.encode_bin(1 if mpm_idx > 0 else 0,
+                               ctx("IntraLumaPlanarFlag", 1))
             if mpm_idx:
                 enc.encode_bin_ep(1 if mpm_idx > 1 else 0)
             if mpm_idx > 1:
@@ -418,6 +432,43 @@ class FrameEncoder:
             jnp.asarray(avail_top), jnp.asarray(avail_left),
             jnp.asarray(avail_c), jnp.asarray(corner))
 
+    def _mrl_refs(self, x, y, w, h, mri):
+        """Substituted reference line ``mri`` (xFillReferenceSamples with
+        the +mri extents): (top, left), index 0 = corner of line mri."""
+        plane = self.recon_y
+        cfg = self.cfg
+        fw, fh = cfg.width, cfg.height
+        n_top = 2 * w + mri
+        n_left = 2 * h + mri
+        top_raw = np.zeros(n_top, np.int64)
+        left_raw = np.zeros(n_left, np.int64)
+        ty, tx0 = y - 1 - mri, x - mri
+        avail_t = np.zeros(n_top, bool)
+        if 0 <= ty < fh:
+            cols = np.arange(tx0, tx0 + n_top)
+            ok = (cols >= 0) & (cols < fw)
+            avail_t[ok] = self.coded[ty // 4, cols[ok] // 4]
+            top_raw[ok] = plane[ty, cols[ok]]
+        lx, ly0 = x - 1 - mri, y - mri
+        avail_l = np.zeros(n_left, bool)
+        if 0 <= lx < fw:
+            rows = np.arange(ly0, ly0 + n_left)
+            ok = (rows >= 0) & (rows < fh)
+            avail_l[ok] = self.coded[rows[ok] // 4, lx // 4]
+            left_raw[ok] = plane[rows[ok], lx]
+        corner = 0
+        avail_c = False
+        if ty >= 0 and lx >= 0:
+            avail_c = bool(self.coded[ty // 4, lx // 4])
+            corner = int(plane[ty, lx])
+        scan_v = np.concatenate([left_raw[::-1], [corner], top_raw])
+        scan_a = np.concatenate([avail_l[::-1], [avail_c], avail_t])
+        sub = intra_ops.substitute_line(scan_v, scan_a, cfg.bit_depth)
+        left_s = np.concatenate([sub[n_left:n_left + 1],
+                                 sub[:n_left][::-1]])
+        top_s = sub[n_left:]
+        return top_s, left_s
+
     def _choose_luma_mode(self, org, refs, w, h):
         if self.mode_select == "planar":
             return PLANAR
@@ -457,14 +508,39 @@ class FrameEncoder:
                 bit_depth=cfg.bit_depth))[0]
             mip_best = (int(np.argmin(mc)), int(mc.min()))
 
+        mrl_best = None
+        if cfg.mrl and cu.y % 128 != 0:
+            mpm = self._mpm_list(cu)
+            for mri in (1, 2):
+                mtop, mleft = self._mrl_refs(cu.x, cu.y, w, h, mri)
+                for m in mpm[1:]:
+                    if m <= DC:
+                        continue
+                    pr = intra_ops.predict_mrl(mtop, mleft, w=w, h=h,
+                                               mode=m, mri=mri,
+                                               bit_depth=cfg.bit_depth)
+                    c = int(np.asarray(satd_kernel(
+                        jnp.asarray(org)[None, None],
+                        jnp.asarray(pr, jnp.int32)[None, None],
+                        bit_depth=cfg.bit_depth))[0, 0])
+                    if mrl_best is None or c < mrl_best[0]:
+                        mrl_best = (c, m, mri, pr)
+
         if self.mode_select != "rd":
-            if mip_best is not None and mip_best[1] < int(costs[order[0]]):
+            best_c = int(costs[order[0]])
+            if mip_best is not None and mip_best[1] < best_c \
+                    and (mrl_best is None or mip_best[1] <= mrl_best[0]):
                 n = mip_ops.num_modes(w, h)
                 cu.mip = True
                 cu.mip_transpose = mip_best[0] >= n
                 cu.mip_mode = mip_best[0] % n
                 cu.mode = PLANAR      # neighbour MPM / chroma DM view
                 return mip_preds[mip_best[0]]
+            if mrl_best is not None and mrl_best[0] < best_c:
+                cu.mode = mrl_best[1]
+                cu.mrl = mrl_best[2]
+                self.n_mrl += 1
+                return mrl_best[3].astype(np.int32)
             cu.mode = best_ang
             return np.asarray(_jit_predict(w, h, (cu.mode,), True,
                                            cfg.bit_depth)(*refs))[0, 0]
@@ -493,7 +569,7 @@ class FrameEncoder:
             cost = float((err * err).sum()) \
                 + lam * (16.0 * int(np.count_nonzero(lev)) + mode_bits)
             if best is None or cost < best[0]:
-                best = (cost, m, False, 0, False, pr)
+                best = (cost, m, False, 0, False, 0, pr)
         if mip_best is not None:
             n = mip_ops.num_modes(w, h)
             pr = mip_preds[mip_best[0]].astype(np.int32)
@@ -504,8 +580,20 @@ class FrameEncoder:
                 + lam * (16.0 * int(np.count_nonzero(lev)) + 7)
             if cost < best[0]:
                 best = (cost, PLANAR, True, mip_best[0] % n,
-                        mip_best[0] >= n, pr)
-        _, cu.mode, cu.mip, cu.mip_mode, cu.mip_transpose, pr = best
+                        mip_best[0] >= n, 0, pr)
+        if mrl_best is not None:
+            pr = mrl_best[3].astype(np.int32)
+            resid = org.astype(np.int32) - pr
+            lev, rec = self._tq_roundtrip(resid, w, h, qp_y, 0)
+            err = rec.astype(np.int64) - resid
+            cost = float((err * err).sum()) \
+                + lam * (16.0 * int(np.count_nonzero(lev)) + 6)
+            if cost < best[0]:
+                best = (cost, mrl_best[1], False, 0, False, mrl_best[2], pr)
+        (_, cu.mode, cu.mip, cu.mip_mode, cu.mip_transpose, cu.mrl,
+         pr) = best
+        if cu.mrl:
+            self.n_mrl += 1
         return pr
 
     # mtsIdx -> (trTypeHor, trTypeVer); TypeDef MtsType order

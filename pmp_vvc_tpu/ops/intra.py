@@ -363,3 +363,74 @@ def predict_block(top_u, left_u, top_f, left_f, *, w: int, h: int,
             pred = _pdpc_planar_dc(pred, top, left, w, h)
         outs.append(pred)
     return jnp.stack(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-reference-line prediction (host-side; MRL candidates are few)
+# ---------------------------------------------------------------------------
+
+def substitute_line(vals, avail, bit_depth=10):
+    """xFillReferenceSamples substitution over one scan-ordered line."""
+    vals = np.asarray(vals, np.int64)
+    avail = np.asarray(avail, bool)
+    if not avail.any():
+        return np.full_like(vals, 1 << (bit_depth - 1))
+    idx = np.where(avail, np.arange(len(vals)), -1)
+    idx = np.maximum.accumulate(idx)
+    idx[idx < 0] = int(np.argmax(avail))
+    return vals[idx]
+
+
+def predict_mrl(top, left, *, w, h, mode, mri, bit_depth=10):
+    """Angular prediction from reference line ``mri`` (1 or 2).
+
+    ``top``/``left``: substituted reference lines of line mri, index 0 =
+    the corner sample (x0-1-mri, y0-1-mri); lengths >= 2w+1+mri /
+    2h+1+mri.  Contract: xPredIntraAng (:476-660) with refMain/refSide
+    += multiRefIdx and deltaPos starting at intraPredAngle*(1+mri); PDPC
+    and reference smoothing are off for mri != 0 (initPredIntraParams
+    :388-431).  Angular modes only (MRL implies a non-planar MPM mode).
+    """
+    p = mode_params(w, h, mode, is_luma=True, mrl=mri)
+    pel_max = (1 << bit_depth) - 1
+    main = np.asarray(top if p.is_ver else left, np.int64)
+    side = np.asarray(left if p.is_ver else top, np.int64)
+    wp, hp = (w, h) if p.is_ver else (h, w)
+    angle, inv_angle = p.angle, p.inv_angle
+
+    if angle < 0:
+        size_side = hp
+        neg_j = np.arange(1, size_side + 1)
+        proj = np.minimum((neg_j * inv_angle + 256) >> 9, size_side)
+        ref_main = np.concatenate([side[proj[::-1]], main])
+        off = size_side + mri
+        last = off - mri + 2 * wp + mri      # refLength + mri in concat space
+    else:
+        ref_main = main
+        off = mri
+        last = 2 * wp + mri
+    # beyond ``last`` VTM replicates ref_main[last] (xPredIntraAng
+    # :530-536); clamp indices there, never into provided tail storage
+    L = last + 1
+    xs = np.arange(wp)
+
+    if angle == 0:
+        pred = np.broadcast_to(ref_main[off + 1: off + 1 + wp],
+                               (hp, wp)).copy()
+    else:
+        ys = np.arange(hp)
+        delta_pos = angle * (1 + mri + ys)
+        delta_int = delta_pos >> 5
+        delta_frac = delta_pos & 31
+        if (abs(angle) & 31) == 0:
+            idx = np.clip(off + delta_int[:, None] + xs[None, :] + 1,
+                          0, L - 1)
+            pred = ref_main[idx]
+        else:
+            fs = np.asarray(CHROMA_FILTER, np.int64)[delta_frac]  # (hp, 4)
+            base = off + delta_int[:, None] + xs[None, :]
+            acc = np.zeros((hp, wp), np.int64)
+            for k in range(4):
+                acc += fs[:, k:k + 1] * ref_main[np.clip(base + k, 0, L - 1)]
+            pred = np.clip((acc + 32) >> 6, 0, pel_max)
+    return pred if p.is_ver else pred.T

@@ -187,7 +187,52 @@ struct OracleIntra : public IntraPrediction {
   }
 };
 
+struct OracleIntraMrlImpl : public IntraPrediction {
+  // top/left: length 2*dim + 3 + mri each, index 0 = corner of ref line
+  // mri; angular modes only (extend_ref_line implies non-planar).
+  void predict(int w, int h, int mode, int mri, int bitDepth,
+               const short* top, const short* left, short* out) {
+    UnitArea ua(CHROMA_400, Area(128, 128, w, h));
+    CodingUnit cu(ua);
+    PredictionUnit pu(ua);
+    pu.cu = &cu;
+    cu.firstPU = &pu;
+    cu.ispMode = NOT_INTRA_SUBPARTITIONS;
+    cu.bdpcmMode = cu.bdpcmModeChroma = 0;
+    cu.mipFlag = false;
+    pu.multiRefIdx = mri;
+    pu.intraDir[0] = mode;
+    SPS sps;
+    sps.setBitDepth(CHANNEL_TYPE_LUMA, bitDepth);
+    sps.setBitDepth(CHANNEL_TYPE_CHROMA, bitDepth);
+    const CompArea& area = cu.blocks[COMPONENT_Y];
+    setReferenceArrayLengths(area);
+    initPredIntraParams(pu, area, sps);
+    const int ntop = 2 * w + 3 + mri;
+    const int nleft = 2 * h + 3 + mri;
+    const int stride = std::max(ntop, nleft);
+    m_refBufferStride[COMPONENT_Y] = stride;
+    Pel* unf = m_refBuffer[COMPONENT_Y][PRED_BUF_UNFILTERED];
+    for (int i = 0; i < ntop; i++) unf[i] = top[i];
+    for (int i = 0; i < nleft; i++) unf[stride + i] = left[i];
+    PelBuf dst(out, w, w, h);
+    CPelBuf src(getPredictorPtr(COMPONENT_Y), stride, 2);
+    ClpRng clpRng;
+    clpRng.min = 0; clpRng.max = (1 << bitDepth) - 1;
+    clpRng.bd = bitDepth; clpRng.n = 0;
+    xPredIntraAng(src, dst, CHANNEL_TYPE_LUMA, clpRng);
+  }
+};
+
 extern "C" {
+void oracle_intra_pred_mrl(const short* top, const short* left, short* out,
+                           int w, int h, int mode, int mri, int bitDepth) {
+  static OracleIntraMrlImpl intra;
+  static bool inited = false;
+  if (!inited) { intra.init(CHROMA_420, 10); inited = true; }
+  intra.predict(w, h, mode, mri, bitDepth, top, left, out);
+}
+
 // MatrixIntraPrediction is self-contained: refs in, w*h ints out.
 void oracle_mip_pred(const short* top, const short* left, int* out,
                      int w, int h, int modeIdx, int transpose,

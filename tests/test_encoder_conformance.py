@@ -395,3 +395,34 @@ def test_dep_quant_bit_exact(tmp_path):
         data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_mrl_bit_exact(tmp_path):
+    """MRL: extend_ref_line syntax + line-1/2 angular prediction
+    (oracle-exact in test_intra_mrl) through a full stream."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    w, h = 192, 128
+    y, u, v = _synth(w, h, seed=7)
+    cfg = VVCConfig(width=w, height=h, qp=32, mrl=True, mip=True,
+                    lfnst=True, cclm=True, mts_intra=True,
+                    deblocking_disabled=False, sao=True, dep_quant=True)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    bs, recon = enc.encode_frame(y, u, v)
+    assert enc.n_mrl > 0, "no CU chose MRL on this content/seed"
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
