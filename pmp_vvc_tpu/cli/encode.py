@@ -52,6 +52,8 @@ def main(argv=None):
                     help="dependent quantization (Viterbi TCQ)")
     ap.add_argument("--mrl", action="store_true",
                     help="multi-reference-line intra (lines 1/2)")
+    ap.add_argument("--jccr", action="store_true",
+                    help="joint Cb-Cr residual coding")
     ap.add_argument("--recon", default=None, help="write recon YUV here")
     ap.add_argument("--paint-partition", default=None,
                     help="write recon YUV with CU edges painted (debug)")
@@ -98,7 +100,8 @@ def main(argv=None):
 
     filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao,
                 mip=args.mip, cclm=args.cclm, lfnst=args.lfnst,
-                dep_quant=args.dep_quant, mrl=args.mrl)
+                dep_quant=args.dep_quant, mrl=args.mrl,
+                joint_cbcr=args.jccr)
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,

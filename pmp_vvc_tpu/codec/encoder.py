@@ -200,6 +200,7 @@ class FrameEncoder:
         self.n_cclm = 0                   # CUs that chose CCLM
         self.n_lfnst = 0                  # CUs that chose LFNST
         self.n_mrl = 0                    # CUs that chose MRL
+        self.n_jccr = 0                   # TUs that chose joint Cb-Cr
 
     def _cu_at(self, x, y):
         """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
@@ -677,6 +678,41 @@ class FrameEncoder:
         nz = np.nonzero(lev.reshape(-1)[grouped_scan(w, h)[:, 0]])[0]
         return int(nz[-1]) if nz.size else -1
 
+    def _try_joint_cbcr(self, rc, org_cu, org_cv, pred_u, pred_v,
+                        cx, cy, cw, chh, qp_c,
+                        cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v):
+        """Evaluate JCCR mask 3 (Cr = -Cb, ph sign flag 1): returns
+        (joint, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v).
+
+        Contracts: invTransformCbCr<-2> (TrQuant.cpp:139), joint_cb_cr
+        (CABACWriter.cpp:2610), QpParam JOINT (same table, offset 0)."""
+        cfg = self.cfg
+        ru = org_cu.astype(np.int64) - pred_u
+        rv = org_cv.astype(np.int64) - pred_v
+        joint_res = ((ru - rv) / 2.0).round().astype(np.int32)
+        synth_org = (pred_u.astype(np.int32) + joint_res)
+        cbf_j, lev_j, rec_ju, _, _ = self._code_tu_component(
+            rc, synth_org, pred_u, cx, cy, cw, chh, qp_c, False)
+        if not cbf_j:
+            return (False, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v)
+        dec_res = rec_ju.astype(np.int64) - pred_u
+        rec_jv = np.clip(pred_v - dec_res, 0,
+                         (1 << cfg.bit_depth) - 1).astype(rec_ju.dtype)
+        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+
+        def sse(a, b):
+            d = a.astype(np.int64) - b.astype(np.int64)
+            return float((d * d).sum())
+        cost_j = sse(rec_ju, org_cu) + sse(rec_jv, org_cv) \
+            + lam * 16.0 * np.count_nonzero(lev_j)
+        cost_s = sse(rec_u, org_cu) + sse(rec_v, org_cv) \
+            + lam * 16.0 * (np.count_nonzero(lev_u)
+                            + np.count_nonzero(lev_v))
+        if cost_j < cost_s:
+            self.n_jccr += 1
+            return (True, True, lev_j, rec_ju, True, lev_j, rec_jv)
+        return (False, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v)
+
     def _write_lfnst_idx(self, enc, cu, lfnst_idx, comps, sep_tree):
         """CABACWriter::residual_lfnst_mode (:2770-2820).
 
@@ -820,20 +856,34 @@ class FrameEncoder:
             rc, self._org_v[cy:cy + chh, cx:cx + cw], pred_v,
             cx, cy, cw, chh, qp_c, False)
 
+        joint = False
+        if cfg.joint_cbcr:
+            (joint, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v) = \
+                self._try_joint_cbcr(rc, self._org_u[cy:cy + chh,
+                                                     cx:cx + cw],
+                                     self._org_v[cy:cy + chh, cx:cx + cw],
+                                     pred_u, pred_v, cx, cy, cw, chh, qp_c,
+                                     cbf_u, lev_u, rec_u,
+                                     cbf_v, lev_v, rec_v)
+
         # chroma-tree CU syntax: intra_chroma_pred_mode, then TU
         self._write_intra_chroma_mode(enc, cclm=cu.cclm,
                                       cclm_allowed=cclm_ok)
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
+        cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
+        if cfg.joint_cbcr and cbf_mask:
+            enc.encode_bin(1 if joint else 0,
+                           ctx("JointCbCrFlag", cbf_mask - 1))
         if cbf_u:
             rc.code(lev_u, is_luma=False)
-        if cbf_v:
+        if cbf_v and not joint:
             rc.code(lev_v, is_luma=False)
         if min(cw, chh) >= 4:       # residual_lfnst_mode chroma-tree gate
             comps = []
             if cbf_u:
                 comps.append((cw, chh, lev_u))
-            if cbf_v:
+            if cbf_v and not joint:
                 comps.append((cw, chh, lev_v))
             self._write_lfnst_idx(enc, cu, 0, comps, True)
 
@@ -992,6 +1042,22 @@ class FrameEncoder:
                     cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
                         rc, org_cv, pred_v, cx, cy, cw, chh, qp_c, False)
 
+        joint = False
+        if cfg.joint_cbcr:
+            res = self._try_joint_cbcr(rc, org_cu, org_cv, pred_u, pred_v,
+                                       cx, cy, cw, chh, qp_c,
+                                       cbf_u, lev_u, rec_u,
+                                       cbf_v, lev_v, rec_v)
+            if res[0] and lfnst_idx and cw >= 4 and chh >= 4:
+                # joint levels must not break the already-committed LFNST
+                # signalling constraint (violatesLfnstConstrained)
+                last = self._scan_pos_last(res[2], cw, chh)
+                max_pos = 7 if ((cw == 4 and chh == 4)
+                                or (cw == 8 and chh == 8)) else 15
+                if last > max_pos:
+                    res = (False, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v)
+            (joint, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v) = res
+
         # ---- syntax: coding_unit ----
         # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm/mrl/isp
         self._write_intra_luma_mode(enc, cu)
@@ -1000,12 +1066,16 @@ class FrameEncoder:
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
         enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+        cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
+        if cfg.joint_cbcr and cbf_mask:
+            enc.encode_bin(1 if joint else 0,
+                           ctx("JointCbCrFlag", cbf_mask - 1))
         last_pos_y, violates_mts = -1, False
         if cbf_y:
             last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
         if cbf_u:
             rc.code(lev_u, is_luma=False)
-        if cbf_v:
+        if cbf_v and not joint:
             rc.code(lev_v, is_luma=False)
         # residual_lfnst_mode then mts_idx (cu_residual tail order)
         comps = []

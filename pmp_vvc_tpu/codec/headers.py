@@ -263,7 +263,9 @@ def write_picture_header(bw: BitWriter, cfg: VVCConfig, poc: int):
     bw.write_uvlc(0)                   # ph_pic_parameter_set_id
     bw.write(poc & ((1 << cfg.poc_bits) - 1), cfg.poc_bits)  # ph_pic_order_cnt_lsb
     # alf/lmcs/scaling-list/virtual-boundary/output/rpl/split-override/
-    # dqp/jointcbcr/sao/deblock-in-ph blocks all absent for this config
+    # dqp/sao/deblock-in-ph blocks all absent for this config
+    if cfg.joint_cbcr:
+        bw.write_flag(1)               # ph_joint_cbcr_sign_flag (Cr = -Cb)
 
 
 def write_slice_header(cfg: VVCConfig, poc: int) -> BitWriter:

@@ -426,3 +426,35 @@ def test_mrl_bit_exact(tmp_path):
         data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_joint_cbcr_bit_exact(tmp_path):
+    """JCCR mask 3 (Cr = -Cb, ph_joint_cbcr_sign_flag=1) on
+    anti-correlated chroma: joint_cb_cr syntax + invTransformCbCr."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    w = h = 64
+    rng = np.random.RandomState(3)
+    y = np.full((h, w), 512, np.int32)
+    cb = (rng.randn(h // 2, w // 2) * 60).astype(np.int32)
+    u = np.clip(512 + cb * 4, 0, 1023).astype(np.int32)
+    v = np.clip(512 - cb * 4, 0, 1023).astype(np.int32)
+    cfg = VVCConfig(width=w, height=h, qp=27, joint_cbcr=True)
+    enc = FrameEncoder(cfg, mode_select="planar")
+    bs, recon = enc.encode_frame(y, u, v)
+    assert enc.n_jccr > 0, "JCCR never selected on anti-correlated chroma"
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
