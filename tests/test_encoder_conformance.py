@@ -406,8 +406,9 @@ def test_mrl_bit_exact(tmp_path):
 
     w, h = 192, 128
     y, u, v = _synth(w, h, seed=7)
+    # kitchen sink: every implemented tool at once
     cfg = VVCConfig(width=w, height=h, qp=32, mrl=True, mip=True,
-                    lfnst=True, cclm=True, mts_intra=True,
+                    lfnst=True, cclm=True, mts_intra=True, joint_cbcr=True,
                     deblocking_disabled=False, sao=True, dep_quant=True)
     enc = FrameEncoder(cfg, mode_select="satd",
                        rmd_modes=tuple(range(0, 67, 4)))
