@@ -40,7 +40,7 @@ from .deblock import deblock_frame
 from .sao import apply_sao_frame, decide_sao_frame, write_sao_ctu
 from .headers import (VVCConfig, decoded_picture_hash_sei,
                       pps_nal, slice_nal, sps_nal)
-from .mtt import SplitState, write_split_cu_mode
+from .mtt import SplitState, get_implicit_split, write_split_cu_mode
 from .partition import MapPartitioner, PartitionConstraints, Split
 from .residual import ResidualCoder, ctx
 
@@ -229,16 +229,17 @@ class FrameEncoder:
         return (info[0], info[1], info[2])   # (w, h, qt_depth)
 
     def _write_split(self, enc, x, y, w, h, state, split, chroma=False):
-        """Full split_cu_mode (QT+MTT) unless the split is implicit."""
+        """split_cu_mode with boundary implicit-split inference.
+
+        At picture boundaries only the bins the decoder cannot infer are
+        coded (canNo=false etc., UnitPartitioner.cpp:409-418); the
+        dual-tree >64 implicit QT codes no bins at all."""
         cfg = self.cfg
-        implicit = (x + w > cfg.width) or (y + h > cfg.height) \
-            or (cfg.dual_tree and (w > 64 or h > 64))
-        if implicit:
-            assert split == Split.QT, "only implicit QT supported (64-mult frames)"
-            return
+        implicit = get_implicit_split(x, y, w, h, state, cfg, chroma)
         left = self._neighbor(x - 1, y, chroma)
         above = self._neighbor(x, y - 1, chroma)
-        write_split_cu_mode(enc, split, w, h, state, cfg, left, above, chroma)
+        write_split_cu_mode(enc, split, w, h, state, cfg, left, above,
+                            chroma, implicit=implicit)
 
     # ---- intra mode syntax -----------------------------------------------
 
@@ -904,18 +905,28 @@ class FrameEncoder:
         cfg = self.cfg
         if x >= cfg.width or y >= cfg.height:
             return
-        split = decide(x, y, w, h, state)
+        implicit = get_implicit_split(x, y, w, h, state, cfg, chroma)
+        if implicit != Split.NONE:
+            split = implicit
+            if split == Split.BT_V and chroma and w // 2 == 4:
+                split = Split.QT     # implicit-BV chroma-width-4 ban
+        else:
+            split = decide(x, y, w, h, state)
         self._write_split(enc, x, y, w, h, state, split, chroma)
         if split != Split.NONE:
             npath = (split if depth64 == 0 else path[0],
                      split if depth64 == 1 else path[1])
+            imp_bt = state.implicit_bt_depth + (
+                1 if split == implicit
+                and split in (Split.BT_H, Split.BT_V) else 0)
             for i, (cx, cy, cw, chh) in enumerate(
                     self._children(x, y, w, h, split)):
                 cstate = SplitState(
                     last_split=split, part_idx=i,
                     qt_depth=state.qt_depth + (1 if split == Split.QT else 0),
                     mtt_depth=state.mtt_depth
-                    + (0 if split == Split.QT else 1))
+                    + (0 if split == Split.QT else 1),
+                    implicit_bt_depth=imp_bt)
                 self._encode_tree_ch(enc, rc, org, cx, cy, cw, chh, cstate,
                                      decide, chroma, depth64 + 1, npath)
             return
@@ -1130,16 +1141,22 @@ class FrameEncoder:
         cfg = self.cfg
         if x >= cfg.width or y >= cfg.height:
             return
-        split = decide(x, y, w, h, state)
+        implicit = get_implicit_split(x, y, w, h, state, cfg)
+        split = implicit if implicit != Split.NONE \
+            else decide(x, y, w, h, state)
         self._write_split(enc, x, y, w, h, state, split)
         if split != Split.NONE:
+            imp_bt = state.implicit_bt_depth + (
+                1 if split == implicit
+                and split in (Split.BT_H, Split.BT_V) else 0)
             for i, (cx, cy, cw, chh) in enumerate(
                     self._children(x, y, w, h, split)):
                 cstate = SplitState(
                     last_split=split, part_idx=i,
                     qt_depth=state.qt_depth + (1 if split == Split.QT else 0),
                     mtt_depth=state.mtt_depth
-                    + (0 if split == Split.QT else 1))
+                    + (0 if split == Split.QT else 1),
+                    implicit_bt_depth=imp_bt)
                 self._encode_tree(enc, rc, org, cx, cy, cw, chh, cstate,
                                   decide)
             return
@@ -1211,7 +1228,9 @@ class FrameEncoder:
         """
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width)
-        assert cfg.width % 64 == 0 and cfg.height % 64 == 0
+        # min-CB-multiple frames (VTM pads to 8; conformance window not
+        # needed for any CTC sequence); boundary CTUs use implicit splits
+        assert cfg.width % 8 == 0 and cfg.height % 8 == 0
         self._init_state()
         self._org_u = u.astype(np.int32)
         self._org_v = v.astype(np.int32)

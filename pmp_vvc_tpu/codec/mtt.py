@@ -30,9 +30,43 @@ class SplitState:
     part_idx: int = 0                   # index among siblings
     qt_depth: int = 0
     mtt_depth: int = 0
+    implicit_bt_depth: int = 0          # implicit BT splits on this path
 
 
-def can_split_set(w, h, state: SplitState, cfg, chroma: bool = False):
+def get_implicit_split(x, y, w, h, state: SplitState, cfg,
+                       chroma: bool = False) -> Split:
+    """QTBTPartitioner::getImplicitSplit (UnitPartitioner.cpp:607-659).
+
+    Forced split for CUs that overflow the picture boundary (plus the
+    dual-tree >64 implicit QT).  Caller guarantees (x, y) is inside the
+    picture.
+    """
+    bl_in = y + h <= cfg.height            # bottom-left in picture
+    tr_in = x + w <= cfg.width             # top-right in picture
+    min_qt = cfg.chroma_min_qt if chroma else cfg.min_qt_intra
+    max_bt = cfg.chroma_max_bt if chroma else cfg.max_bt_intra
+    max_btd = (cfg.chroma_max_mtt_depth if chroma
+               else cfg.max_mtt_depth_intra) + state.implicit_bt_depth
+    split = Split.NONE
+    bt_ok = w <= max_bt and h <= max_bt and state.mtt_depth < max_btd
+    qt_ok = w > min_qt and h > min_qt and state.mtt_depth == 0
+    if not bl_in and not tr_in and qt_ok:
+        split = Split.QT
+    elif not bl_in and bt_ok and w <= MAX_TB:
+        split = Split.BT_H
+    elif not tr_in and bt_ok and h <= MAX_TB:
+        split = Split.BT_V
+    elif not bl_in or not tr_in:
+        split = Split.QT
+    if cfg.dual_tree and (w > 64 or h > 64):
+        split = Split.QT
+    if (not bl_in or not tr_in) and split == Split.NONE:
+        split = Split.QT
+    return split
+
+
+def can_split_set(w, h, state: SplitState, cfg, chroma: bool = False,
+                  implicit: Split = Split.NONE):
     """canSplit (luma or dual-tree-chroma channel), non-boundary.
 
     ``w``/``h`` in luma units for both channels (the reference compares
@@ -48,7 +82,7 @@ def can_split_set(w, h, state: SplitState, cfg, chroma: bool = False):
     can = {Split.NONE: True, Split.QT: True, Split.BT_H: True,
            Split.BT_V: True, Split.TT_H: True, Split.TT_V: True}
 
-    can_btt = state.mtt_depth < max_btd
+    can_btt = state.mtt_depth < (max_btd + state.implicit_bt_depth)
     if state.last_split not in (Split.NONE, Split.QT):
         can[Split.QT] = False
     if w <= min_qt:
@@ -57,6 +91,18 @@ def can_split_set(w, h, state: SplitState, cfg, chroma: bool = False):
         cw, chh = w // 2, h // 2        # 4:2:0 chroma samples
         if cw <= 4:
             can[Split.QT] = False
+    if implicit != Split.NONE:
+        # boundary CU: only the implicit BT (or QT) may be taken
+        # (UnitPartitioner.cpp:409-418)
+        can[Split.NONE] = can[Split.TT_H] = can[Split.TT_V] = False
+        can[Split.BT_H] = implicit == Split.BT_H
+        can[Split.BT_V] = implicit == Split.BT_V
+        if chroma and w // 2 == 4:
+            can[Split.BT_V] = False
+        if not can[Split.BT_H] and not can[Split.BT_V] \
+                and not can[Split.QT]:
+            can[Split.QT] = True
+        return can
     if state.last_split in (Split.TT_H, Split.TT_V) and state.part_idx == 1:
         # middle TT child can't repeat the parallel BT split
         if state.last_split == Split.TT_H:
@@ -146,9 +192,10 @@ def derive_split_ctx(w, h, state: SplitState, can, left, above):
 
 
 def write_split_cu_mode(enc, split: Split, w, h, state: SplitState, cfg,
-                        left, above, chroma: bool = False):
+                        left, above, chroma: bool = False,
+                        implicit: Split = Split.NONE):
     """CABACWriter::split_cu_mode bin sequence."""
-    can = can_split_set(w, h, state, cfg, chroma)
+    can = can_split_set(w, h, state, cfg, chroma, implicit)
     ctx_spl, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = derive_split_ctx(
         w, h, state, can, left, above)
     can_split = any(can[s] for s in (Split.QT, Split.BT_H, Split.BT_V,

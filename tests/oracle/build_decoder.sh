@@ -22,7 +22,13 @@ for f in "$VTM"/Lib/DecoderLib/*.cpp "$VTM"/Lib/Utilities/*.cpp \
 done
 wait
 
-# reuse CommonLib objects from the oracle build (non-PIC fine for exe too)
-ls "$OUT"/*.o | grep -vE "oracle_api|BinDecoder" > /tmp/objlist.txt
+# reuse CommonLib objects from the oracle build (non-PIC fine for exe too),
+# skipping any object the decoder build already provides
+for o in "$OUT"/*.o; do
+  b=$(basename "$o")
+  [ -f "./$b" ] && continue
+  case "$b" in oracle_api.o|BinDecoder.o) continue;; esac
+  echo "$o"
+done > /tmp/objlist.txt
 g++ -o "$OUT/DecoderApp" ./*.o $(cat /tmp/objlist.txt)
 echo "built $OUT/DecoderApp"

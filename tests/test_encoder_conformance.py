@@ -459,3 +459,44 @@ def test_joint_cbcr_bit_exact(tmp_path):
         data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+@pytest.mark.parametrize("w,h,dual_tree,tools", [
+    (160, 96, False, False),     # 32/32 boundary strips, plain config
+    (136, 72, False, False),     # 8-wide strips: deep implicit BT chains
+    (160, 96, True, True),       # kitchen sink at the boundary
+])
+def test_boundary_frame_bit_exact(tmp_path, w, h, dual_tree, tools):
+    """Non-64-multiple frames: implicit boundary splits
+    (QTBTPartitioner::getImplicitSplit) must produce conformant streams."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    y, u, v = _synth(w, h, seed=11)
+    kw = dict(width=w, height=h, qp=32, max_mtt_depth_intra=2,
+              max_bt_intra=32, max_tt_intra=32)
+    if dual_tree:
+        kw.update(dual_tree=True, chroma_max_mtt_depth=3,
+                  chroma_max_bt=32, chroma_max_tt=32)
+    if tools:
+        kw.update(sao=True, deblocking_disabled=False, mts_intra=True,
+                  lfnst=True, mip=True, cclm=True, mrl=True,
+                  joint_cbcr=True, dep_quant=True)
+    cfg = VVCConfig(**kw)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    bs, recon = enc.encode_frame(y, u, v, poc=0)
+    bit = tmp_path / "out.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    data = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(data[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
