@@ -54,6 +54,12 @@ def main(argv=None):
                     help="multi-reference-line intra (lines 1/2)")
     ap.add_argument("--jccr", action="store_true",
                     help="joint Cb-Cr residual coding")
+    ap.add_argument("--isp", action="store_true",
+                    help="intra sub-partitions (HOR/VER RD trial per CU)")
+    ap.add_argument("--lmcs", action="store_true",
+                    help="luma mapping with chroma scaling (AI dQP model)")
+    ap.add_argument("--no-crs", action="store_true",
+                    help="disable LMCS chroma residual scaling")
     ap.add_argument("--recon", default=None, help="write recon YUV here")
     ap.add_argument("--paint-partition", default=None,
                     help="write recon YUV with CU edges painted (debug)")
@@ -101,7 +107,8 @@ def main(argv=None):
     filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao,
                 mip=args.mip, cclm=args.cclm, lfnst=args.lfnst,
                 dep_quant=args.dep_quant, mrl=args.mrl,
-                joint_cbcr=args.jccr)
+                joint_cbcr=args.jccr, isp=args.isp, lmcs=args.lmcs,
+                lmcs_chroma_scaling=args.lmcs and not args.no_crs)
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,

@@ -163,6 +163,7 @@ class CuInfo:
     mip_transpose: bool = False
     cclm: bool = False
     mrl: int = 0
+    isp: int = 0              # 0 off, 1 HOR, 2 VER
 
 
 class FrameEncoder:
@@ -175,6 +176,12 @@ class FrameEncoder:
         self.rmd_modes = rmd_modes or tuple(range(67))
         self.qp_table, self.qp_bd_offset = derive_chroma_qp_table(
             bit_depth=cfg.bit_depth)
+        self.reshaper = None
+        if cfg.lmcs:
+            from .lmcs import Reshaper, derive_ai_model
+            self.reshaper = Reshaper(
+                derive_ai_model(cfg.bit_depth, cfg.lmcs_offset),
+                cfg.bit_depth)
 
     # ---- neighbour state -------------------------------------------------
 
@@ -197,10 +204,12 @@ class FrameEncoder:
         self.leaf_l = []                  # leaf CUs, luma coords
         self.leaf_c = []                  # leaf CUs, chroma coords
         self.unit_mip = np.zeros((r4, c4), bool)
+        self.unit_isp = np.zeros((r4, c4), bool)
         self.n_cclm = 0                   # CUs that chose CCLM
         self.n_lfnst = 0                  # CUs that chose LFNST
         self.n_mrl = 0                    # CUs that chose MRL
         self.n_jccr = 0                   # TUs that chose joint Cb-Cr
+        self.n_isp = 0                    # CUs that chose ISP
 
     def _cu_at(self, x, y):
         """(w, h, qt_depth, mode) of the CU covering luma pel (x, y)."""
@@ -331,6 +340,12 @@ class FrameEncoder:
             if cu.mrl != 0:
                 enc.encode_bin(1 if cu.mrl != 1 else 0,
                                ctx("MultiRefLineIdx", 1))
+        # isp_mode (CABACWriter.cpp:2752): after MRL, gated on mrl==0
+        if self.cfg.isp and cu.mrl == 0 \
+                and intra_ops.can_use_isp(cu.w, cu.h):
+            enc.encode_bin(1 if cu.isp else 0, ctx("ISPMode", 0))
+            if cu.isp:
+                enc.encode_bin(cu.isp - 1, ctx("ISPMode", 1))
         mpm = self._mpm_list(cu)
         mpm_idx = mpm.index(cu.mode) if cu.mode in mpm else NUM_MPM
         if cu.mrl:
@@ -339,10 +354,11 @@ class FrameEncoder:
             enc.encode_bin(1 if mpm_idx < NUM_MPM else 0,
                            ctx("IntraLumaMpmFlag"))
         if mpm_idx < NUM_MPM:
-            # not-planar flag: ctx 1 (no ISP); skipped for MRL (inferred)
+            # not-planar flag: ctx 0 when ISP else 1; skipped for MRL
             if cu.mrl == 0:
                 enc.encode_bin(1 if mpm_idx > 0 else 0,
-                               ctx("IntraLumaPlanarFlag", 1))
+                               ctx("IntraLumaPlanarFlag",
+                                   0 if cu.isp else 1))
             if mpm_idx:
                 enc.encode_bin_ep(1 if mpm_idx > 1 else 0)
             if mpm_idx > 1:
@@ -386,7 +402,11 @@ class FrameEncoder:
         if not ok:
             return False
         lr = self._luma_root_split
-        return lr == Split.QT or lr == Split.NONE
+        # luma side: ban if the 64x64 luma node used BT/TT, or is an
+        # unsplit 64x64 CU coded with ISP (Unit.cpp:426-443)
+        if lr == Split.NONE:
+            return not self._luma_root_isp
+        return lr == Split.QT
 
     # ---- prediction + residual ------------------------------------------
 
@@ -603,8 +623,8 @@ class FrameEncoder:
                4: (DST7, DCT8), 5: (DCT8, DCT8)}
 
     def _tq_roundtrip(self, resid, w, h, qp, mts_idx, lfnst_idx=0,
-                      intra_mode=0):
-        th, tv = self._MTS_TR[mts_idx]
+                      intra_mode=0, tr_kinds=None):
+        th, tv = tr_kinds if tr_kinds is not None else self._MTS_TR[mts_idx]
         bd = self.cfg.bit_depth
         coef = np.asarray(forward_transform(
             jnp.asarray(resid)[None], th, tv, bit_depth=bd))[0]
@@ -637,10 +657,194 @@ class FrameEncoder:
             rec_resid = np.zeros_like(resid)
         return lev, rec_resid
 
+    # ---- ISP (intra sub-partitions) ---------------------------------------
+
+    @staticmethod
+    def _isp_subs(w, h, isp):
+        """Sub-TU geometry (dx, dy, tw, th) list; isp 1=HOR, 2=VER."""
+        if isp == 2:
+            tw = intra_ops.isp_split_dim(w, h, False)
+            return [(i * tw, 0, tw, h) for i in range(w // tw)]
+        th_ = intra_ops.isp_split_dim(w, h, True)
+        return [(0, i * th_, w, th_) for i in range(h // th_)]
+
+    def _isp_tr_kinds(self, tw, th_):
+        """getTrTypes ISP branch (TrQuant.cpp): DST7 per dim in [4,16],
+        only when SPS MTS is enabled; no LFNST with ISP in this encoder."""
+        if not self.cfg.mts_intra:
+            return (DCT2, DCT2)
+        kh = DST7 if 4 <= tw <= 16 else DCT2
+        kv = DST7 if 4 <= th_ <= 16 else DCT2
+        return (kh, kv)
+
+    def _isp_region_refs(self, cu, ver, r, pw, ph, fill_top, fill_left):
+        """References for ISP prediction region ``r``
+        (initIntraPatternChTypeISP, IntraPrediction.cpp:857-974).
+
+        Region 0 uses the CU-level fill with per-region length adjustment;
+        later regions shift the CU-level buffer and splice the previous
+        region's reconstructed boundary row/column.  Returns (top, left)
+        1-D int64 arrays, index 0 = corner, 2 replication slots appended.
+        """
+        W, H = cu.w, cu.h
+        rec = self.recon_y
+        if ver:
+            x0 = cu.x + r * pw
+            top_len = W + pw                    # m_topRefLength
+            if r == 0:
+                top = np.concatenate([fill_top[:top_len + 1],
+                                      np.repeat(fill_top[top_len], 2)])
+                return top, fill_left.copy()
+            above_ok = cu.y > 0 and bool(self.coded[(cu.y - 1) // 4,
+                                                    x0 // 4])
+            src = rec[cu.y:cu.y + H, x0 - 1].astype(np.int64)
+            if above_ok:
+                shifted = fill_top[r * pw: r * pw + top_len + 1]
+            else:
+                shifted = np.full(top_len + 1, src[0], np.int64)
+            top = np.concatenate([shifted, np.repeat(shifted[-1], 2)])
+            left = np.empty(2 * H + 3, np.int64)
+            left[0] = shifted[0]
+            left[1:H + 1] = src
+            left[H + 1:] = src[-1]
+            return top, left
+        y0 = cu.y + r * ph
+        left_len = H + ph                       # m_leftRefLength
+        if r == 0:
+            left = np.concatenate([fill_left[:left_len + 1],
+                                   np.repeat(fill_left[left_len], 2)])
+            return fill_top.copy(), left
+        left_ok = cu.x > 0 and bool(self.coded[y0 // 4, (cu.x - 1) // 4])
+        src = rec[y0 - 1, cu.x:cu.x + W].astype(np.int64)
+        if left_ok:
+            lshift = fill_left[r * ph: r * ph + left_len + 1]
+        else:
+            lshift = np.full(left_len + 1, src[0], np.int64)
+        left = np.concatenate([lshift, np.repeat(lshift[-1], 2)])
+        top = np.empty(2 * W + 3, np.int64)
+        top[0] = lshift[0]
+        top[1:W + 1] = src
+        top[W + 1:] = src[-1]
+        return top, left
+
+    def _code_isp_trial(self, cu, org_y, qp_y, isp):
+        """Code ISP split ``isp`` with mode cu.mode, writing recon into
+        self.recon_y (caller restores on reject).  Returns
+        {cost, subs=[(cbf, lev, (x, y, tw, th))], nnz} or None if every
+        sub-TU is all-zero (the inferred last cbf forbids that)."""
+        cfg = self.cfg
+        x, y, W, H = cu.x, cu.y, cu.w, cu.h
+        ver = isp == 2
+        subs = self._isp_subs(W, H, isp)
+        tw, th_ = subs[0][2], subs[0][3]
+        kinds = self._isp_tr_kinds(tw, th_)
+        pw = max(tw, 4) if ver else W           # pred-region dims
+        ph = H if ver else th_
+        refs = self._refs_for_block(self.recon_y, x, y, W, H, 1,
+                                    cfg.bit_depth)
+        fill_top = np.asarray(refs[0][0], np.int64)
+        fill_left = np.asarray(refs[1][0], np.int64)
+
+        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        out = []
+        cost = 0.0
+        region_pred = None
+        for (dx, dy, sw, sh) in subs:
+            off = dx if ver else dy
+            if off % (pw if ver else ph) == 0:
+                r = off // (pw if ver else ph)
+                top, left = self._isp_region_refs(cu, ver, r, pw, ph,
+                                                  fill_top, fill_left)
+                region_pred = intra_ops.predict_isp(
+                    top, left, cu_w=W, cu_h=H, pw=pw, ph=ph,
+                    mode=cu.mode, bit_depth=cfg.bit_depth)
+            if ver:
+                pred = region_pred[:, off % pw: off % pw + sw]
+            else:
+                pred = region_pred
+            sx, sy = x + dx, y + dy
+            org = org_y[sy:sy + sh, sx:sx + sw].astype(np.int32)
+            resid = org - pred.astype(np.int32)
+            lev, rec_resid = self._tq_roundtrip(resid, sw, sh, qp_y, 0,
+                                                tr_kinds=kinds)
+            recon = np.clip(pred.astype(np.int32) + rec_resid, 0,
+                            (1 << cfg.bit_depth) - 1)
+            self.recon_y[sy:sy + sh, sx:sx + sw] = recon
+            err = recon.astype(np.int64) - org
+            nnz = int(np.count_nonzero(lev))
+            cost += float((err * err).sum()) + lam * (16.0 * nnz + 2.0)
+            out.append((bool(lev.any()), lev, (sx, sy, sw, sh)))
+        if not any(cbf for cbf, _, _ in out):
+            return None
+        return {"cost": cost, "subs": out}
+
+    def _maybe_isp(self, cu, org_y, qp_y, cost_base):
+        """Trial HOR/VER ISP vs the committed non-ISP coding.
+
+        Returns None (keep non-ISP; recon restored) or the winning trial
+        dict with cu.isp set and recon left in place."""
+        cfg = self.cfg
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        saved = self.recon_y[y:y + h, x:x + w].copy()
+        best = None
+        for isp in (1, 2):
+            trial = self._code_isp_trial(cu, org_y, qp_y, isp)
+            if trial is not None and trial["cost"] < cost_base and \
+                    (best is None or trial["cost"] < best[1]["cost"]):
+                best = (isp, trial,
+                        self.recon_y[y:y + h, x:x + w].copy())
+            self.recon_y[y:y + h, x:x + w] = saved
+        if best is None:
+            return None
+        cu.isp = best[0]
+        self.recon_y[y:y + h, x:x + w] = best[2]
+        self.n_isp += 1
+        return best[1]
+
+    def _write_isp_tus(self, enc, rc, trial, before_last_cbf=None,
+                       after_last_cbf=None):
+        """ISP luma sub-TU syntax: per sub-TU cbf (ISP contexts 2+prev,
+        CtxQtCbf; last inferred =1 if all previous zero) + residual.
+
+        Single-tree hooks (transform_unit order for the last sub-TU which
+        carries the chroma blocks): ``before_last_cbf`` emits cbf_cb /
+        cbf_cr; ``after_last_cbf`` emits the joint_cb_cr flag (between
+        cbf_luma and the luma residual)."""
+        subs = trial["subs"]
+        n = len(subs)
+        prev = False
+        any_prev = False
+        comps = []
+        for k, (cbf, lev, (sx, sy, sw, sh)) in enumerate(subs):
+            is_last = k == n - 1
+            if is_last and before_last_cbf is not None:
+                before_last_cbf()
+            inferred = is_last and not any_prev
+            if not inferred:
+                enc.encode_bin(1 if cbf else 0,
+                               ctx("QtCbf0", 2 + (1 if prev else 0)))
+            if is_last and after_last_cbf is not None:
+                after_last_cbf()
+            if cbf:
+                rc.code(lev, is_luma=True)
+                comps.append((sw, sh, lev))
+            prev = cbf
+            any_prev = any_prev or cbf
+        return comps
+
     def _code_tu_component(self, enc_rc, org, pred, x, y, w, h, qp, is_luma,
-                           try_mts=False, try_lfnst=False, intra_mode=0):
-        """Returns (cbf, levels, recon, mts_idx, lfnst_idx)."""
+                           try_mts=False, try_lfnst=False, intra_mode=0,
+                           chroma_scale=None):
+        """Returns (cbf, levels, recon, mts_idx, lfnst_idx).
+
+        ``chroma_scale``: LMCS chroma-residual scale (CSCALE_FP_PREC fixed
+        point) — residual forward-scaled before the transform, recon via
+        the decoder's inverse scaling (DecCu.cpp scaleSignal call)."""
         resid = org.astype(np.int32) - np.asarray(pred, np.int32)
+        if chroma_scale is not None:
+            from .lmcs import scale_chroma_residual_fwd
+            resid = scale_chroma_residual_fwd(resid, chroma_scale,
+                                              self.cfg.bit_depth)
         candidates = [(0, 0)]
         if try_mts:
             candidates += [(m, 0) for m in (2, 3, 4, 5)]
@@ -668,6 +872,10 @@ class FrameEncoder:
                 best = (cost, mts_idx, lfnst_idx, lev, rec_resid)
         _, mts_idx, lfnst_idx, lev, rec_resid = best
         cbf = bool(lev.any())
+        if chroma_scale is not None and cbf:
+            from .lmcs import scale_chroma_residual_inv
+            rec_resid = scale_chroma_residual_inv(rec_resid, chroma_scale,
+                                                  self.cfg.bit_depth)
         recon = np.clip(np.asarray(pred, np.int32) + rec_resid, 0,
                         (1 << self.cfg.bit_depth) - 1)
         return cbf, lev, recon, mts_idx, lfnst_idx
@@ -679,9 +887,54 @@ class FrameEncoder:
         nz = np.nonzero(lev.reshape(-1)[grouped_scan(w, h)[:, 0]])[0]
         return int(nz[-1]) if nz.size else -1
 
+    def _chroma_adj(self, x_l, y_l):
+        """LMCS chroma-residual scale for the 64x64 VPDU containing luma
+        (x_l, y_l): average of the VPDU's above/left MAPPED luma recon
+        neighbours -> chromaAdjHelpLUT (calculateChromaAdjVpduNei,
+        Reshape.cpp:106-190). Cached per VPDU (deterministic: neighbours
+        are outside the VPDU and complete before any of its TUs)."""
+        vx, vy = (x_l // 64) * 64, (y_l // 64) * 64
+        a = self._vpdu_adj.get((vx, vy))
+        if a is not None:
+            return a
+        cfg = self.cfg
+        rec = self.recon_y
+        num = min(64, cfg.ctu_size)
+        nlog = num.bit_length() - 1
+        s = 0
+        peln = 0
+        if vx > 0 and bool(self.coded[vy // 4, (vx - 1) // 4]):
+            idx = np.arange(num)
+            k = np.where(vy + idx >= cfg.height, cfg.height - vy - 1, idx)
+            s += int(rec[vy + k, vx - 1].sum())
+            peln += num
+        if vy > 0 and bool(self.coded[(vy - 1) // 4, vx // 4]):
+            idx = np.arange(num)
+            k = np.where(vx + idx >= cfg.width, cfg.width - vx - 1, idx)
+            s += int(rec[vy - 1, vx + k].sum())
+            peln += num
+        if peln == num:
+            avg = (s + (1 << (nlog - 1))) >> nlog
+        elif peln == 2 * num:
+            avg = (s + (1 << nlog)) >> (nlog + 1)
+        else:
+            avg = 1 << (cfg.bit_depth - 1)
+        a = self.reshaper.chroma_adj(avg)
+        self._vpdu_adj[(vx, vy)] = a
+        return a
+
+    def _crs_scale(self, x_l, y_l, cw, chh):
+        """Chroma-scale for a TU, or None (gate: w*h > 4 chroma samples,
+        DecCu.cpp)."""
+        if self.reshaper is None or not self.cfg.lmcs_chroma_scaling \
+                or cw * chh <= 4:
+            return None
+        return self._chroma_adj(x_l, y_l)
+
     def _try_joint_cbcr(self, rc, org_cu, org_cv, pred_u, pred_v,
                         cx, cy, cw, chh, qp_c,
-                        cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v):
+                        cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v,
+                        chroma_scale=None):
         """Evaluate JCCR mask 3 (Cr = -Cb, ph sign flag 1): returns
         (joint, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v).
 
@@ -693,7 +946,8 @@ class FrameEncoder:
         joint_res = ((ru - rv) / 2.0).round().astype(np.int32)
         synth_org = (pred_u.astype(np.int32) + joint_res)
         cbf_j, lev_j, rec_ju, _, _ = self._code_tu_component(
-            rc, synth_org, pred_u, cx, cy, cw, chh, qp_c, False)
+            rc, synth_org, pred_u, cx, cy, cw, chh, qp_c, False,
+            chroma_scale=chroma_scale)
         if not cbf_j:
             return (False, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v)
         dec_res = rec_ju.astype(np.int64) - pred_u
@@ -722,6 +976,9 @@ class FrameEncoder:
         cfg = self.cfg
         if not cfg.lfnst:
             return
+        isp = cu.isp if cu is not None else 0
+        if isp and not intra_ops.can_use_lfnst_with_isp(cu.w, cu.h, isp):
+            return
         if cu is not None and cu.mip and not (cu.w >= 16 and cu.h >= 16):
             return
         last_ok = False
@@ -736,7 +993,8 @@ class FrameEncoder:
                 else 15
             viol |= last > max_pos
             last_ok |= last >= 1
-        if not last_ok or viol:
+        # the lastScanPos condition is waived for ISP (CABACWriter:2801)
+        if (not last_ok and not isp) or viol:
             return
         enc.encode_bin(1 if lfnst_idx else 0,
                        ctx("LFNSTIdx", 1 if sep_tree else 0))
@@ -776,21 +1034,34 @@ class FrameEncoder:
             rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts,
             try_lfnst=try_lfnst, intra_mode=cu.mode)
 
+        trial = None
+        if cfg.isp and not cu.mip and cu.mrl == 0 \
+                and intra_ops.can_use_isp(w, h):
+            lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+            err = rec_y.astype(np.int64) - org
+            cost_base = float((err * err).sum()) \
+                + lam * (16.0 * int(np.count_nonzero(lev_y)) + 2.0)
+            trial = self._maybe_isp(cu, org_y, qp_y, cost_base)
+
         self._write_intra_luma_mode(enc, cu)
         # sep-tree luma: no chroma cbfs / modes
-        enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
-        last_pos_y, violates_mts = -1, False
-        if cbf_y:
-            last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
-        if lfnst_idx:
-            self.n_lfnst += 1
-        self._write_lfnst_idx(enc, cu, lfnst_idx,
-                              [(w, h, lev_y)] if cbf_y else [], True)
-        if lfnst_idx == 0:
-            self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
-                                violates_mts)
-
-        self.recon_y[y:y + h, x:x + w] = rec_y
+        if trial is not None:
+            comps = self._write_isp_tus(enc, rc, trial)
+            self._write_lfnst_idx(enc, cu, 0, comps, True)
+            # mts_idx never coded for ISP (mtsAllowed &= !ispMode)
+        else:
+            enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+            last_pos_y, violates_mts = -1, False
+            if cbf_y:
+                last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
+            if lfnst_idx:
+                self.n_lfnst += 1
+            self._write_lfnst_idx(enc, cu, lfnst_idx,
+                                  [(w, h, lev_y)] if cbf_y else [], True)
+            if lfnst_idx == 0:
+                self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                                    violates_mts)
+            self.recon_y[y:y + h, x:x + w] = rec_y
         r, c = y // 4, x // 4
         self.coded[r:r + h // 4, c:c + w // 4] = True
         self.unit_mode[r:r + h // 4, c:c + w // 4] = cu.mode
@@ -798,6 +1069,7 @@ class FrameEncoder:
         self.unit_h[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
         self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
+        self.unit_isp[r:r + h // 4, c:c + w // 4] = cu.isp != 0
         self.leaf_l.append((x, y, w, h))
 
     def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo,
@@ -850,12 +1122,13 @@ class FrameEncoder:
         qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
             + cfg.chroma_qp_offset
         qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
+        crs = self._crs_scale(x, y, cw, chh)
         cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
             rc, self._org_u[cy:cy + chh, cx:cx + cw], pred_u,
-            cx, cy, cw, chh, qp_c, False)
+            cx, cy, cw, chh, qp_c, False, chroma_scale=crs)
         cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
             rc, self._org_v[cy:cy + chh, cx:cx + cw], pred_v,
-            cx, cy, cw, chh, qp_c, False)
+            cx, cy, cw, chh, qp_c, False, chroma_scale=crs)
 
         joint = False
         if cfg.joint_cbcr:
@@ -865,7 +1138,8 @@ class FrameEncoder:
                                      self._org_v[cy:cy + chh, cx:cx + cw],
                                      pred_u, pred_v, cx, cy, cw, chh, qp_c,
                                      cbf_u, lev_u, rec_u,
-                                     cbf_v, lev_v, rec_v)
+                                     cbf_v, lev_v, rec_v,
+                                     chroma_scale=crs)
 
         # chroma-tree CU syntax: intra_chroma_pred_mode, then TU
         self._write_intra_chroma_mode(enc, cclm=cu.cclm,
@@ -961,8 +1235,19 @@ class FrameEncoder:
         cbf_y, lev_y, rec_y, mts_idx, lfnst_idx = self._code_tu_component(
             rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts,
             try_lfnst=try_lfnst, intra_mode=cu.mode)
+        isp_trial = None
+        if cfg.isp and not cu.mip and cu.mrl == 0 \
+                and intra_ops.can_use_isp(w, h):
+            lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+            err = rec_y.astype(np.int64) - org
+            cost_base = float((err * err).sum()) \
+                + lam * (16.0 * int(np.count_nonzero(lev_y)) + 2.0)
+            isp_trial = self._maybe_isp(cu, org_y, qp_y, cost_base)
+            if isp_trial is not None:
+                lfnst_idx = mts_idx = 0    # no LFNST/MTS with ISP here
         # luma recon written early: CCLM downsamples the co-located luma
-        self.recon_y[y:y + h, x:x + w] = rec_y
+        if isp_trial is None:
+            self.recon_y[y:y + h, x:x + w] = rec_y
 
         # chroma: DM mode on co-located; chroma block at half res
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
@@ -1006,12 +1291,13 @@ class FrameEncoder:
                 pred_u = lm_preds[0].astype(np.int32)
                 pred_v = lm_preds[1].astype(np.int32)
 
+        crs = self._crs_scale(x, y, cw, chh)
         cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
             rc, org_cu, pred_u, cx, cy, cw, chh,
-            qp_c, False)
+            qp_c, False, chroma_scale=crs)
         cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
             rc, org_cv, pred_v, cx, cy, cw, chh,
-            qp_c, False)
+            qp_c, False, chroma_scale=crs)
 
         if lfnst_idx:
             # single tree: chroma coefficients share the LFNST signalling
@@ -1049,16 +1335,19 @@ class FrameEncoder:
                     pred_u = lm_preds[0].astype(np.int32)
                     pred_v = lm_preds[1].astype(np.int32)
                     cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
-                        rc, org_cu, pred_u, cx, cy, cw, chh, qp_c, False)
+                        rc, org_cu, pred_u, cx, cy, cw, chh, qp_c, False,
+                        chroma_scale=crs)
                     cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
-                        rc, org_cv, pred_v, cx, cy, cw, chh, qp_c, False)
+                        rc, org_cv, pred_v, cx, cy, cw, chh, qp_c, False,
+                        chroma_scale=crs)
 
         joint = False
         if cfg.joint_cbcr:
             res = self._try_joint_cbcr(rc, org_cu, org_cv, pred_u, pred_v,
                                        cx, cy, cw, chh, qp_c,
                                        cbf_u, lev_u, rec_u,
-                                       cbf_v, lev_v, rec_v)
+                                       cbf_v, lev_v, rec_v,
+                                       chroma_scale=crs)
             if res[0] and lfnst_idx and cw >= 4 and chh >= 4:
                 # joint levels must not break the already-committed LFNST
                 # signalling constraint (violatesLfnstConstrained)
@@ -1070,38 +1359,65 @@ class FrameEncoder:
             (joint, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v) = res
 
         # ---- syntax: coding_unit ----
-        # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm/mrl/isp
+        # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm
         self._write_intra_luma_mode(enc, cu)
         self._write_intra_chroma_mode(enc, cclm=cu.cclm)
-        # transform_unit: cbf_cb, cbf_cr, then cbf_luma
-        enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
-        enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
-        enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
         cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
-        if cfg.joint_cbcr and cbf_mask:
-            enc.encode_bin(1 if joint else 0,
-                           ctx("JointCbCrFlag", cbf_mask - 1))
-        last_pos_y, violates_mts = -1, False
-        if cbf_y:
-            last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
-        if cbf_u:
-            rc.code(lev_u, is_luma=False)
-        if cbf_v and not joint:
-            rc.code(lev_v, is_luma=False)
-        # residual_lfnst_mode then mts_idx (cu_residual tail order)
-        comps = []
-        if cbf_y:
-            comps.append((w, h, lev_y))
-        if cbf_u:
-            comps.append((cw, chh, lev_u))
-        if cbf_v:
-            comps.append((cw, chh, lev_v))
-        if lfnst_idx:
-            self.n_lfnst += 1
-        self._write_lfnst_idx(enc, cu, lfnst_idx, comps, False)
-        if lfnst_idx == 0:
-            self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
-                                violates_mts)
+        if isp_trial is not None:
+            # ISP transform tree: sub-TUs 0..n-2 luma-only; the last
+            # sub-TU carries the chroma blocks (cbf_cb/cbf_cr before its
+            # luma cbf, joint flag after, chroma residuals at the end)
+            def _chroma_cbfs():
+                enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
+                enc.encode_bin(1 if cbf_v else 0,
+                               ctx("QtCbf2", 1 if cbf_u else 0))
+
+            def _jccr_flag():
+                if cfg.joint_cbcr and cbf_mask:
+                    enc.encode_bin(1 if joint else 0,
+                                   ctx("JointCbCrFlag", cbf_mask - 1))
+            comps = self._write_isp_tus(enc, rc, isp_trial,
+                                        before_last_cbf=_chroma_cbfs,
+                                        after_last_cbf=_jccr_flag)
+            if cbf_u:
+                rc.code(lev_u, is_luma=False)
+            if cbf_v and not joint:
+                rc.code(lev_v, is_luma=False)
+            if cbf_u:
+                comps.append((cw, chh, lev_u))
+            if cbf_v:
+                comps.append((cw, chh, lev_v))
+            self._write_lfnst_idx(enc, cu, 0, comps, False)
+        else:
+            # transform_unit: cbf_cb, cbf_cr, then cbf_luma
+            enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
+            enc.encode_bin(1 if cbf_v else 0,
+                           ctx("QtCbf2", 1 if cbf_u else 0))
+            enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+            if cfg.joint_cbcr and cbf_mask:
+                enc.encode_bin(1 if joint else 0,
+                               ctx("JointCbCrFlag", cbf_mask - 1))
+            last_pos_y, violates_mts = -1, False
+            if cbf_y:
+                last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
+            if cbf_u:
+                rc.code(lev_u, is_luma=False)
+            if cbf_v and not joint:
+                rc.code(lev_v, is_luma=False)
+            # residual_lfnst_mode then mts_idx (cu_residual tail order)
+            comps = []
+            if cbf_y:
+                comps.append((w, h, lev_y))
+            if cbf_u:
+                comps.append((cw, chh, lev_u))
+            if cbf_v:
+                comps.append((cw, chh, lev_v))
+            if lfnst_idx:
+                self.n_lfnst += 1
+            self._write_lfnst_idx(enc, cu, lfnst_idx, comps, False)
+            if lfnst_idx == 0:
+                self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                                    violates_mts)
 
         # ---- state update ----
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
@@ -1113,6 +1429,7 @@ class FrameEncoder:
         self.unit_h[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
         self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
+        self.unit_isp[r:r + h // 4, c:c + w // 4] = cu.isp != 0
         self.leaf_l.append((x, y, w, h))
         self.leaf_c.append((x // 2, y // 2, w // 2, h // 2))
 
@@ -1210,7 +1527,13 @@ class FrameEncoder:
             implicit = (x + w > cfg.width) or (y + h > cfg.height)
             if w > 64 or h > 64 or implicit:
                 return Split.QT
-            return table.get((x, y, w, h), Split.NONE)
+            split = table.get((x, y, w, h), Split.NONE)
+            if split != Split.NONE:
+                # defensive: the scheduled split must be signallable
+                from .mtt import can_split_set
+                if not can_split_set(w, h, state, cfg, chroma)[split]:
+                    return Split.NONE
+            return split
         return decide
 
     # ---- frame -----------------------------------------------------------
@@ -1265,7 +1588,16 @@ class FrameEncoder:
         else:
             enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
         rc = ResidualCoder(enc, dep_quant=cfg.dep_quant)
-        org = (y.astype(np.int32), u.astype(np.int32), v.astype(np.int32))
+        y_orig = y.astype(np.int32)
+        self._vpdu_adj = {}
+        if self.reshaper is not None:
+            # luma coded in the mapped domain (fwd LUT on the org;
+            # intra refs/recon stay mapped until the inverse before the
+            # in-loop filters)
+            y_cod = self.reshaper.fwd(y_orig).astype(np.int32)
+        else:
+            y_cod = y_orig
+        org = (y_cod, u.astype(np.int32), v.astype(np.int32))
         n_ctu_x = (cfg.width + 127) // 128
         n_ctu_y = (cfg.height + 127) // 128
         for cty in range(n_ctu_y):
@@ -1289,8 +1621,17 @@ class FrameEncoder:
                     self._luma_root_split = decide(qx, qy, qw, qh, st)
                     self._encode_tree_ch(enc, rc, org, qx, qy, qw, qh,
                                          st, decide, False)
+                    # unsplit 64x64 luma leaf coded with ISP bans CCLM
+                    self._luma_root_isp = bool(
+                        self.unit_isp[qy // 4, qx // 4]) \
+                        and int(self.unit_w[qy // 4, qx // 4]) == 64 \
+                        and int(self.unit_h[qy // 4, qx // 4]) == 64
                     self._encode_tree_ch(enc, rc, org, qx, qy, qw, qh,
                                          st, decide_c, True)
+        if self.reshaper is not None:
+            # picture-level inverse mapping before the in-loop filters
+            # (DecLib::executeLoopFilters order: invLUT -> deblock -> SAO)
+            self.recon_y = self.reshaper.inv(self.recon_y).astype(np.int32)
         if not cfg.deblocking_disabled:
             qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
             qp_c_db = max(-self.qp_bd_offset,
@@ -1311,7 +1652,9 @@ class FrameEncoder:
             rec_enc.replay(enc, 0, len(rec_enc.ops))
         if cfg.sao:
             recs = [self.recon_y, self.recon_u, self.recon_v]
-            sao_params = decide_sao_frame(org, recs, 128, cfg.qp,
+            # SAO compares against the ORIGINAL (unmapped) planes
+            sao_params = decide_sao_frame((y_orig, org[1], org[2]), recs,
+                                          128, cfg.qp,
                                           bit_depth=cfg.bit_depth)
             apply_sao_frame(recs, sao_params, 128, bit_depth=cfg.bit_depth)
             # pass 2: real CABAC with SAO syntax at each CTU start
@@ -1333,6 +1676,9 @@ class FrameEncoder:
         if poc == 0:
             out += sps_nal(cfg)
             out += pps_nal(cfg)
+            if self.reshaper is not None:
+                from .lmcs import lmcs_aps_nal
+                out += lmcs_aps_nal(self.reshaper.model)
         out += slice_nal(cfg, poc, slice_data)
         out += decoded_picture_hash_sei(
             (self.recon_y, self.recon_u, self.recon_v), cfg.bit_depth)

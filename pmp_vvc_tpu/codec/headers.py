@@ -53,6 +53,8 @@ class VVCConfig:
     sao: bool = False
     alf: bool = False
     lmcs: bool = False
+    lmcs_chroma_scaling: bool = False   # ph_chroma_residual_scale_flag
+    lmcs_offset: int = 2                # lmcs_delta_abs_crs (CTC LMCSOffset)
     mts_intra: bool = False
     lfnst: bool = False
     isp: bool = False
@@ -262,8 +264,12 @@ def write_picture_header(bw: BitWriter, cfg: VVCConfig, poc: int):
     bw.write_flag(0)                   # ph_inter_slice_allowed_flag
     bw.write_uvlc(0)                   # ph_pic_parameter_set_id
     bw.write(poc & ((1 << cfg.poc_bits) - 1), cfg.poc_bits)  # ph_pic_order_cnt_lsb
-    # alf/lmcs/scaling-list/virtual-boundary/output/rpl/split-override/
-    # dqp/sao/deblock-in-ph blocks all absent for this config
+    # alf-in-ph absent (sps alf off); scaling-list/virtual-boundary/
+    # output/rpl/split-override/dqp/sao/deblock-in-ph blocks absent
+    if cfg.lmcs:
+        bw.write_flag(1)               # ph_lmcs_enabled_flag
+        bw.write(0, 2)                 # ph_lmcs_aps_id
+        bw.write_flag(cfg.lmcs_chroma_scaling)  # ph_chroma_residual_scale
     if cfg.joint_cbcr:
         bw.write_flag(1)               # ph_joint_cbcr_sign_flag (Cr = -Cb)
 

@@ -66,16 +66,18 @@ class PartitionConstraints:
                     and mtt_depth == 0)
         if mtt_depth >= self.max_mtt_depth:
             return False
+        # max sizes are signalled and compared in LUMA units for both
+        # channel trees (UnitPartitioner.cpp canSplit: area = currArea().Y())
         if split == Split.BT_H:
-            return h > self.min_cb * s and max(w, h) <= self.max_bt * s
+            return h > self.min_cb * s and max(w, h) <= self.max_bt
         if split == Split.BT_V:
-            return w > self.min_cb * s and max(w, h) <= self.max_bt * s
+            return w > self.min_cb * s and max(w, h) <= self.max_bt
         if split == Split.TT_H:
             return (h >= 2 * self.min_cb * s * 2
-                    and max(w, h) <= min(self.max_tt * s, 64))
+                    and max(w, h) <= min(self.max_tt, 64))
         if split == Split.TT_V:
             return (w >= 2 * self.min_cb * s * 2
-                    and max(w, h) <= min(self.max_tt * s, 64))
+                    and max(w, h) <= min(self.max_tt, 64))
         return False
 
 

@@ -381,6 +381,147 @@ def substitute_line(vals, avail, bit_depth=10):
     return vals[idx]
 
 
+def isp_split_dim(width: int, height: int, divide_rows: bool) -> int:
+    """CU::getISPSplitDim (UnitTools.cpp:522-545): sub-partition height
+    (divide_rows=True, HOR split) or width (VER split)."""
+    split_size = height if divide_rows else width
+    non_split = width if divide_rows else height
+    min_samples = 16                       # 1 << (2*log2(MIN_TB_SIZEY))
+    factor = (min_samples >> _flog2(non_split)) \
+        if non_split < min_samples else 1
+    return max(split_size >> 2, factor)
+
+
+def can_use_isp(w: int, h: int, max_tb: int = 64) -> bool:
+    """CU::canUseISP (UnitTools.cpp:489-498)."""
+    return (_flog2(w) + _flog2(h) > 4) and w <= max_tb and h <= max_tb
+
+
+def can_use_lfnst_with_isp(cu_w: int, cu_h: int, isp: int) -> bool:
+    """CU::canUseLfnstWithISP (UnitTools.cpp:500-513); isp 1=HOR, 2=VER."""
+    if isp == 0:
+        return False
+    if isp == 1:
+        tw, th_ = cu_w, isp_split_dim(cu_w, cu_h, True)
+    else:
+        tw, th_ = isp_split_dim(cu_w, cu_h, False), cu_h
+    return tw >= 4 and th_ >= 4
+
+
+def predict_isp(top, left, *, cu_w, cu_h, pw, ph, mode, bit_depth=10):
+    """ISP prediction-region prediction (numpy, per-region host loop).
+
+    ``top``/``left``: 1-D int arrays, index 0 = corner sample, followed by
+    the region's reference samples with >=2 replication slots appended by
+    the caller (initIntraPatternChTypeISP layout).  Wide-angle remap uses
+    the CU dims (initPredIntraParams blockSize=cuSize, :382); reference
+    smoothing and Gaussian interpolation are off for ISP (:427); PDPC per
+    the pred-region dims (:390).  Returns (ph, pw) int64.
+    """
+    pel_max = (1 << bit_depth) - 1
+    top = np.asarray(top, np.int64)
+    left = np.asarray(left, np.int64)
+    pred_mode = wide_angle(cu_w, cu_h, mode)
+
+    if mode == PLANAR_IDX:
+        log2w, log2h = _flog2(pw), _flog2(ph)
+        t = top[1:pw + 2]
+        l = left[1:ph + 2]
+        xs, ys = np.arange(pw), np.arange(ph)
+        hor = (l[:ph, None] << log2w) + (xs[None, :] + 1) * (t[pw] - l[:ph, None])
+        ver = (t[None, :pw] << log2h) + (ys[:, None] + 1) * (l[ph] - t[None, :pw])
+        off = 1 << (log2w + log2h)
+        pred = ((hor << log2h) + (ver << log2w) + off) >> (1 + log2w + log2h)
+    elif mode == DC_IDX:
+        denom = (pw << 1) if pw == ph else max(pw, ph)
+        s = 0
+        if pw >= ph:
+            s += int(top[1:pw + 1].sum())
+        if pw <= ph:
+            s += int(left[1:ph + 1].sum())
+        dc = (s + (denom >> 1)) >> _flog2(denom)
+        pred = np.full((ph, pw), dc, np.int64)
+    else:
+        is_ver = pred_mode >= DIA_IDX
+        ang_mode = (pred_mode - VER_IDX) if is_ver else -(pred_mode - HOR_IDX)
+        abs_mode = abs(ang_mode)
+        sign = -1 if ang_mode < 0 else 1
+        angle = sign * int(ANG_TABLE[abs_mode])
+        inv_angle = int(INV_ANG_TABLE[abs_mode])
+        main = top if is_ver else left
+        side = left if is_ver else top
+        wp, hp = (pw, ph) if is_ver else (ph, pw)
+        apply_pdpc = pw >= 4 and ph >= 4
+        scale = 0
+        if ang_mode < 0:
+            apply_pdpc = False
+        elif ang_mode > 0:
+            side_sz = ph if is_ver else pw
+            scale = min(2, _flog2(side_sz) - (_flog2(3 * inv_angle - 2) - 8))
+            apply_pdpc = apply_pdpc and scale >= 0
+
+        if angle < 0:
+            size_side = hp
+            neg_j = np.arange(1, size_side + 1)
+            proj = np.minimum((neg_j * inv_angle + 256) >> 9, size_side)
+            ref_main = np.concatenate([side[proj[::-1]], main])
+            off = size_side
+        else:
+            ref_main = main
+            off = 0
+        L = len(ref_main)
+        xs = np.arange(wp)
+        if angle == 0:
+            pred = np.broadcast_to(ref_main[off + 1:off + 1 + wp],
+                                   (hp, wp)).astype(np.int64).copy()
+            if apply_pdpc:
+                sc = (_flog2(wp) + _flog2(hp) - 2) >> 2
+                top_left = ref_main[off]
+                l = side[1:hp + 1][:, None]
+                wl = 32 >> np.minimum(31, (2 * xs) >> sc)
+                adj = (wl[None, :] * (l - top_left) + 32) >> 6
+                adj[:, min(3 << sc, wp):] = 0
+                pred = np.clip(pred + adj, 0, pel_max)
+        else:
+            ys = np.arange(hp)
+            delta_pos = angle * (1 + ys)
+            delta_int = delta_pos >> 5
+            delta_frac = delta_pos & 31
+            if (abs(angle) & 31) == 0:
+                idx = np.clip(off + delta_int[:, None] + xs[None, :] + 1,
+                              0, L - 1)
+                pred = ref_main[idx]
+            else:
+                fs = np.asarray(CHROMA_FILTER, np.int64)[delta_frac]
+                base = off + delta_int[:, None] + xs[None, :]
+                acc = np.zeros((hp, wp), np.int64)
+                for k in range(4):
+                    acc += fs[:, k:k + 1] * ref_main[np.clip(base + k,
+                                                             0, L - 1)]
+                pred = np.clip((acc + 32) >> 6, 0, pel_max)
+            if apply_pdpc:
+                inv_sum = 256 + (xs + 1) * inv_angle
+                side_idx = np.clip(ys[:, None] + (inv_sum[None, :] >> 9) + 1,
+                                   0, len(side) - 1)
+                sval = side[side_idx]
+                wl = (32 >> np.minimum(31, (2 * xs) >> scale))[None, :]
+                adj = (wl * (sval - pred) + 32) >> 6
+                adj[:, min(3 << scale, wp):] = 0
+                pred = pred + adj
+        if not is_ver:
+            pred = pred.T
+
+    if mode in (PLANAR_IDX, DC_IDX) and pw >= 4 and ph >= 4:
+        sc = (_flog2(pw) - 2 + _flog2(ph) - 2 + 2) >> 2
+        xs, ys = np.arange(pw), np.arange(ph)
+        wt = 32 >> np.minimum(31, (ys[:, None] << 1) >> sc)
+        wl = 32 >> np.minimum(31, (xs[None, :] << 1) >> sc)
+        t = top[1:pw + 1][None, :]
+        l = left[1:ph + 1][:, None]
+        pred = pred + ((wl * (l - pred) + wt * (t - pred) + 32) >> 6)
+    return pred
+
+
 def predict_mrl(top, left, *, w, h, mode, mri, bit_depth=10):
     """Angular prediction from reference line ``mri`` (1 or 2).
 

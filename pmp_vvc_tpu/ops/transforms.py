@@ -73,6 +73,22 @@ def forward_transform(x: jax.Array, kind_h: int = DCT2, kind_v: int = DCT2,
     ([vfreq, hfreq]; zeroed-out region stays zero).
     """
     h, w = x.shape[-2], x.shape[-1]
+    if w == 1 or h == 1:
+        # 1-D transform (ISP 1xN/Nx1 sub-TUs, TrQuant.cpp:860-876):
+        # single stage with the first-stage shift over the coded dim
+        n = h if w == 1 else w
+        kind = kind_v if w == 1 else kind_h
+        t = jnp.asarray(core_matrix(kind, n))
+        k = nonzero_out_size(kind, n)
+        s = (n.bit_length() - 1) + bit_depth + MATRIX_SHIFT \
+            - MAX_LOG2_DYN_RANGE
+        ax = -2 if w == 1 else -1
+        v = jnp.moveaxis(x.astype(jnp.int32), ax, -1)
+        o = _rshift(jax.lax.dot_general(
+            v, t[:k].T, (((v.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32), s)
+        out = jnp.zeros(v.shape[:-1] + (n,), jnp.int32).at[..., :k].set(o)
+        return jnp.moveaxis(out, -1, ax)
     th = jnp.asarray(core_matrix(kind_h, w))
     tv = jnp.asarray(core_matrix(kind_v, h))
     kw, kh = nonzero_out_size(kind_h, w), nonzero_out_size(kind_v, h)
@@ -100,6 +116,18 @@ def inverse_transform(c: jax.Array, kind_h: int = DCT2, kind_v: int = DCT2,
                       bit_depth: int = 10) -> jax.Array:
     """Batched 2-D inverse transform: (..., H, W) coeffs -> residual."""
     h, w = c.shape[-2], c.shape[-1]
+    if w == 1 or h == 1:
+        # 1-D inverse (TrQuant.cpp:889-902): shift+1 = 21 - bitDepth
+        n = h if w == 1 else w
+        kind = kind_v if w == 1 else kind_h
+        t = jnp.asarray(core_matrix(kind, n))
+        s = (MATRIX_SHIFT + MAX_LOG2_DYN_RANGE - 1) - bit_depth + 1
+        ax = -2 if w == 1 else -1
+        v = jnp.moveaxis(c.astype(jnp.int32), ax, -1)
+        r = jax.lax.dot_general(v, t, (((v.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        r = jnp.clip(_rshift(r, s), COEFF_MIN, COEFF_MAX)
+        return jnp.moveaxis(r, -1, ax)
     th = jnp.asarray(core_matrix(kind_h, w))
     tv = jnp.asarray(core_matrix(kind_v, h))
     s1 = MATRIX_SHIFT + 1

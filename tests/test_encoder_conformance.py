@@ -500,3 +500,141 @@ def test_boundary_frame_bit_exact(tmp_path, w, h, dual_tree, tools):
         data[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         data[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_isp_bit_exact(tmp_path):
+    """ISP (intra sub-partitions): HOR/VER sub-TU trees with implicit
+    DST7/DCT2, per-sub-TU cbf contexts, inferred last cbf; single tree
+    (chroma on the last sub-TU) exercised at QT depth 3 (8x8 CUs ->
+    2-wide prediction regions)."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    rng = np.random.RandomState(5)
+    w, h = 128, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(128 + 60 * np.sin(xx / 7.) * np.cos(yy / 9.)
+                + rng.randn(h, w) * 10, 0, 255).astype(np.int32) << 2
+    u = ((128 + 40 * np.sin(xx[::2, ::2] / 31.)).astype(np.int32) << 2)
+    v = ((128 + 40 * np.cos(yy[::2, ::2] / 29.)).astype(np.int32) << 2)
+    cfg = VVCConfig(width=w, height=h, qp=32, isp=True, mts_intra=True)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 2)))
+    qt = np.full((h // 8, w // 8), 3, np.int32)
+    bs, recon = enc.encode_frame(y, u, v, qt_map=qt, poc=0)
+    assert enc.n_isp > 0, "ISP never selected"
+    bit = tmp_path / "isp.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_isp_forced_dual_tree_bit_exact(tmp_path):
+    """Force ISP on every eligible CU in a dual-tree MTT frame (CCLM on):
+    exercises rectangular CUs, Nx1/Nx2 sub-TUs with 1-D transforms, the
+    checkCCLMAllowed ISP ban, and the waived-LFNST-gate signalling."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    rng = np.random.RandomState(11)
+    w, h = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((yy * 8 + (yy // 8) * 97 + xx * 3) % 256
+         + rng.randn(h, w) * 8).clip(0, 255).astype(np.int32) << 2
+    u = ((128 + 40 * np.sin(xx[::2, ::2] / 13.)).astype(np.int32) << 2)
+    v = ((128 + 40 * np.cos(yy[::2, ::2] / 17.)).astype(np.int32) << 2)
+    cfg = VVCConfig(width=w, height=h, qp=32, dual_tree=True, isp=True,
+                    cclm=True, lfnst=True, log2_min_cb=2,
+                    max_mtt_depth_intra=3, max_bt_intra=32, max_tt_intra=32,
+                    chroma_max_mtt_depth=3, chroma_max_bt=32,
+                    chroma_max_tt=32)
+    enc = FrameEncoder(cfg, mode_select="satd", rmd_modes=(0, 1, 18, 50))
+
+    def forced(cu, org_y, qp_y, cost_base):
+        # prefer VER (1xN sub-TUs on 4-wide CUs), fall back to HOR
+        saved = enc.recon_y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w].copy()
+        for isp in (2, 1):
+            t = enc._code_isp_trial(cu, org_y, qp_y, isp)
+            if t is not None:
+                cu.isp = isp
+                enc.n_isp += 1
+                return t
+            enc.recon_y[cu.y:cu.y + cu.h, cu.x:cu.x + cu.w] = saved
+        return None
+    enc._maybe_isp = forced
+    # QT to 16 then a BT_V chain -> 4x16 luma leaves
+    qt = np.full((h // 8, w // 8), 2, np.int32)
+    hor = np.zeros((h // 4, w // 4), np.int32)
+    hor[::2, :] = 1
+    ver = np.zeros((h // 4, w // 4), np.int32)
+    ver[:, ::1] = 0
+    ver[:, ::2] = 1
+    dire = -np.ones((3, h // 4, w // 4), np.int32)
+    bs, recon = enc.encode_frame(y, u, v, maps=(hor, ver, qt, dire), poc=0)
+    assert enc.n_isp > 10, enc.n_isp
+    bit = tmp_path / "ispf.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        d[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+@pytest.mark.parametrize("crs,tools", [(False, True), (True, False),
+                                       (True, True)])
+def test_lmcs_bit_exact(tmp_path, crs, tools):
+    """LMCS: luma coded in the mapped domain (AI dQP model via LMCS APS),
+    picture-level inverse before the loop filters; optional chroma
+    residual scaling (VPDU-neighbour average)."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    rng = np.random.RandomState(5)
+    w, h = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(500 + 300 * np.sin(xx / 7.) * np.cos(yy / 9.)
+                + rng.randn(h, w) * 40, 0, 1023).astype(np.int32)
+    u = np.clip(512 + 160 * np.sin(xx[::2, ::2] / 11.)
+                + rng.randn(h // 2, w // 2) * 25, 0, 1023).astype(np.int32)
+    v = np.clip(512 - 160 * np.cos(yy[::2, ::2] / 13.)
+                + rng.randn(h // 2, w // 2) * 25, 0, 1023).astype(np.int32)
+    kw = dict(width=w, height=h, qp=30, lmcs=True,
+              lmcs_chroma_scaling=crs)
+    if tools:
+        kw.update(sao=True, deblocking_disabled=False, mts_intra=True,
+                  lfnst=True, mip=True, isp=True, joint_cbcr=True)
+    cfg = VVCConfig(**kw)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    qt = np.full((h // 8, w // 8), 2, np.int32)
+    bs, recon = enc.encode_frame(y, u, v, qt_map=qt, poc=0)
+    bit = tmp_path / "lmcs.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        d[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
