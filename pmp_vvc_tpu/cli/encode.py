@@ -60,6 +60,10 @@ def main(argv=None):
                     help="luma mapping with chroma scaling (AI dQP model)")
     ap.add_argument("--no-crs", action="store_true",
                     help="disable LMCS chroma residual scaling")
+    ap.add_argument("--alf", action="store_true",
+                    help="adaptive loop filter (fixed + per-frame APS)")
+    ap.add_argument("--ccalf", action="store_true",
+                    help="cross-component ALF (implies --alf)")
     ap.add_argument("--recon", default=None, help="write recon YUV here")
     ap.add_argument("--paint-partition", default=None,
                     help="write recon YUV with CU edges painted (debug)")
@@ -108,7 +112,9 @@ def main(argv=None):
                 mip=args.mip, cclm=args.cclm, lfnst=args.lfnst,
                 dep_quant=args.dep_quant, mrl=args.mrl,
                 joint_cbcr=args.jccr, isp=args.isp, lmcs=args.lmcs,
-                lmcs_chroma_scaling=args.lmcs and not args.no_crs)
+                lmcs_chroma_scaling=args.lmcs and not args.no_crs,
+                alf=args.alf or args.ccalf,
+                alf_chroma=args.alf or args.ccalf, ccalf=args.ccalf)
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,

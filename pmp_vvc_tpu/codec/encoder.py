@@ -162,6 +162,7 @@ class CuInfo:
     mip_mode: int = 0
     mip_transpose: bool = False
     cclm: bool = False
+    lm_symbol: int = 0        # getLMSymbolList: 0=LM, 1=MDLM_L, 2=MDLM_T
     mrl: int = 0
     isp: int = 0              # 0 off, 1 HOR, 2 VER
 
@@ -375,18 +376,86 @@ class FrameEncoder:
                     mode -= 1
             self._write_trunc_bin(enc, mode, 67 - NUM_MPM)
 
-    def _write_intra_chroma_mode(self, enc, cclm=False, cclm_allowed=None):
-        """intra_chroma_pred_mode (CABACWriter.cpp:1258-1276)."""
+    def _write_intra_chroma_mode(self, enc, cclm=False, cclm_allowed=None,
+                                 lm_symbol=0):
+        """intra_chroma_pred_mode (CABACWriter.cpp:1258-1276) +
+        intra_chroma_lmc_mode; getLMSymbolList order LM/MDLM_L/MDLM_T."""
         if cclm_allowed is None:
             cclm_allowed = self.cfg.cclm and not self.cfg.dual_tree
         if cclm_allowed:
             enc.encode_bin(1 if cclm else 0, ctx("CclmModeFlag"))
             if cclm:
-                # LM_CHROMA = symbol 0 of getLMSymbolList
-                enc.encode_bin(0, ctx("CclmModeIdx"))
+                enc.encode_bin(0 if lm_symbol == 0 else 1,
+                               ctx("CclmModeIdx"))
+                if lm_symbol > 0:
+                    enc.encode_bin_ep(lm_symbol - 1)
                 return
         # DM (derived mode): single ctx bin 0
         enc.encode_bin(0, ctx("IntraChromaPredMode"))
+
+    def _mdlm_ext(self, x, y, w, h, coded):
+        """(ext_top, ext_left) extra template lengths in chroma samples
+        for MDLM_T / MDLM_L (above-right / left-below availability runs,
+        capped at min(cW, cH); xGetLumaRecPixels :1731-1744)."""
+        cfg = self.cfg
+        ext_t = ext_l = 0
+        max_units = min(w, h) // 4
+        if y > 0:
+            k = 0
+            while k < max_units:
+                lx = x + w + 4 * k
+                if lx >= cfg.width or not coded[(y - 1) // 4, lx // 4]:
+                    break
+                k += 1
+            ext_t = 2 * k
+        if x > 0:
+            k = 0
+            while k < max_units:
+                ly = y + h + 4 * k
+                if ly >= cfg.height or not coded[ly // 4, (x - 1) // 4]:
+                    break
+                k += 1
+            ext_l = 2 * k
+        return ext_t, ext_l
+
+    def _cclm_candidates(self, x, y, w, h, refs_u, refs_v, coded):
+        """LM/MDLM_L/MDLM_T predictions: list of (symbol, pred_u, pred_v).
+
+        (x, y, w, h) luma coords of the chroma CU; refs_u/refs_v the
+        substituted chroma reference tuples from _refs_for_block."""
+        cfg = self.cfg
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        la, aa = cx > 0, cy > 0
+        interior, dsa, dsl = cclm_ops.downsample_luma(
+            self.recon_y, cx, cy, cw, chh, la, aa, 128)
+        out = []
+
+        def pred_pair(param_fn):
+            preds = []
+            for refs_c in (refs_u, refs_v):
+                a, b, sh = param_fn(np.asarray(refs_c[0][0]),
+                                    np.asarray(refs_c[1][0]))
+                preds.append(cclm_ops.cclm_pred(interior, a, b, sh,
+                                                cfg.bit_depth))
+            return preds
+
+        out.append((0, *pred_pair(
+            lambda t, l: cclm_ops.lm_parameters(
+                dsa, dsl, t, l, cw, chh, aa, la, cfg.bit_depth))))
+        ext_t, ext_l = self._mdlm_ext(x, y, w, h, coded)
+        al = chh + min(ext_l, cw) if la else 0       # MDLM_L template
+        at = cw + min(ext_t, chh) if aa else 0       # MDLM_T template
+        ds_left_ext = cclm_ops.downsample_left(self.recon_y, cx, cy, al) \
+            if al else None
+        ds_above_ext = cclm_ops.downsample_above(
+            self.recon_y, cx, cy, at, la, 128) if at else None
+        out.append((1, *pred_pair(
+            lambda t, l: cclm_ops.mdlm_parameters(
+                False, ds_left_ext, l, al, cfg.bit_depth))))
+        out.append((2, *pred_pair(
+            lambda t, l: cclm_ops.mdlm_parameters(
+                True, ds_above_ext, t, at, cfg.bit_depth))))
+        return out
 
     def _cclm_allowed_dual(self, split_path):
         """checkCCLMAllowed, dual tree, CTU 128 (Unit.cpp:378-443).
@@ -1093,17 +1162,6 @@ class FrameEncoder:
 
         cclm_ok = cfg.cclm and self._cclm_allowed_dual(split_path)
         if cclm_ok:
-            la, aa = cx > 0, cy > 0
-            interior, dsa, dsl = cclm_ops.downsample_luma(
-                self.recon_y, cx, cy, cw, chh, la, aa, 128)
-            lm_preds = []
-            for refs_c in (refs_u, refs_v):
-                a, b, sh = cclm_ops.lm_parameters(
-                    dsa, dsl, np.asarray(refs_c[0][0]),
-                    np.asarray(refs_c[1][0]), cw, chh, aa, la,
-                    cfg.bit_depth)
-                lm_preds.append(cclm_ops.cclm_pred(interior, a, b, sh,
-                                                   cfg.bit_depth))
             o_u = self._org_u[cy:cy + chh, cx:cx + cw]
             o_v = self._org_v[cy:cy + chh, cx:cx + cw]
 
@@ -1112,12 +1170,18 @@ class FrameEncoder:
                     jnp.asarray(o)[None, None],
                     jnp.asarray(pr, jnp.int32)[None, None],
                     bit_depth=cfg.bit_depth))[0, 0])
-            if (_sc(o_u, lm_preds[0]) + _sc(o_v, lm_preds[1])
-                    < _sc(o_u, pred_u) + _sc(o_v, pred_v)):
-                cu.cclm = True
+            best = _sc(o_u, pred_u) + _sc(o_v, pred_v)
+            for sym, pu_, pv_ in self._cclm_candidates(
+                    x, y, w, h, refs_u, refs_v, self.coded_c):
+                c = _sc(o_u, pu_) + _sc(o_v, pv_)
+                if c < best:
+                    best = c
+                    cu.cclm = True
+                    cu.lm_symbol = sym
+                    pred_u = pu_.astype(np.int32)
+                    pred_v = pv_.astype(np.int32)
+            if cu.cclm:
                 self.n_cclm += 1
-                pred_u = lm_preds[0].astype(np.int32)
-                pred_v = lm_preds[1].astype(np.int32)
         qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
         qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
             + cfg.chroma_qp_offset
@@ -1143,7 +1207,8 @@ class FrameEncoder:
 
         # chroma-tree CU syntax: intra_chroma_pred_mode, then TU
         self._write_intra_chroma_mode(enc, cclm=cu.cclm,
-                                      cclm_allowed=cclm_ok)
+                                      cclm_allowed=cclm_ok,
+                                      lm_symbol=cu.lm_symbol)
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
         cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
@@ -1263,18 +1328,6 @@ class FrameEncoder:
         org_cu = org_u[cy:cy + chh, cx:cx + cw]
         org_cv = org_v[cy:cy + chh, cx:cx + cw]
         if cfg.cclm and not cfg.dual_tree:
-            la, aa = cx > 0, cy > 0
-            interior, dsa, dsl = cclm_ops.downsample_luma(
-                self.recon_y, cx, cy, cw, chh, la, aa, 128)
-            lm_preds = []
-            for refs_c in (refs_u, refs_v):
-                a, b, sh = cclm_ops.lm_parameters(
-                    dsa, dsl, np.asarray(refs_c[0][0]),
-                    np.asarray(refs_c[1][0]), cw, chh, aa, la,
-                    cfg.bit_depth)
-                lm_preds.append(cclm_ops.cclm_pred(interior, a, b, sh,
-                                                   cfg.bit_depth))
-
             def _satd2(o1, p1, o2, p2):
                 return (int(np.asarray(satd_kernel(
                     jnp.asarray(o1)[None, None],
@@ -1284,12 +1337,18 @@ class FrameEncoder:
                         jnp.asarray(o2)[None, None],
                         jnp.asarray(p2, jnp.int32)[None, None],
                         bit_depth=cfg.bit_depth))[0, 0]))
-            if _satd2(org_cu, lm_preds[0], org_cv, lm_preds[1]) \
-                    < _satd2(org_cu, pred_u, org_cv, pred_v):
-                cu.cclm = True
+            best = _satd2(org_cu, pred_u, org_cv, pred_v)
+            for sym, pu_, pv_ in self._cclm_candidates(
+                    x, y, w, h, refs_u, refs_v, self.coded):
+                c = _satd2(org_cu, pu_, org_cv, pv_)
+                if c < best:
+                    best = c
+                    cu.cclm = True
+                    cu.lm_symbol = sym
+                    pred_u = pu_.astype(np.int32)
+                    pred_v = pv_.astype(np.int32)
+            if cu.cclm:
                 self.n_cclm += 1
-                pred_u = lm_preds[0].astype(np.int32)
-                pred_v = lm_preds[1].astype(np.int32)
 
         crs = self._crs_scale(x, y, cw, chh)
         cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
@@ -1322,18 +1381,12 @@ class FrameEncoder:
                 self.recon_y[y:y + h, x:x + w] = rec_y
                 if cu.cclm:
                     # CCLM prediction read the old luma recon: recompute
-                    interior, dsa, dsl = cclm_ops.downsample_luma(
-                        self.recon_y, cx, cy, cw, chh, cx > 0, cy > 0, 128)
-                    lm_preds = []
-                    for refs_c in (refs_u, refs_v):
-                        a, b, sh = cclm_ops.lm_parameters(
-                            dsa, dsl, np.asarray(refs_c[0][0]),
-                            np.asarray(refs_c[1][0]), cw, chh, cy > 0,
-                            cx > 0, cfg.bit_depth)
-                        lm_preds.append(cclm_ops.cclm_pred(
-                            interior, a, b, sh, cfg.bit_depth))
-                    pred_u = lm_preds[0].astype(np.int32)
-                    pred_v = lm_preds[1].astype(np.int32)
+                    for sym, pu_, pv_ in self._cclm_candidates(
+                            x, y, w, h, refs_u, refs_v, self.coded):
+                        if sym == cu.lm_symbol:
+                            pred_u = pu_.astype(np.int32)
+                            pred_v = pv_.astype(np.int32)
+                            break
                     cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
                         rc, org_cu, pred_u, cx, cy, cw, chh, qp_c, False,
                         chroma_scale=crs)
@@ -1361,7 +1414,8 @@ class FrameEncoder:
         # ---- syntax: coding_unit ----
         # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm
         self._write_intra_luma_mode(enc, cu)
-        self._write_intra_chroma_mode(enc, cclm=cu.cclm)
+        self._write_intra_chroma_mode(enc, cclm=cu.cclm,
+                                      lm_symbol=cu.lm_symbol)
         cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
         if isp_trial is not None:
             # ISP transform tree: sub-TUs 0..n-2 luma-only; the last
@@ -1580,7 +1634,7 @@ class FrameEncoder:
                         if state.qt_depth < pred:
                             return Split.QT
                     return Split.NONE
-        record = cfg.sao or collect_bin_stats
+        record = cfg.sao or cfg.alf or collect_bin_stats
         if record:
             # pass 1 records bins; the final pass interleaves SAO CTU
             # syntax once the filtered recon is known (EncSlice 2-pass)
@@ -1645,27 +1699,102 @@ class FrameEncoder:
         if record and collect_bin_stats:
             from ..utils.stats import bin_stats
             self.bin_stats = bin_stats(enc.ops)
-        if record and not cfg.sao:
-            # replay into a real coder (no SAO syntax to interleave)
+        if record and not cfg.sao and not cfg.alf:
+            # replay into a real coder (no CTU syntax to interleave)
             rec_enc = enc
             enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
             rec_enc.replay(enc, 0, len(rec_enc.ops))
-        if cfg.sao:
-            recs = [self.recon_y, self.recon_u, self.recon_v]
-            # SAO compares against the ORIGINAL (unmapped) planes
-            sao_params = decide_sao_frame((y_orig, org[1], org[2]), recs,
-                                          128, cfg.qp,
-                                          bit_depth=cfg.bit_depth)
-            apply_sao_frame(recs, sao_params, 128, bit_depth=cfg.bit_depth)
-            # pass 2: real CABAC with SAO syntax at each CTU start
+        if cfg.sao or cfg.alf:
+            sao_params = None
+            if cfg.sao:
+                recs = [self.recon_y, self.recon_u, self.recon_v]
+                # SAO compares against the ORIGINAL (unmapped) planes
+                sao_params = decide_sao_frame((y_orig, org[1], org[2]),
+                                              recs, 128, cfg.qp,
+                                              bit_depth=cfg.bit_depth)
+                apply_sao_frame(recs, sao_params, 128,
+                                bit_depth=cfg.bit_depth)
+            alf_flags = alf_sets = None
+            alf_cb = alf_cr = None
+            self._alf_aps = None
+            if cfg.alf:
+                from .alf import (alf_aps_nal, decide_alf_chroma,
+                                  decide_alf_luma, decide_ccalf,
+                                  derive_ccalf_filter,
+                                  derive_chroma_filter,
+                                  derive_luma_filters, pad4,
+                                  reconstruct_coeff)
+                lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+                extra = None
+                luma_raw = chroma_raw = None
+                # CC-ALF reads the PRE-ALF luma (tmpYuv in ALFProcess)
+                luma_pre_pad = pad4(self.recon_y) if cfg.ccalf else None
+                if cfg.alf_chroma:
+                    # derive per-frame Wiener filters, signal via ALF APS
+                    luma_raw = derive_luma_filters(
+                        y_orig, self.recon_y, cfg.bit_depth, 128)
+                    chroma_raw = derive_chroma_filter(
+                        org[1], org[2], self.recon_u, self.recon_v,
+                        cfg.bit_depth, 128)
+                    extra = [reconstruct_coeff(
+                        luma_raw, None, cfg.bit_depth, 25,
+                        delta_idx=np.arange(25))]
+                alf_flags, alf_sets, new_y = decide_alf_luma(
+                    y_orig, self.recon_y, cfg.bit_depth, 128, lam,
+                    extra_sets=extra)
+                self.recon_y = new_y.astype(np.int32)
+                if cfg.alf_chroma:
+                    ccoeff, cclip = reconstruct_coeff(
+                        chroma_raw[None, :], None, cfg.bit_depth, 1)
+                    alf_cb, new_u = decide_alf_chroma(
+                        org[1], self.recon_u, ccoeff[0], cclip[0],
+                        cfg.bit_depth, 128, lam)
+                    alf_cr, new_v = decide_alf_chroma(
+                        org[2], self.recon_v, ccoeff[0], cclip[0],
+                        cfg.bit_depth, 128, lam)
+                    self.recon_u = new_u.astype(np.int32)
+                    self.recon_v = new_v.astype(np.int32)
+                cc_cb = cc_cr = None
+                ccalf_cb_coeff = ccalf_cr_coeff = None
+                if cfg.ccalf:
+                    ccalf_cb_coeff = derive_ccalf_filter(
+                        org[1], self.recon_u, luma_pre_pad,
+                        cfg.bit_depth, 128)
+                    ccalf_cr_coeff = derive_ccalf_filter(
+                        org[2], self.recon_v, luma_pre_pad,
+                        cfg.bit_depth, 128)
+                    cc_cb, new_u = decide_ccalf(
+                        org[1], self.recon_u, luma_pre_pad,
+                        ccalf_cb_coeff, cfg.bit_depth, 128, lam)
+                    cc_cr, new_v = decide_ccalf(
+                        org[2], self.recon_v, luma_pre_pad,
+                        ccalf_cr_coeff, cfg.bit_depth, 128, lam)
+                    self.recon_u = new_u.astype(np.int32)
+                    self.recon_v = new_v.astype(np.int32)
+                if cfg.alf_chroma or cfg.ccalf:
+                    self._alf_aps = alf_aps_nal(
+                        luma_raw, chroma_raw,
+                        ccalf_cb=ccalf_cb_coeff, ccalf_cr=ccalf_cr_coeff)
+                self.n_alf = int(alf_flags.sum())
+            # pass 2: real CABAC with SAO/ALF CTU syntax interleaved
             rec_enc = enc
             enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
             marks = rec_enc.ctu_marks + [len(rec_enc.ops)]
             i = 0
             for cty in range(n_ctu_y):
                 for cx_i in range(n_ctu_x):
-                    write_sao_ctu(enc, sao_params[i], cx_i > 0, cty > 0,
-                                  cfg.bit_depth)
+                    if cfg.sao:
+                        write_sao_ctu(enc, sao_params[i], cx_i > 0,
+                                      cty > 0, cfg.bit_depth)
+                    if cfg.alf:
+                        from .alf import write_alf_ctu, write_ccalf_ctu
+                        write_alf_ctu(enc, ctx, cty, cx_i,
+                                      alf_flags, alf_sets,
+                                      num_aps=1 if cfg.alf_chroma else 0,
+                                      flags_cb=alf_cb, flags_cr=alf_cr)
+                        if cfg.ccalf:
+                            write_ccalf_ctu(enc, ctx, cty, cx_i,
+                                            cc_cb, cc_cr)
                     rec_enc.replay(enc, marks[i], marks[i + 1])
                     i += 1
         enc.encode_bin_trm(1)          # end_of_slice_one_bit
@@ -1679,6 +1808,8 @@ class FrameEncoder:
             if self.reshaper is not None:
                 from .lmcs import lmcs_aps_nal
                 out += lmcs_aps_nal(self.reshaper.model)
+        if getattr(self, "_alf_aps", None):
+            out += self._alf_aps          # per-frame derived ALF filters
         out += slice_nal(cfg, poc, slice_data)
         out += decoded_picture_hash_sei(
             (self.recon_y, self.recon_u, self.recon_v), cfg.bit_depth)

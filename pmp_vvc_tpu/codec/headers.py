@@ -52,6 +52,8 @@ class VVCConfig:
     # tools (all default-off for the minimal config)
     sao: bool = False
     alf: bool = False
+    ccalf: bool = False
+    alf_chroma: bool = False       # slice_alf_cb/cr (needs a chroma APS)
     lmcs: bool = False
     lmcs_chroma_scaling: bool = False   # ph_chroma_residual_scale_flag
     lmcs_offset: int = 2                # lmcs_delta_abs_crs (CTC LMCSOffset)
@@ -163,6 +165,8 @@ def write_sps(cfg: VVCConfig) -> bytes:
     bw.write_uvlc(0)                   # delta_qp_diff_val[0]
     bw.write_flag(cfg.sao)
     bw.write_flag(cfg.alf)
+    if cfg.alf:
+        bw.write_flag(cfg.ccalf)   # sps_ccalf_enabled_flag (chroma != 400)
     bw.write_flag(cfg.lmcs)
     bw.write_flag(0)                   # sps_weighted_pred_flag
     bw.write_flag(0)                   # sps_weighted_bipred_flag
@@ -285,6 +289,23 @@ def write_slice_header(cfg: VVCConfig, poc: int) -> BitWriter:
     write_picture_header(bw, cfg, poc)
     # slice_type not coded (intra-only picture); IDR -> no_output_of_prior
     bw.write_flag(0)                   # sh_no_output_of_prior_pics_flag
+    if cfg.alf:
+        bw.write_flag(1)               # slice_alf_enabled_flag
+        if cfg.alf_chroma:
+            bw.write(1, 3)             # slice_num_alf_aps_ids_luma
+            bw.write(0, 3)             # slice_alf_aps_id_luma[0]
+            bw.write(1, 1)             # slice_alf_cb_enabled_flag
+            bw.write(1, 1)             # slice_alf_cr_enabled_flag
+            bw.write(0, 3)             # slice_alf_aps_id_chroma
+        else:
+            bw.write(0, 3)             # fixed luma filter sets only
+            bw.write(0, 1)             # slice_alf_cb_enabled_flag
+            bw.write(0, 1)             # slice_alf_cr_enabled_flag
+        if cfg.ccalf:
+            bw.write_flag(1)           # slice_cc_alf_cb_enabled_flag
+            bw.write(0, 3)             # slice_cc_alf_cb_aps_id
+            bw.write_flag(1)           # slice_cc_alf_cr_enabled_flag
+            bw.write(0, 3)             # slice_cc_alf_cr_aps_id
     # no alf/lmcs/scaling/rpl/cabac-init/tmvp/wp blocks
     bw.write_svlc(0)                   # sh_qp_delta (sliceQp == pps init)
     # no chroma qp offsets / cu chroma qp adj (pps flags 0)

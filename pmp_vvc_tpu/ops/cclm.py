@@ -136,3 +136,54 @@ def lm_parameters(ds_above, ds_left, top_ref, left_ref, w_c, h_c,
 def cclm_pred(interior, a, b, shift, bit_depth=10):
     p = ((a * interior) >> shift) + b
     return np.clip(p, 0, (1 << bit_depth) - 1)
+
+
+# ---------------------------------------------------------------------------
+# MDLM_L / MDLM_T (directional CCLM with extended single-side templates)
+# ---------------------------------------------------------------------------
+
+def downsample_above(recon_y, x_c, y_c, n, left_avail, ctu_size=128):
+    """Downsampled above-template row: ``n`` chroma samples starting at
+    chroma x_c (extends into above-right for MDLM_T)."""
+    L = np.asarray(recon_y, np.int64)
+    lx, ly = 2 * x_c, 2 * y_c
+    idx = lx + 2 * np.arange(n)
+    lidx = idx - 1
+    if not left_avail:
+        lidx = lidx.copy()
+        lidx[0] = idx[0]
+    if ly % ctu_size == 0:              # CTU top row: 3-tap single line
+        r = L[ly - 1]
+        return (2 + 2 * r[idx] + r[idx + 1] + r[lidx]) >> 2
+    a, b = L[ly - 2], L[ly - 1]
+    return (4 + 2 * a[idx] + a[idx + 1] + a[lidx]
+            + 2 * b[idx] + b[idx + 1] + b[lidx]) >> 3
+
+
+def downsample_left(recon_y, x_c, y_c, n):
+    """Downsampled left-template column: ``n`` chroma samples from y_c
+    (extends into left-below for MDLM_L)."""
+    L = np.asarray(recon_y, np.int64)
+    lx, ly = 2 * x_c, 2 * y_c
+    j2 = ly + 2 * np.arange(n)
+    a = L[j2, lx - 2]
+    a1 = L[j2, lx - 1]
+    a3 = L[j2, lx - 3]
+    b = L[j2 + 1, lx - 2]
+    b1 = L[j2 + 1, lx - 1]
+    b3 = L[j2 + 1, lx - 3]
+    return (4 + 2 * a + a1 + a3 + 2 * b + b1 + b3) >> 3
+
+
+def mdlm_parameters(mode_t, ds_line, chroma_ref, actual_n,
+                    bit_depth=10):
+    """xGetLMParameters for MDLM_T (mode_t=True) / MDLM_L: single-side
+    template of ``actual_n`` samples; the other side forced unavailable
+    (IntraPrediction.cpp:1731-1744)."""
+    if actual_n <= 0:
+        return 0, 1 << (bit_depth - 1), 0
+    if mode_t:
+        return lm_parameters(ds_line, None, chroma_ref, None,
+                             actual_n, 0, True, False, bit_depth)
+    return lm_parameters(None, ds_line, None, chroma_ref,
+                         0, actual_n, False, True, bit_depth)

@@ -638,3 +638,94 @@ def test_lmcs_bit_exact(tmp_path, crs, tools):
         d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         d[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+@pytest.mark.parametrize("mode", ["fixed", "aps", "ccalf", "full"])
+def test_alf_bit_exact(tmp_path, mode):
+    """ALF: 4x4 gradient classification + 7x7/5x5 diamond filtering with
+    virtual-boundary handling; fixed filter sets, per-frame Wiener APS
+    filters (luma 25-class + chroma), and CC-ALF — all through the stock
+    decoder."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    rng = np.random.RandomState(5)
+    w, h = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(500 + 300 * np.sin(xx / 7.) * np.cos(yy / 9.)
+                + rng.randn(h, w) * 40, 0, 1023).astype(np.int32)
+    u = np.clip(512 + (y[::2, ::2] - 512) // 3
+                + rng.randn(h // 2, w // 2) * 20, 0, 1023).astype(np.int32)
+    v = np.clip(512 - (y[::2, ::2] - 512) // 4
+                + rng.randn(h // 2, w // 2) * 20, 0, 1023).astype(np.int32)
+    kw = dict(width=w, height=h, qp=32, alf=True)
+    if mode == "aps":
+        kw.update(alf_chroma=True)
+    elif mode == "ccalf":
+        kw.update(ccalf=True)
+    elif mode == "full":
+        kw.update(alf_chroma=True, ccalf=True, sao=True,
+                  deblocking_disabled=False, lmcs=True,
+                  lmcs_chroma_scaling=True)
+    cfg = VVCConfig(**kw)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    qt = np.full((h // 8, w // 8), 2, np.int32)
+    bs, recon = enc.encode_frame(y, u, v, qt_map=qt, poc=0)
+    bit = tmp_path / "alf.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        d[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_mdlm_bit_exact(tmp_path):
+    """MDLM_L / MDLM_T: directional CCLM with extended single-side
+    templates (above-right / left-below availability runs) and the
+    intra_chroma_lmc_mode symbol coding."""
+    from pmp_vvc_tpu.codec import encoder as E
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    rng = np.random.RandomState(7)
+    w, h = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(200 + (xx * 6) % 700 + rng.randn(h, w) * 20,
+                0, 1023).astype(np.int32)
+    u = np.clip(512 + (y[::2, ::2] - 512) // 2, 0, 1023).astype(np.int32)
+    v = np.clip(512 - (y[::2, ::2] - 512) // 3, 0, 1023).astype(np.int32)
+    cfg = VVCConfig(width=w, height=h, qp=32, cclm=True)
+    enc = E.FrameEncoder(cfg, mode_select="satd", rmd_modes=(0, 1, 18, 50))
+    syms = {0: 0, 1: 0, 2: 0}
+    old_write = E.FrameEncoder._write_intra_chroma_mode
+
+    def patched(self, e, cclm=False, cclm_allowed=None, lm_symbol=0):
+        if cclm:
+            syms[lm_symbol] += 1
+        return old_write(self, e, cclm, cclm_allowed, lm_symbol)
+    enc._write_intra_chroma_mode = patched.__get__(enc)
+    qt = np.full((h // 8, w // 8), 3, np.int32)
+    bs, recon = enc.encode_frame(y, u, v, qt_map=qt, poc=0)
+    assert syms[1] + syms[2] > 0, syms     # MDLM actually chosen
+    bit = tmp_path / "mdlm.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+    np.testing.assert_array_equal(
+        d[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])

@@ -147,5 +147,35 @@ def main():
     print("lfnst.npz:", {k: v.shape for k, v in lf.items()})
 
 
-if __name__ == "__main__":
+def _main_with_alf():
     main()
+    extract_alf_fixed(DEFAULT_VTM)
+
+
+if __name__ == "__main__":
+    _main_with_alf()
+
+
+def extract_alf_fixed(vtm: pathlib.Path):
+    """ALF fixed filter sets + class mapping (AdaptiveLoopFilter.cpp:212-298,
+    normative H.266 tables 8.x)."""
+    text = (vtm / "AdaptiveLoopFilter.cpp").read_text()
+
+    def grab(name):
+        m = re.search(re.escape(name) + r"[^=]*=\s*\{(.*?)\n\};",
+                      text, re.S)
+        assert m, name
+        rows = re.findall(r"\{([^{}]*)\}", m.group(1))
+        return np.array([[int(v) for v in r.replace("//", " ").split(",")
+                          if v.strip().lstrip("-").isdigit()]
+                         for r in rows], np.int32)
+
+    coeff = grab("m_fixedFilterSetCoeff[ALF_FIXED_FILTER_NUM]")
+    mapping = grab("m_classToFilterMapping[NUM_FIXED_FILTER_SETS]")
+    assert coeff.shape == (64, 13), coeff.shape
+    coeff = coeff[:, :12]   # 13th entry is a zero placeholder
+    assert mapping.shape == (16, 25), mapping.shape
+    np.savez(OUT_DIR / "alf_fixed.npz", coeff=coeff, mapping=mapping)
+    print("alf_fixed.npz", coeff.shape, mapping.shape)
+
+
