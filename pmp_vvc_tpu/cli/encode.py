@@ -50,6 +50,8 @@ def main(argv=None):
                     help="low-frequency non-separable transform")
     ap.add_argument("--dep-quant", action="store_true",
                     help="dependent quantization (Viterbi TCQ)")
+    ap.add_argument("--sign-hiding", action="store_true",
+                    help="sign-data hiding (mutually excl. with dep-quant)")
     ap.add_argument("--mrl", action="store_true",
                     help="multi-reference-line intra (lines 1/2)")
     ap.add_argument("--jccr", action="store_true",
@@ -110,7 +112,8 @@ def main(argv=None):
 
     filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao,
                 mip=args.mip, cclm=args.cclm, lfnst=args.lfnst,
-                dep_quant=args.dep_quant, mrl=args.mrl,
+                dep_quant=args.dep_quant, sign_hiding=args.sign_hiding,
+                mrl=args.mrl,
                 joint_cbcr=args.jccr, isp=args.isp, lmcs=args.lmcs,
                 lmcs_chroma_scaling=args.lmcs and not args.no_crs,
                 alf=args.alf or args.ccalf,

@@ -710,6 +710,9 @@ class FrameEncoder:
         else:
             lev = np.asarray(quantize(jnp.asarray(coef)[None], w=w, h=h,
                                       qp=qp, bit_depth=bd))[0]
+            if self.cfg.sign_hiding:
+                from .residual import apply_sign_hiding
+                lev = apply_sign_hiding(lev, coef, w, h, qp, bd)
         if lev.any():
             if self.cfg.dep_quant:
                 deq = dq_ops.dep_dequant(lev, scan, w=w, h=h, qp=qp,
@@ -1641,7 +1644,10 @@ class FrameEncoder:
             enc = RecordingEncoder()
         else:
             enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
-        rc = ResidualCoder(enc, dep_quant=cfg.dep_quant)
+        assert not (cfg.dep_quant and cfg.sign_hiding), \
+            "dep-quant and sign-hiding are mutually exclusive per slice"
+        rc = ResidualCoder(enc, dep_quant=cfg.dep_quant,
+                           sign_hiding=cfg.sign_hiding)
         y_orig = y.astype(np.int32)
         self._vpdu_adj = {}
         if self.reshaper is not None:

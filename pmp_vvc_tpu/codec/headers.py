@@ -315,7 +315,8 @@ def write_slice_header(cfg: VVCConfig, poc: int) -> BitWriter:
     # no deblock override (pps override disabled)
     if cfg.dep_quant:
         bw.write_flag(1)               # sh_dep_quant_used_flag
-    # sign-hide flag absent (sps off or dep-quant on); no ts flag
+    if cfg.sign_hiding and not cfg.dep_quant:
+        bw.write_flag(1)               # sh_sign_data_hiding_used_flag
     return bw
 
 

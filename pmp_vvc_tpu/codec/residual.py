@@ -395,3 +395,75 @@ class ResidualCoder:
         if num_signs:
             enc.encode_bins_ep(sign_pattern, num_signs)
         return state, rem_reg_bins
+
+
+def apply_sign_hiding(lev, coef, w, h, qp, bit_depth=10):
+    """Sign-bit-hiding level adjustment (Quant::xSignBitHidingHDQ).
+
+    Per coefficient group with lastNZ-firstNZ >= SBH_THRESHOLD(4), the
+    decoder infers sign(first nz) from the parity of the CG's absolute
+    level sum; adjust one level by +-1 (minimum dequantisation-error
+    choice) when the parity disagrees. Returns the adjusted levels.
+    """
+    from ..ops.quant import INV_QUANT_SCALES, IQUANT_SHIFT, _geom
+    t_shift, sqrt2 = _geom(w, h, bit_depth)
+    iscale = int(INV_QUANT_SCALES[sqrt2][qp % 6])
+    rshift = IQUANT_SHIFT - ((t_shift - sqrt2) + qp // 6)
+
+    def deq(level):
+        if rshift > 0:
+            return (level * iscale + (1 << (rshift - 1))) >> rshift
+        return (level * iscale) << (-rshift)
+
+    lev = np.asarray(lev).copy()
+    flat_l = lev.reshape(-1)
+    flat_c = np.asarray(coef).reshape(-1)
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
+    log2_cg = cgl2w + cgl2h
+    scan = grouped_scan(w, h)[:, 0]
+    n_cg = len(scan) >> log2_cg
+    for sub in range(n_cg):
+        idxs = scan[sub << log2_cg:(sub + 1) << log2_cg]
+        levels = flat_l[idxs].astype(np.int64)
+        nz = np.nonzero(levels)[0]
+        if nz.size == 0:
+            continue
+        first, last = int(nz[0]), int(nz[-1])
+        if last - first < 4:
+            continue
+        parity = int(np.abs(levels).sum()) & 1
+        want = 1 if levels[first] < 0 else 0
+        if parity == want:
+            continue
+        best = None
+        for k in range(len(idxs)):
+            c = int(flat_c[idxs[k]])
+            for d in (1, -1):
+                nl = int(levels[k]) + d
+                if abs(nl) > 32767:
+                    continue
+                if levels[k] == 0:
+                    # only create a coefficient matching the source sign
+                    if c == 0 or (c > 0) != (nl > 0):
+                        continue
+                trial = levels.copy()
+                trial[k] = nl
+                tnz = np.nonzero(trial)[0]
+                if tnz.size == 0:
+                    continue
+                tf, tl = int(tnz[0]), int(tnz[-1])
+                if tl - tf >= 4:
+                    p = int(np.abs(trial).sum()) & 1
+                    ws = 1 if trial[tf] < 0 else 0
+                    if p != ws:
+                        continue
+                err_new = (deq(nl) - c) ** 2
+                err_old = (deq(int(levels[k])) - c) ** 2
+                delta = err_new - err_old
+                if best is None or delta < best[0]:
+                    best = (delta, k, nl)
+        if best is not None:
+            levels[best[1]] = best[2]
+            flat_l[idxs] = levels
+    return lev

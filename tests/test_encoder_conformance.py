@@ -729,3 +729,31 @@ def test_mdlm_bit_exact(tmp_path):
         d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
     np.testing.assert_array_equal(
         d[w * h + w * h // 4:].reshape(h // 2, w // 2), recon[2])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_sign_data_hiding_bit_exact(tmp_path):
+    """SDH: per-CG hidden first sign via abs-sum parity; encoder-side
+    minimum-error level adjustment (xSignBitHidingHDQ counterpart)."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    y, u, v = _synth(192, 128, seed=13)
+    w, h = 192, 128
+    cfg = VVCConfig(width=w, height=h, qp=27, sign_hiding=True,
+                    mts_intra=True, sao=True, deblocking_disabled=False)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    qt = np.full((h // 8, w // 8), 2, np.int32)
+    bs, recon = enc.encode_frame(y, u, v, qt_map=qt, poc=0)
+    bit = tmp_path / "sdh.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
+    np.testing.assert_array_equal(
+        d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
