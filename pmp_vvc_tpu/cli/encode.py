@@ -19,6 +19,26 @@ import time
 import numpy as np
 
 
+def _encode_frame_job(payload):
+    """Worker: encode one frame (AI frames are independent, so the frame
+    axis is the natural host-parallel dimension; chips-parallel batching
+    happens inside each frame's kernels)."""
+    cfg_dict, mode_select, (y, u, v), poc, map_entry, mtt, stats = payload
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from ..codec.encoder import FrameEncoder
+    from ..codec.headers import VVCConfig
+    cfg = VVCConfig(**cfg_dict)
+    enc = FrameEncoder(cfg, mode_select=mode_select)
+    kw = dict(poc=poc, collect_bin_stats=stats)
+    kind, m = map_entry
+    if kind == "maps":
+        bs, recon = enc.encode_frame(y, u, v, maps=m, **kw)
+    else:
+        bs, recon = enc.encode_frame(y, u, v, qt_map=m, **kw)
+    return poc, bs, recon, list(enc.leaf_l), enc.bin_stats
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -71,6 +91,9 @@ def main(argv=None):
                     help="write recon YUV with CU edges painted (debug)")
     ap.add_argument("--bit-stats", action="store_true",
                     help="print per-syntax-class bin statistics")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="frame-parallel worker processes (AI frames are "
+                         "independent)")
     args = ap.parse_args(argv)
 
     import jax
@@ -124,33 +147,43 @@ def main(argv=None):
                         max_tt_intra=32, **filt)
     else:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, **filt)
-    enc = FrameEncoder(cfg, mode_select=args.mode_select)
 
     out = bytearray()
     recons = []
     leafs = []
     stats = []
     t0 = time.time()
+    import dataclasses
+    cfg_dict = dataclasses.asdict(cfg)
+    payloads = []
     for f in range(y.shape[0]):
-        kw = dict(poc=f, collect_bin_stats=args.bit_stats)
         if maps_per_frame is not None:
             m = maps_per_frame[min(f, len(maps_per_frame) - 1)]
-            if args.mtt:
-                bs, recon = enc.encode_frame(y[f], u[f], v[f], maps=m, **kw)
-            else:
-                bs, recon = enc.encode_frame(y[f], u[f], v[f], qt_map=m[2],
-                                             **kw)
+            entry = ("maps", m) if args.mtt else ("qt", m[2])
         else:
-            qt = np.full((h // 8, w // 8), args.qt_depth, np.int32)
-            bs, recon = enc.encode_frame(y[f], u[f], v[f], qt_map=qt, **kw)
-        if args.bit_stats and enc.bin_stats:
+            entry = ("qt", np.full((h // 8, w // 8), args.qt_depth,
+                                   np.int32))
+        payloads.append((cfg_dict, args.mode_select,
+                         (y[f], u[f], v[f]), f, entry, args.mtt,
+                         args.bit_stats))
+
+    if args.jobs > 1 and len(payloads) > 1:
+        # AI frames are independent: fan out across processes
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=args.jobs) as ex:
+            results = list(ex.map(_encode_frame_job, payloads))
+    else:
+        results = [_encode_frame_job(p) for p in payloads]
+
+    from ..utils.visualize import frame_summary
+    for f, bs, recon, leaf_l, bstats in results:
+        if args.bit_stats and bstats:
             from ..utils.stats import print_bin_stats
             print(f"-- POC {f} bin statistics:", file=sys.stderr)
-            print_bin_stats(enc.bin_stats)
+            print_bin_stats(bstats)
         out += bs
         recons.append(recon)
-        leafs.append(list(enc.leaf_l))
-        from ..utils.visualize import frame_summary
+        leafs.append(leaf_l)
         stats.append(frame_summary((y[f], u[f], v[f]), recon, len(bs) * 8))
         print(f"POC {f}: {len(bs)} bytes  "
               f"({time.time() - t0:.1f}s elapsed)", file=sys.stderr)

@@ -68,13 +68,17 @@ def _jit_mip(w, h, bit_depth):
 
 
 @functools.cache
-def _jit_refs(w, h, bit_depth):
-    def f(top_raw, left_raw, at, al, ac, corner):
-        top, left = intra_ops.fill_reference_samples(
-            top_raw, left_raw, at, al, ac, corner, bit_depth=bit_depth)
-        tf, lf = intra_ops.filter_reference_samples(top, left)
-        return top, left, tf, lf
+def _jit_tq(w, h, th, tv, qp, bd):
+    """Fused transform->quant->dequant->inverse roundtrip (one dispatch:
+    the per-TU eager hops dominated the warm encode profile)."""
+    def f(resid):
+        coef = forward_transform(resid[None], th, tv, bit_depth=bd)[0]
+        lev = quantize(coef[None], w=w, h=h, qp=qp, bit_depth=bd)[0]
+        deq = dequantize(lev[None], w=w, h=h, qp=qp, bit_depth=bd)[0]
+        rec = inverse_transform(deq[None], th, tv, bit_depth=bd)[0]
+        return coef, lev, rec
     return jax.jit(f)
+
 
 class RecordingEncoder:
     """Records the bin sequence of a slice-data pass for later replay.
@@ -518,10 +522,34 @@ class FrameEncoder:
         avail_c = avail_row(x - 1, y - 1, 1)
         if avail_c[0]:
             corner[0] = plane[y - 1, x - 1]
-        return _jit_refs(w, h, bit_depth)(
-            jnp.asarray(top_raw), jnp.asarray(left_raw),
-            jnp.asarray(avail_top), jnp.asarray(avail_left),
-            jnp.asarray(avail_c), jnp.asarray(corner))
+        # numpy substitution + smoothing (host-side prep; the jitted
+        # variant cost ~1 ms/TU in dispatch for these tiny arrays)
+        scan_vals = np.concatenate([left_raw[0][::-1], corner,
+                                    top_raw[0]]).astype(np.int64)
+        scan_avail = np.concatenate([avail_left[0][::-1], avail_c,
+                                     avail_top[0]])
+        h2, w2 = 2 * h, 2 * w
+        if not scan_avail.any():
+            filled = np.full(scan_vals.shape, 1 << (bit_depth - 1),
+                             np.int64)
+        else:
+            idx = np.where(scan_avail, np.arange(len(scan_vals)), -1)
+            idx = np.maximum.accumulate(idx)
+            idx[idx < 0] = int(np.argmax(scan_avail))
+            filled = scan_vals[idx]
+        left = filled[:h2 + 1][::-1]
+        top = filled[h2:]
+        top = np.concatenate([top, top[-1:], top[-1:]])[None]
+        left = np.concatenate([left, left[-1:], left[-1:]])[None]
+
+        def smooth(row):
+            mid = (row[:, :-2] + 2 * row[:, 1:-1] + row[:, 2:] + 2) >> 2
+            last_real = row.shape[1] - 3
+            return np.concatenate(
+                [cref[:, None], mid[:, :last_real - 1], row[:, last_real:]],
+                axis=1)
+        cref = (top[:, 0] + top[:, 1] + left[:, 0] + left[:, 1] + 2) >> 2
+        return top, left, smooth(top), smooth(left)
 
     def _mrl_refs(self, x, y, w, h, mri):
         """Substituted reference line ``mri`` (xFillReferenceSamples with
@@ -695,6 +723,25 @@ class FrameEncoder:
                       intra_mode=0, tr_kinds=None):
         th, tv = tr_kinds if tr_kinds is not None else self._MTS_TR[mts_idx]
         bd = self.cfg.bit_depth
+        if lfnst_idx == 0 and not self.cfg.dep_quant:
+            # fused single-dispatch path (the common case)
+            coef_j, lev_j, rec_j = _jit_tq(w, h, th, tv, qp, bd)(
+                jnp.asarray(resid))
+            lev = np.asarray(lev_j)
+            rec_resid = np.asarray(rec_j)
+            if self.cfg.sign_hiding and lev.any():
+                from .residual import apply_sign_hiding
+                lev2 = apply_sign_hiding(lev, np.asarray(coef_j), w, h,
+                                         qp, bd)
+                if not np.array_equal(lev2, lev):
+                    lev = lev2
+                    deq = np.asarray(dequantize(
+                        jnp.asarray(lev)[None], w=w, h=h, qp=qp,
+                        bit_depth=bd))[0]
+                    rec_resid = np.asarray(inverse_transform(
+                        jnp.asarray(deq)[None], th, tv,
+                        bit_depth=bd))[0]
+            return lev, rec_resid
         coef = np.asarray(forward_transform(
             jnp.asarray(resid)[None], th, tv, bit_depth=bd))[0]
         if lfnst_idx:
@@ -1593,7 +1640,32 @@ class FrameEncoder:
             return split
         return decide
 
-    # ---- frame -----------------------------------------------------------
+    # ---- entropy finalize --------------------------------------------------
+
+    def _finalize_ops(self, ops) -> bytes:
+        """Serialize a recorded bin-op stream to the terminated slice
+        payload: native C arithmetic coder (native/cabac.c) with the
+        Python BinEncoder as reference fallback."""
+        from ..native import cabac_finalize
+        data = cabac_finalize(
+            ops, ContextStore.standard_init(self.cfg.qp, 2))
+        if data is not None:
+            return data
+        enc = BinEncoder(ContextStore.standard_init(self.cfg.qp, 2))
+        for op in ops:
+            k = op[0]
+            if k == "b":
+                enc.encode_bin(op[1], op[2])
+            elif k == "ep":
+                enc.encode_bin_ep(op[1])
+            elif k == "eps":
+                enc.encode_bins_ep(op[1], op[2])
+            else:
+                enc.encode_rem_abs_ep(op[1], op[2], op[3], op[4])
+        enc.encode_bin_trm(1)          # end_of_slice_one_bit
+        enc.finish()
+        return enc.write_stop_bit_and_align()
+
     # ---- frame -----------------------------------------------------------
 
     def encode_frame(self, y, u, v, qt_map=None, maps=None,
@@ -1637,13 +1709,11 @@ class FrameEncoder:
                         if state.qt_depth < pred:
                             return Split.QT
                     return Split.NONE
-        record = cfg.sao or cfg.alf or collect_bin_stats
-        if record:
-            # pass 1 records bins; the final pass interleaves SAO CTU
-            # syntax once the filtered recon is known (EncSlice 2-pass)
-            enc = RecordingEncoder()
-        else:
-            enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
+        # the coding pass always records the bin-op stream: SAO/ALF CTU
+        # syntax is interleaved afterwards (EncSlice 2-pass), and the
+        # stream is serialized by the native C finalizer in one call
+        record = True
+        enc = RecordingEncoder()
         assert not (cfg.dep_quant and cfg.sign_hiding), \
             "dep-quant and sign-hiding are mutually exclusive per slice"
         rc = ResidualCoder(enc, dep_quant=cfg.dep_quant,
@@ -1702,14 +1772,10 @@ class FrameEncoder:
                           bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size)
 
         self.bin_stats = None
-        if record and collect_bin_stats:
+        if collect_bin_stats:
             from ..utils.stats import bin_stats
             self.bin_stats = bin_stats(enc.ops)
-        if record and not cfg.sao and not cfg.alf:
-            # replay into a real coder (no CTU syntax to interleave)
-            rec_enc = enc
-            enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
-            rec_enc.replay(enc, 0, len(rec_enc.ops))
+        final_ops = enc.ops
         if cfg.sao or cfg.alf:
             sao_params = None
             if cfg.sao:
@@ -1782,30 +1848,29 @@ class FrameEncoder:
                         luma_raw, chroma_raw,
                         ccalf_cb=ccalf_cb_coeff, ccalf_cr=ccalf_cr_coeff)
                 self.n_alf = int(alf_flags.sum())
-            # pass 2: real CABAC with SAO/ALF CTU syntax interleaved
+            # pass 2: splice SAO/ALF CTU syntax into the op stream
             rec_enc = enc
-            enc = BinEncoder(ContextStore.standard_init(cfg.qp, 2))
+            pass2 = RecordingEncoder()
             marks = rec_enc.ctu_marks + [len(rec_enc.ops)]
             i = 0
             for cty in range(n_ctu_y):
                 for cx_i in range(n_ctu_x):
                     if cfg.sao:
-                        write_sao_ctu(enc, sao_params[i], cx_i > 0,
+                        write_sao_ctu(pass2, sao_params[i], cx_i > 0,
                                       cty > 0, cfg.bit_depth)
                     if cfg.alf:
                         from .alf import write_alf_ctu, write_ccalf_ctu
-                        write_alf_ctu(enc, ctx, cty, cx_i,
+                        write_alf_ctu(pass2, ctx, cty, cx_i,
                                       alf_flags, alf_sets,
                                       num_aps=1 if cfg.alf_chroma else 0,
                                       flags_cb=alf_cb, flags_cr=alf_cr)
                         if cfg.ccalf:
-                            write_ccalf_ctu(enc, ctx, cty, cx_i,
+                            write_ccalf_ctu(pass2, ctx, cty, cx_i,
                                             cc_cb, cc_cr)
-                    rec_enc.replay(enc, marks[i], marks[i + 1])
+                    pass2.ops.extend(rec_enc.ops[marks[i]:marks[i + 1]])
                     i += 1
-        enc.encode_bin_trm(1)          # end_of_slice_one_bit
-        enc.finish()
-        slice_data = enc.write_stop_bit_and_align()
+            final_ops = pass2.ops
+        slice_data = self._finalize_ops(final_ops)
 
         out = bytearray()
         if poc == 0:

@@ -25,10 +25,20 @@ wait
 # DecoderLib objects (DecLib is referenced by EncLib for recon debugging)
 bash "$(dirname "$0")/build_decoder.sh" "$OUT" >/dev/null 2>&1 || true
 
-ls "$OUT"/*.o | grep -vE "oracle_api|BinDecoder|BinEncoder" > /tmp/enc_objlist.txt
-g++ -o "$OUT/EncoderApp" ./*.o "$OUT"/dec/*.o $(cat /tmp/enc_objlist.txt) 2>/tmp/enc_link_err.txt \
-  || { # DecoderApp main conflicts: drop decoder app objects
-       g++ -o "$OUT/EncoderApp" ./*.o \
-           $(ls "$OUT"/dec/*.o | grep -vE "decmain|DecApp") \
-           $(cat /tmp/enc_objlist.txt); }
+# link object precedence: enc build > dec build (minus app mains) >
+# oracle CommonLib objects, skipping duplicates by basename
+{
+  for o in $(ls "$OUT"/dec/*.o | grep -vE "decmain|DecApp"); do
+    [ -f "./$(basename "$o")" ] && continue
+    echo "$o"
+  done
+  for o in "$OUT"/*.o; do
+    b=$(basename "$o")
+    case "$b" in oracle_api.o|BinDecoder.o|BinEncoder.o) continue;; esac
+    [ -f "./$b" ] && continue
+    [ -f "$OUT/dec/$b" ] && continue
+    echo "$o"
+  done
+} > /tmp/enc_objlist.txt
+g++ -o "$OUT/EncoderApp" ./*.o $(cat /tmp/enc_objlist.txt)
 echo "built $OUT/EncoderApp"
