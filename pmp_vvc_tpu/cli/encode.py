@@ -91,6 +91,8 @@ def main(argv=None):
                     help="write recon YUV with CU edges painted (debug)")
     ap.add_argument("--bit-stats", action="store_true",
                     help="print per-syntax-class bin statistics")
+    ap.add_argument("--ctc-chroma-qp", action="store_true",
+                    help="CTC AI chroma QP mapping table (QP32 -> 34)")
     ap.add_argument("--jobs", type=int, default=1,
                     help="frame-parallel worker processes (AI frames are "
                          "independent)")
@@ -141,6 +143,9 @@ def main(argv=None):
                 lmcs_chroma_scaling=args.lmcs and not args.no_crs,
                 alf=args.alf or args.ccalf,
                 alf_chroma=args.alf or args.ccalf, ccalf=args.ccalf)
+    if args.ctc_chroma_qp:
+        filt.update(chroma_qp_start_minus26=-9,
+                    chroma_qp_points=((9, 12), (4, 5), (11, 7)))
     if args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,

@@ -180,6 +180,9 @@ class FrameEncoder:
         self.mode_select = mode_select
         self.rmd_modes = rmd_modes or tuple(range(67))
         self.qp_table, self.qp_bd_offset = derive_chroma_qp_table(
+            cfg.chroma_qp_start_minus26,
+            tuple(p[0] for p in cfg.chroma_qp_points),
+            tuple(p[1] for p in cfg.chroma_qp_points),
             bit_depth=cfg.bit_depth)
         self.reshaper = None
         if cfg.lmcs:
@@ -729,18 +732,31 @@ class FrameEncoder:
                 jnp.asarray(resid))
             lev = np.asarray(lev_j)
             rec_resid = np.asarray(rec_j)
+            dirty = False
+            if self.cfg.rd_quant and lev.any():
+                from .residual import rd_quant_cleanup
+                lam = 0.57 * 2.0 ** ((self.cfg.qp - 12) / 3.0)
+                lev2 = rd_quant_cleanup(lev, np.asarray(coef_j), w, h,
+                                        qp, bd, lam)
+                dirty = lev2 is not lev
+                lev = lev2
             if self.cfg.sign_hiding and lev.any():
                 from .residual import apply_sign_hiding
                 lev2 = apply_sign_hiding(lev, np.asarray(coef_j), w, h,
                                          qp, bd)
                 if not np.array_equal(lev2, lev):
                     lev = lev2
+                    dirty = True
+            if dirty:
+                if lev.any():
                     deq = np.asarray(dequantize(
                         jnp.asarray(lev)[None], w=w, h=h, qp=qp,
                         bit_depth=bd))[0]
                     rec_resid = np.asarray(inverse_transform(
                         jnp.asarray(deq)[None], th, tv,
                         bit_depth=bd))[0]
+                else:
+                    rec_resid = np.zeros_like(resid)
             return lev, rec_resid
         coef = np.asarray(forward_transform(
             jnp.asarray(resid)[None], th, tv, bit_depth=bd))[0]
@@ -777,6 +793,20 @@ class FrameEncoder:
         return lev, rec_resid
 
     # ---- ISP (intra sub-partitions) ---------------------------------------
+
+    @staticmethod
+    def _isp_deblock_units(x, y, w, h, isp):
+        """Deblocking units of an ISP CU: sub-TU edges are transform
+        edges (LoopFilter xSetEdgefilterMultiple TU pass), restricted to
+        the 4-sample deblocking grid (1/2-wide sub-TUs merge into 4-wide
+        units)."""
+        if isp == 2:
+            tw = intra_ops.isp_split_dim(w, h, False)
+            step = max(tw, 4)
+            return [(x + i * step, y, step, h) for i in range(w // step)]
+        th_ = intra_ops.isp_split_dim(w, h, True)
+        step = max(th_, 4)
+        return [(x, y + i * step, w, step) for i in range(h // step)]
 
     @staticmethod
     def _isp_subs(w, h, isp):
@@ -1189,7 +1219,10 @@ class FrameEncoder:
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
         self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
         self.unit_isp[r:r + h // 4, c:c + w // 4] = cu.isp != 0
-        self.leaf_l.append((x, y, w, h))
+        if cu.isp:
+            self.leaf_l.extend(self._isp_deblock_units(x, y, w, h, cu.isp))
+        else:
+            self.leaf_l.append((x, y, w, h))
 
     def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo,
                           split_path=(None, None)):
@@ -1534,7 +1567,10 @@ class FrameEncoder:
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
         self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
         self.unit_isp[r:r + h // 4, c:c + w // 4] = cu.isp != 0
-        self.leaf_l.append((x, y, w, h))
+        if cu.isp:
+            self.leaf_l.extend(self._isp_deblock_units(x, y, w, h, cu.isp))
+        else:
+            self.leaf_l.append((x, y, w, h))
         self.leaf_c.append((x // 2, y // 2, w // 2, h // 2))
 
     # ---- coding tree -----------------------------------------------------

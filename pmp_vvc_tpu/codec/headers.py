@@ -67,11 +67,16 @@ class VVCConfig:
     transform_skip: bool = False
     dep_quant: bool = False
     sign_hiding: bool = False
+    rd_quant: bool = True          # encoder-side RDOQ-lite zeroing
     deblocking_disabled: bool = True
     poc_bits: int = 8
     num_reorder_pics: int = 0
     max_dec_pic_buffering: int = 2
     chroma_qp_offset: int = 0
+    # chroma QP mapping table (SPS): start + (delta_in_minus1, delta_out)
+    # points; default identity. CTC AI uses ((-9), (9,12),(4,5),(11,7))
+    chroma_qp_start_minus26: int = 0
+    chroma_qp_points: tuple = ((0, 0),)
 
     @property
     def min_qt_log2(self):
@@ -158,11 +163,11 @@ def write_sps(cfg: VVCConfig) -> bytes:
     # chroma tool block (chroma_format != 400)
     bw.write_flag(cfg.joint_cbcr)
     bw.write_flag(1)                   # same_qp_table_for_chroma
-    # one chroma QP mapping table: identity-ish default (VTM default)
-    bw.write_svlc(0)                   # qp_table_start_minus26
-    bw.write_uvlc(0)                   # num_points_in_qp_table_minus1
-    bw.write_uvlc(0)                   # delta_qp_in_val_minus1[0]
-    bw.write_uvlc(0)                   # delta_qp_diff_val[0]
+    bw.write_svlc(cfg.chroma_qp_start_minus26)  # qp_table_start_minus26
+    bw.write_uvlc(len(cfg.chroma_qp_points) - 1)
+    for di, do in cfg.chroma_qp_points:
+        bw.write_uvlc(di)              # sps_delta_qp_in_val_minus1
+        bw.write_uvlc(do ^ di)         # sps_delta_qp_diff_val
     bw.write_flag(cfg.sao)
     bw.write_flag(cfg.alf)
     if cfg.alf:

@@ -467,3 +467,60 @@ def apply_sign_hiding(lev, coef, w, h, qp, bit_depth=10):
             levels[best[1]] = best[2]
             flat_l[idxs] = levels
     return lev
+
+
+def rd_quant_cleanup(lev, coef, w, h, qp, bit_depth=10, lam=0.0):
+    """RDOQ-lite: rate-distortion zeroing after scalar quantization.
+
+    Transform-domain distortion via Parseval (the VVC int transforms are
+    2^tShift-scaled orthonormal bases, ChromaFormat.h:111), rate modelled
+    as ~3 bits/nonzero + ~1.5 bits/coded CG (sig+gt1+sign plus the group
+    flag), the same role as QuantRDOQ's per-CG and per-coefficient
+    zeroing decisions. Returns possibly-modified levels.
+    """
+    from ..ops.quant import INV_QUANT_SCALES, IQUANT_SHIFT, _geom
+    lev = np.asarray(lev)
+    if not lev.any():
+        return lev
+    t_shift, sqrt2 = _geom(w, h, bit_depth)
+    divisor = float(4.0 ** t_shift) * (2.0 if sqrt2 else 1.0)
+    iscale = int(INV_QUANT_SCALES[sqrt2][qp % 6])
+    rshift = IQUANT_SHIFT - ((t_shift - sqrt2) + qp // 6)
+    flat_l = lev.reshape(-1).copy()
+    flat_c = np.asarray(coef).reshape(-1).astype(np.float64)
+    if rshift > 0:
+        deq = (flat_l.astype(np.int64) * iscale
+               + (1 << (rshift - 1))) >> rshift
+    else:
+        deq = (flat_l.astype(np.int64) * iscale) << (-rshift)
+    d_now = (flat_c - deq) ** 2
+    d_zero = flat_c ** 2
+    gain = (d_zero - d_now) / divisor        # pixel-SSE cost of zeroing
+
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
+    log2_cg = cgl2w + cgl2h
+    scan = grouped_scan(w, h)[:, 0]
+    changed = False
+    n_cg = len(scan) >> log2_cg
+    for sub in range(n_cg):
+        idxs = scan[sub << log2_cg:(sub + 1) << log2_cg]
+        lv = flat_l[idxs]
+        k = int(np.count_nonzero(lv))
+        if k == 0:
+            continue
+        dd = float(gain[idxs].sum())
+        if dd < lam * (3.0 * k + 1.5):
+            flat_l[idxs] = 0
+            changed = True
+            continue
+        # per-coefficient trim of isolated |level|==1 noise
+        ones = idxs[np.abs(lv) == 1]
+        if ones.size:
+            kill = ones[gain[ones] < lam * 3.0]
+            if kill.size:
+                flat_l[kill] = 0
+                changed = True
+    if not changed:
+        return lev
+    return flat_l.reshape(lev.shape)

@@ -757,3 +757,61 @@ def test_sign_data_hiding_bit_exact(tmp_path):
     np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
     np.testing.assert_array_equal(
         d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_isp_deblock_bit_exact(tmp_path):
+    """ISP sub-TU boundaries are transform edges for the deblocking
+    filter (4-grid restricted); regression for the ISP+deblock combo."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    y, u, v = _synth(192, 128, seed=7)
+    w, h = 192, 128
+    cfg = VVCConfig(width=w, height=h, qp=32, isp=True,
+                    deblocking_disabled=False, sao=True)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    bs, recon = enc.encode_frame(
+        y, u, v, qt_map=np.ones((h // 8, w // 8), np.int32), poc=0)
+    assert enc.n_isp > 0, "ISP not selected; test content needs tuning"
+    bit = tmp_path / "ispdb.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(d[:w * h].reshape(h, w), recon[0])
+
+
+@pytest.mark.skipif(not DEC.exists(), reason="VTM decoder oracle not built")
+def test_ctc_chroma_qp_table_bit_exact(tmp_path):
+    """CTC AI chroma QP mapping table (QpInValCb 17 27 32 44 ->
+    QpOutValCb 17 29 34 41): SPS table syntax + derivedChromaQPMappingTables
+    parity (QP32 codes chroma at QP34)."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.headers import VVCConfig
+
+    y, u, v = _synth(192, 128, seed=7)
+    w, h = 192, 128
+    cfg = VVCConfig(width=w, height=h, qp=32, sao=True,
+                    deblocking_disabled=False,
+                    chroma_qp_start_minus26=-9,
+                    chroma_qp_points=((9, 12), (4, 5), (11, 7)))
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    assert int(enc.qp_table[32 + enc.qp_bd_offset]) == 34
+    bs, recon = enc.encode_frame(
+        y, u, v, qt_map=np.ones((h // 8, w // 8), np.int32), poc=0)
+    bit = tmp_path / "cqp.bin"
+    bit.write_bytes(bs)
+    out = tmp_path / "dec.yuv"
+    r = subprocess.run([str(DEC), "-b", str(bit), "-o", str(out)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    assert "(OK)" in r.stdout, r.stdout[-800:]
+    d = np.fromfile(out, dtype=np.uint16)
+    np.testing.assert_array_equal(
+        d[w * h:w * h + w * h // 4].reshape(h // 2, w // 2), recon[1])
