@@ -97,3 +97,22 @@ def test_qbd_joint_step_runs():
     run = make_qbd_train_step(q_net, bd_net, opt, mesh, qp=32, is_luma=True)
     state, loss = run(state, x, qt, bt, dire, 1e-4)
     assert np.isfinite(float(loss))
+
+
+def test_predict_mesh_matches_single_device():
+    """Inference dp-sharding: the meshed CompPredictor forward must equal
+    the single-device forward (incl. ragged-batch padding)."""
+    import numpy as np
+    from pmp_vvc_tpu.pmp.predict import CompPredictor
+    from pmp_vvc_tpu.train.trainer import data_mesh
+
+    pkl = "/root/reference/trained_models/Luma_Q_32.pkl"
+    p1 = CompPredictor.from_reference_checkpoints(True, pkl)
+    p8 = CompPredictor.from_reference_checkpoints(True, pkl,
+                                                  mesh=data_mesh())
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 255, (13, 68, 68, 1)).astype(np.float32)
+    a = p1.predict(x)
+    b = p8.predict(x)
+    for ai, bi in zip(a, b):
+        np.testing.assert_allclose(ai, bi, atol=1e-4)
