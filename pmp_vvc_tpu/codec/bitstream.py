@@ -61,6 +61,51 @@ class BitWriter:
         return bytes(self.out)
 
 
+class BitReader:
+    """MSB-first bit reader over an RBSP (InputBitstream semantics).
+
+    Mirror of ``BitWriter`` for the native decoder (DecLib counterpart);
+    operates on emulation-prevention-free payloads (see
+    ``nalparse.remove_emulation_prevention``).
+    """
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0                 # bit position
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        p = self.pos
+        for _ in range(nbits):
+            byte = self.data[p >> 3]
+            v = (v << 1) | ((byte >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+    def read_flag(self) -> bool:
+        return bool(self.read(1))
+
+    def read_uvlc(self) -> int:
+        zeros = 0
+        while self.read(1) == 0:
+            zeros += 1
+            assert zeros < 64, "corrupt exp-Golomb code"
+        return ((1 << zeros) | self.read(zeros)) - 1 if zeros else 0
+
+    def read_svlc(self) -> int:
+        u = self.read_uvlc()
+        return (u + 1) >> 1 if u & 1 else -(u >> 1)
+
+    def byte_align(self):
+        self.pos = (self.pos + 7) & ~7
+
+    def tail_bytes(self) -> bytes:
+        """Remaining payload from the next byte boundary."""
+        self.byte_align()
+        return self.data[self.pos >> 3:]
+
+
 def rbsp_trailing_bits(bw: BitWriter):
     bw.write(1, 1)
     bw.byte_align_zero()

@@ -1,0 +1,292 @@
+"""VVC high-level syntax parsing (SPS/PPS/PH/SH/SEI) — HLSyntaxReader
+counterpart for the constrained all-intra configuration this framework's
+encoder emits (mirror of codec/headers.py; reference VTM-10.0
+VLCReader.cpp parseSPS/parsePPS/parsePictureHeader/parseSliceHeader).
+
+Fields whose values the writer cannot produce raise instead of being
+silently accepted — the native decoder targets this encoder's
+conformance envelope, with the stock VTM decoder as the oracle for the
+rest.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .bitstream import BitReader
+from .headers import VVCConfig
+from .nalparse import split_nals
+
+NAL_IDR_N_LP = 8
+NAL_SPS = 15
+NAL_PPS = 16
+NAL_PREFIX_APS = 17
+NAL_SUFFIX_SEI = 24
+
+
+def _expect(cond, what):
+    if not cond:
+        raise NotImplementedError(f"unsupported stream feature: {what}")
+
+
+def parse_profile_tier_level(br: BitReader, cfg: VVCConfig):
+    cfg.profile_idc = br.read(7)
+    _expect(br.read(1) == 0, "tier")
+    cfg.level_idc = br.read(8)
+    br.read_flag()                      # ptl_frame_only_constraint_flag
+    br.read_flag()                      # ptl_multilayer_enabled_flag
+    _expect(not br.read_flag(), "gci")  # gci_present_flag
+    br.byte_align()
+    _expect(br.read(8) == 0, "sub profiles")
+
+
+def parse_sps(rbsp: bytes) -> VVCConfig:
+    br = BitReader(rbsp)
+    cfg = VVCConfig(width=0, height=0)
+    _expect(br.read(4) == 0, "sps id")
+    _expect(br.read(4) == 0, "vps id")
+    _expect(br.read(3) == 0, "sub layers")
+    _expect(br.read(2) == 1, "chroma format != 4:2:0")
+    cfg.ctu_size = 1 << (br.read(2) + 5)
+    _expect(br.read_flag(), "no ptl")
+    parse_profile_tier_level(br, cfg)
+    _expect(not br.read_flag(), "gdr")
+    _expect(not br.read_flag(), "ref pic resampling")
+    cfg.width = br.read_uvlc()
+    cfg.height = br.read_uvlc()
+    _expect(not br.read_flag(), "conformance window")
+    _expect(not br.read_flag(), "subpics")
+    cfg.bit_depth = br.read_uvlc() + 8
+    _expect(not br.read_flag(), "wpp")
+    _expect(not br.read_flag(), "entry points")
+    cfg.poc_bits = br.read(4) + 4
+    _expect(not br.read_flag(), "poc msb")
+    _expect(br.read(2) == 0, "extra ph bits")
+    _expect(br.read(2) == 0, "extra sh bits")
+    cfg.max_dec_pic_buffering = br.read_uvlc() + 1
+    cfg.num_reorder_pics = br.read_uvlc()
+    br.read_uvlc()                      # max_latency_increase_plus1
+    cfg.log2_min_cb = br.read_uvlc() + 2
+    _expect(not br.read_flag(), "partition constraints override")
+    min_qt_log2 = br.read_uvlc() + cfg.log2_min_cb
+    cfg.min_qt_intra = 1 << min_qt_log2
+    cfg.max_mtt_depth_intra = br.read_uvlc()
+    if cfg.max_mtt_depth_intra != 0:
+        cfg.max_bt_intra = 1 << (br.read_uvlc() + min_qt_log2)
+        cfg.max_tt_intra = 1 << (br.read_uvlc() + min_qt_log2)
+    cfg.dual_tree = br.read_flag()
+    if cfg.dual_tree:
+        cmin_qt_log2 = br.read_uvlc() + cfg.log2_min_cb
+        cfg.chroma_min_qt = 1 << cmin_qt_log2
+        cfg.chroma_max_mtt_depth = br.read_uvlc()
+        if cfg.chroma_max_mtt_depth != 0:
+            cfg.chroma_max_bt = 1 << (br.read_uvlc() + cmin_qt_log2)
+            cfg.chroma_max_tt = 1 << (br.read_uvlc() + cmin_qt_log2)
+    br.read_uvlc()                      # inter minQT
+    _expect(br.read_uvlc() == 0, "inter MTT")
+    if cfg.ctu_size > 32:
+        cfg.log2_max_tb = 6 if br.read_flag() else 5
+    _expect(not br.read_flag(), "transform skip")
+    cfg.mts_intra = br.read_flag()
+    if cfg.mts_intra:
+        _expect(br.read_flag(), "implicit MTS")
+        _expect(not br.read_flag(), "inter MTS")
+    cfg.lfnst = br.read_flag()
+    cfg.joint_cbcr = br.read_flag()
+    _expect(br.read_flag(), "per-component chroma QP tables")
+    cfg.chroma_qp_start_minus26 = br.read_svlc()
+    n_pts = br.read_uvlc() + 1
+    pts = []
+    for _ in range(n_pts):
+        di = br.read_uvlc()
+        do = br.read_uvlc() ^ di
+        pts.append((di, do))
+    cfg.chroma_qp_points = tuple(pts)
+    cfg.sao = br.read_flag()
+    cfg.alf = br.read_flag()
+    if cfg.alf:
+        cfg.ccalf = br.read_flag()
+    cfg.lmcs = br.read_flag()
+    _expect(not br.read_flag(), "weighted pred")
+    _expect(not br.read_flag(), "weighted bipred")
+    _expect(not br.read_flag(), "long term ref pics")
+    _expect(not br.read_flag(), "idr rpl")
+    br.read_flag()                      # rpl1_same_as_rpl0_flag
+    _expect(br.read_uvlc() == 0, "RPL0 in sps")
+    _expect(br.read_uvlc() == 0, "RPL1 in sps")
+    for what in ("wraparound", "tmvp", "amvr", "bdof", "smvd", "dmvr",
+                 "mmvd"):
+        _expect(not br.read_flag(), what)
+    br.read_uvlc()                      # six_minus_max_num_merge_cand
+    for what in ("sbt", "affine", "bcw", "ciip", "gpm"):
+        _expect(not br.read_flag(), what)
+    br.read_uvlc()                      # log2_parallel_merge_level_minus2
+    cfg.isp = br.read_flag()
+    cfg.mrl = br.read_flag()
+    cfg.mip = br.read_flag()
+    cfg.cclm = br.read_flag()
+    br.read_flag()                      # chroma horizontal collocated
+    br.read_flag()                      # chroma vertical collocated
+    for what in ("palette", "ibc", "ladf", "explicit scaling lists"):
+        _expect(not br.read_flag(), what)
+    cfg.dep_quant = br.read_flag()
+    cfg.sign_hiding = br.read_flag()
+    _expect(not br.read_flag(), "virtual boundaries")
+    _expect(not br.read_flag(), "hrd")
+    br.read_flag()                      # field_seq
+    _expect(not br.read_flag(), "vui")
+    _expect(not br.read_flag(), "sps extension")
+    return cfg
+
+
+def parse_pps(rbsp: bytes, cfg: VVCConfig):
+    br = BitReader(rbsp)
+    _expect(br.read(6) == 0, "pps id")
+    _expect(br.read(4) == 0, "pps sps id")
+    br.read_flag()                      # mixed nalu types
+    assert br.read_uvlc() == cfg.width and br.read_uvlc() == cfg.height
+    _expect(not br.read_flag(), "pps conformance window")
+    br.read_flag()                      # scaling window
+    br.read_flag()                      # output flag present
+    _expect(br.read_flag(), "pic partitioning")   # no_pic_partition = 1
+    br.read_flag()                      # subpic id mapping
+    _expect(not br.read_flag(), "cabac init present")
+    br.read_uvlc()
+    br.read_uvlc()                      # num_ref_idx defaults
+    br.read_flag()                      # rpl1_idx_present
+    br.read_flag()
+    br.read_flag()                      # weighted pred/bipred
+    br.read_flag()                      # wraparound
+    cfg.qp = br.read_svlc() + 26
+    _expect(not br.read_flag(), "cu qp delta")
+    if br.read_flag():                  # chroma tool offsets present
+        cfg.chroma_qp_offset = br.read_svlc()
+        assert br.read_svlc() == cfg.chroma_qp_offset, "cb/cr offset differ"
+        _expect(not br.read_flag(), "jccr qp offsets")
+        _expect(not br.read_flag(), "slice chroma qp offsets")
+        _expect(not br.read_flag(), "cu chroma qp offset list")
+    if br.read_flag():                  # deblocking control present
+        _expect(not br.read_flag(), "deblock override")
+        cfg.deblocking_disabled = br.read_flag()
+        if not cfg.deblocking_disabled:
+            for _ in range(6):
+                assert br.read_svlc() == 0, "deblock beta/tc offsets"
+    br.read_flag()                      # ph extension
+    br.read_flag()                      # sh extension
+    _expect(not br.read_flag(), "pps extension")
+    return cfg
+
+
+@dataclass
+class SliceInfo:
+    poc: int = 0
+    lmcs_enabled: bool = False
+    chroma_residual_scale: bool = False
+    jccr_sign: bool = False
+    alf_enabled: bool = False
+    alf_aps_luma: bool = False          # one APS luma filter set
+    alf_cb: bool = False
+    alf_cr: bool = False
+    ccalf_cb: bool = False
+    ccalf_cr: bool = False
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    dep_quant: bool = False
+    sign_hiding: bool = False
+    slice_data: bytes = b""
+
+
+def parse_slice_header(rbsp: bytes, cfg: VVCConfig) -> SliceInfo:
+    """Mirror of headers.write_slice_header + write_picture_header."""
+    br = BitReader(rbsp)
+    si = SliceInfo()
+    _expect(br.read_flag(), "ph not in slice header")
+    # picture header
+    _expect(br.read_flag(), "non-irap picture")  # gdr_or_irap
+    br.read_flag()                      # non_ref_pic
+    _expect(not br.read_flag(), "gdr pic")
+    _expect(not br.read_flag(), "inter slices")
+    _expect(br.read_uvlc() == 0, "ph pps id")
+    si.poc = br.read(cfg.poc_bits)
+    if cfg.lmcs:
+        si.lmcs_enabled = br.read_flag()
+        if si.lmcs_enabled:
+            _expect(br.read(2) == 0, "lmcs aps id")
+            si.chroma_residual_scale = br.read_flag()
+    if cfg.joint_cbcr:
+        si.jccr_sign = br.read_flag()
+    # slice header tail
+    br.read_flag()                      # no_output_of_prior_pics
+    if cfg.alf:
+        si.alf_enabled = br.read_flag()
+        if si.alf_enabled:
+            n_aps = br.read(3)
+            _expect(n_aps <= 1, "multiple ALF APS")
+            si.alf_aps_luma = n_aps == 1
+            if si.alf_aps_luma:
+                _expect(br.read(3) == 0, "alf aps id")
+            si.alf_cb = bool(br.read(1))
+            si.alf_cr = bool(br.read(1))
+            if si.alf_cb or si.alf_cr:
+                _expect(br.read(3) == 0, "alf chroma aps id")
+        if cfg.ccalf:
+            si.ccalf_cb = br.read_flag()
+            if si.ccalf_cb:
+                _expect(br.read(3) == 0, "ccalf cb aps id")
+            si.ccalf_cr = br.read_flag()
+            if si.ccalf_cr:
+                _expect(br.read(3) == 0, "ccalf cr aps id")
+    assert br.read_svlc() == 0, "sh_qp_delta"
+    if cfg.sao:
+        si.sao_luma = br.read_flag()
+        si.sao_chroma = br.read_flag()
+    if cfg.dep_quant:
+        si.dep_quant = br.read_flag()
+    if cfg.sign_hiding and not si.dep_quant:
+        si.sign_hiding = br.read_flag()
+    # byte_alignment: one 1-bit then zeros
+    assert br.read(1) == 1
+    si.slice_data = br.tail_bytes()
+    return si
+
+
+def parse_picture_hash_sei(rbsp: bytes):
+    """Decoded-picture-hash suffix SEI -> list of 3 MD5 digests."""
+    br = BitReader(rbsp)
+    ptype = br.read(8)
+    psize = br.read(8)
+    if ptype != 132:
+        return None
+    payload = bytes(br.read(8) for _ in range(psize))
+    assert payload[0] == 0, "only MD5 hash_type supported"
+    return [payload[1 + 16 * i: 17 + 16 * i] for i in range(3)]
+
+
+@dataclass
+class Bitstream:
+    """Parsed access units of an Annex-B stream (this encoder's layout)."""
+    cfg: VVCConfig = None
+    slices: list = field(default_factory=list)      # SliceInfo per frame
+    hashes: list = field(default_factory=list)      # per frame, or None
+    aps: list = field(default_factory=list)         # raw APS rbsp payloads
+
+
+def parse_bitstream(data: bytes) -> Bitstream:
+    out = Bitstream()
+    pending_aps = []
+    for nal_type, _hdr, rbsp in split_nals(data):
+        if nal_type == NAL_SPS:
+            out.cfg = parse_sps(rbsp)
+        elif nal_type == NAL_PPS:
+            parse_pps(rbsp, out.cfg)
+        elif nal_type == NAL_PREFIX_APS:
+            pending_aps.append(rbsp)
+        elif nal_type == NAL_IDR_N_LP:
+            si = parse_slice_header(rbsp, out.cfg)
+            si.aps = list(pending_aps)
+            pending_aps = []
+            out.slices.append(si)
+            out.hashes.append(None)
+        elif nal_type == NAL_SUFFIX_SEI:
+            if out.hashes:
+                out.hashes[-1] = parse_picture_hash_sei(rbsp)
+    return out
