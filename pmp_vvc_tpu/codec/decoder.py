@@ -1,0 +1,671 @@
+"""Native all-intra VVC frame decoder (DecLib counterpart).
+
+Exact parse mirror of ``codec/encoder.py``'s syntax writes (reference
+VTM-10.0 CABACReader.cpp coding_tree_unit/coding_tree/split_cu_mode/
+coding_unit/intra_luma_pred_modes/intra_chroma_pred_mode/transform_unit/
+residual_coding, DecCu.cpp xReconIntraQT, DecLib.cpp executeLoopFilters),
+reusing the encoder's direction-neutral machinery: neighbour state,
+reference construction, MPM derivation, ISP geometry, QP tables, and
+every reconstruction kernel in ``ops/`` (intra, MIP, MRL, ISP, CCLM,
+transforms, LFNST, dependent quantization) plus the in-loop filters
+(deblocking, SAO, LMCS).
+
+The conformance claim is two-sided: the stock VTM DecoderApp validates
+our encoder's streams, and this decoder reproduces the encoder's recon
+(tested bit-exact per tool combination, incl. the decoded-picture-hash
+SEI check).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..ops import intra as intra_ops
+from ..ops import depquant as dq_ops
+from ..ops import lfnst as lfnst_ops
+from ..ops import mip as mip_ops
+from ..ops.quant import dequantize
+from ..ops.transforms import inverse_transform
+from .cabac import BinDecoder, ContextStore
+from .deblock import deblock_frame
+from .encoder import (CuInfo, FrameEncoder, NUM_MPM, PLANAR, _jit_mip,
+                      _jit_predict)
+from .headers import VVCConfig
+from .hlsparse import Bitstream, SliceInfo, parse_bitstream
+from .lmcs import Reshaper, parse_lmcs_aps, scale_chroma_residual_inv
+from .mtt import SplitState, get_implicit_split, parse_split_cu_mode
+from .partition import Split
+from .residual import ResidualParser, ctx, grouped_scan
+from .sao import apply_sao_frame, parse_sao_ctu
+
+import jax.numpy as jnp
+
+
+class FrameDecoder(FrameEncoder):
+    """Decodes one intra frame's slice payload to recon planes.
+
+    Subclasses ``FrameEncoder`` ONLY to reuse its direction-neutral
+    helpers (``_refs_for_block``, ``_mpm_list``, ``_mrl_refs``,
+    ``_isp_*``, ``_cclm_candidates``, ``_chroma_adj``, QP tables, state
+    arrays); no encoding entry point is used.
+    """
+
+    def __init__(self, cfg: VVCConfig, si: SliceInfo | None = None):
+        if si is None:
+            si = SliceInfo(dep_quant=cfg.dep_quant,
+                           sign_hiding=cfg.sign_hiding,
+                           jccr_sign=cfg.joint_cbcr,
+                           lmcs_enabled=cfg.lmcs,
+                           chroma_residual_scale=cfg.lmcs_chroma_scaling,
+                           sao_luma=cfg.sao, sao_chroma=cfg.sao)
+        # PH-level switches override the encoder-side config defaults
+        cfg.lmcs_chroma_scaling = si.chroma_residual_scale
+        super().__init__(cfg, mode_select="planar")
+        self.si = si
+        if cfg.lmcs and si.lmcs_enabled:
+            for rbsp in getattr(si, "aps", []) or []:
+                try:
+                    self.reshaper = Reshaper(parse_lmcs_aps(rbsp),
+                                             cfg.bit_depth)
+                    break
+                except AssertionError:
+                    continue
+        elif not si.lmcs_enabled:
+            self.reshaper = None
+        if cfg.alf:
+            raise NotImplementedError("ALF parse lands in the next step")
+        assert si.jccr_sign or not cfg.joint_cbcr, \
+            "only ph_joint_cbcr_sign_flag=1 (Cr = -Cb) is produced/parsed"
+
+    # ---- syntax parsing ---------------------------------------------------
+
+    def _parse_split(self, x, y, w, h, state, chroma=False):
+        cfg = self.cfg
+        implicit = get_implicit_split(x, y, w, h, state, cfg, chroma)
+        left = self._neighbor(x - 1, y, chroma)
+        above = self._neighbor(x, y - 1, chroma)
+        return parse_split_cu_mode(self.dec, w, h, state, cfg, left, above,
+                                   chroma, implicit=implicit)
+
+    def _parse_trunc_bin(self, max_symbol):
+        """xReadTruncBinCode (CABACReader.cpp) — inverse of
+        FrameEncoder._write_trunc_bin."""
+        thresh = 0
+        while (1 << (thresh + 1)) <= max_symbol:
+            thresh += 1
+        val = 1 << thresh
+        b = max_symbol - val
+        sym = self.dec.decode_bins_ep(thresh) if thresh else 0
+        if sym >= val - b:
+            sym = (sym << 1) | self.dec.decode_bin_ep()
+            sym -= val - b
+        return sym
+
+    def _parse_intra_luma_mode(self, cu: CuInfo):
+        cfg, dec = self.cfg, self.dec
+        if cfg.mip:
+            left = self._cu_at(cu.x - 1, cu.y)
+            above = self._cu_at(cu.x, cu.y - 1)
+            ctx_id = 0
+            if left is not None and self.unit_mip[cu.y // 4,
+                                                  (cu.x - 1) // 4]:
+                ctx_id += 1
+            if above is not None and self.unit_mip[(cu.y - 1) // 4,
+                                                   cu.x // 4]:
+                ctx_id += 1
+            if cu.w > 2 * cu.h or cu.h > 2 * cu.w:
+                ctx_id = 3
+            if dec.decode_bin(ctx("MipFlag", ctx_id)):
+                cu.mip = True
+                cu.mip_transpose = bool(dec.decode_bin_ep())
+                cu.mip_mode = self._parse_trunc_bin(
+                    mip_ops.num_modes(cu.w, cu.h))
+                cu.mode = PLANAR
+                return
+        if cfg.mrl and cu.y % 128 != 0:
+            if dec.decode_bin(ctx("MultiRefLineIdx", 0)):
+                cu.mrl = 1 + dec.decode_bin(ctx("MultiRefLineIdx", 1))
+        if cfg.isp and cu.mrl == 0 and intra_ops.can_use_isp(cu.w, cu.h):
+            if dec.decode_bin(ctx("ISPMode", 0)):
+                cu.isp = 1 + dec.decode_bin(ctx("ISPMode", 1))
+        mpm = self._mpm_list(cu)
+        mpm_flag = True if cu.mrl else \
+            bool(dec.decode_bin(ctx("IntraLumaMpmFlag")))
+        if mpm_flag:
+            if cu.mrl == 0:
+                not_planar = dec.decode_bin(
+                    ctx("IntraLumaPlanarFlag", 0 if cu.isp else 1))
+            else:
+                not_planar = 1
+            idx = 0
+            if not_planar:
+                idx = 1
+                while idx < NUM_MPM - 1 and dec.decode_bin_ep():
+                    idx += 1
+            cu.mode = mpm[idx]
+        else:
+            mode = self._parse_trunc_bin(67 - NUM_MPM)
+            for m in sorted(mpm):
+                if mode >= m:
+                    mode += 1
+            cu.mode = mode
+
+    def _parse_intra_chroma_mode(self, cclm_allowed):
+        dec = self.dec
+        if cclm_allowed:
+            if dec.decode_bin(ctx("CclmModeFlag")):
+                if dec.decode_bin(ctx("CclmModeIdx")) == 0:
+                    return True, 0
+                return True, 1 + dec.decode_bin_ep()
+        assert dec.decode_bin(ctx("IntraChromaPredMode")) == 0, \
+            "only DM chroma is produced by this encoder"
+        return False, 0
+
+    def _parse_lfnst_idx(self, cu, comps, sep_tree):
+        """Gate mirror of FrameEncoder._write_lfnst_idx."""
+        cfg = self.cfg
+        if not cfg.lfnst:
+            return 0
+        isp = cu.isp if cu is not None else 0
+        if isp and not intra_ops.can_use_lfnst_with_isp(cu.w, cu.h, isp):
+            return 0
+        if cu is not None and cu.mip and not (cu.w >= 16 and cu.h >= 16):
+            return 0
+        last_ok = False
+        viol = False
+        for (w, h, lev) in comps:
+            if w < 4 or h < 4:
+                continue
+            last = self._scan_pos_last(lev, w, h)
+            if last < 0:
+                continue
+            max_pos = 7 if ((w == 4 and h == 4) or (w == 8 and h == 8)) \
+                else 15
+            viol |= last > max_pos
+            last_ok |= last >= 1
+        if (not last_ok and not isp) or viol:
+            return 0
+        idx = self.dec.decode_bin(ctx("LFNSTIdx", 1 if sep_tree else 0))
+        if idx:
+            idx += self.dec.decode_bin(ctx("LFNSTIdx", 2))
+        return idx
+
+    def _parse_mts_idx(self, cu_w, cu_h, cbf_y, last_pos, violates):
+        cfg = self.cfg
+        allowed = cfg.mts_intra and cu_w <= 32 and cu_h <= 32
+        if not allowed or violates or not cbf_y or last_pos < 1:
+            return 0
+        if not self.dec.decode_bin(ctx("MTSIdx", 0)):
+            return 0
+        mts = 2
+        for i in range(3):
+            if not self.dec.decode_bin(ctx("MTSIdx", 1 + i)):
+                break
+            mts += 1
+        return mts
+
+    def _parse_isp_tus(self, cu, before_last_cbf=None, after_last_cbf=None):
+        """Mirror of FrameEncoder._write_isp_tus; returns
+        [(cbf, lev|None, (sx, sy, sw, sh))]."""
+        dec = self.dec
+        subs = self._isp_subs(cu.w, cu.h, cu.isp)
+        n = len(subs)
+        prev = any_prev = False
+        out = []
+        for k, (dx, dy, sw, sh) in enumerate(subs):
+            is_last = k == n - 1
+            if is_last and before_last_cbf is not None:
+                before_last_cbf()
+            inferred = is_last and not any_prev
+            cbf = True if inferred else bool(dec.decode_bin(
+                ctx("QtCbf0", 2 + (1 if prev else 0))))
+            if is_last and after_last_cbf is not None:
+                after_last_cbf()
+            lev = None
+            if cbf:
+                lev, _, _ = self.rp.parse(sw, sh, is_luma=True)
+            out.append((cbf, lev, (cu.x + dx, cu.y + dy, sw, sh)))
+            prev = cbf
+            any_prev = any_prev or cbf
+        return out
+
+    # ---- reconstruction ---------------------------------------------------
+
+    def _recon_resid(self, lev, w, h, qp, mts_idx=0, lfnst_idx=0,
+                     intra_mode=0, tr_kinds=None):
+        """Dequant + inverse transforms (decoder half of _tq_roundtrip)."""
+        th, tv = tr_kinds if tr_kinds is not None else self._MTS_TR[mts_idx]
+        bd = self.cfg.bit_depth
+        if lev is None or not lev.any():
+            return np.zeros((h, w), np.int32)
+        if self.si.dep_quant:
+            scan = grouped_scan(w, h)[:, 0]
+            deq = dq_ops.dep_dequant(lev, scan, w=w, h=h, qp=qp,
+                                     bit_depth=bd).astype(np.int32)
+        else:
+            deq = np.asarray(dequantize(jnp.asarray(lev)[None], w=w, h=h,
+                                        qp=qp, bit_depth=bd))[0]
+        if lfnst_idx:
+            deq = lfnst_ops.inv_lfnst(deq, intra_mode, lfnst_idx,
+                                      w, h).astype(np.int32)
+        return np.asarray(inverse_transform(
+            jnp.asarray(deq)[None], th, tv, bit_depth=bd))[0]
+
+    def _pred_luma(self, cu: CuInfo):
+        cfg = self.cfg
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        refs = self._refs_for_block(self.recon_y, x, y, w, h, 1,
+                                    cfg.bit_depth)
+        if cu.mip:
+            n = mip_ops.num_modes(w, h)
+            preds = np.asarray(_jit_mip(w, h, cfg.bit_depth)(
+                refs[0][0], refs[1][0]))
+            return preds[cu.mip_mode + (n if cu.mip_transpose else 0)] \
+                .astype(np.int32)
+        if cu.mrl:
+            mtop, mleft = self._mrl_refs(x, y, w, h, cu.mrl)
+            return np.asarray(intra_ops.predict_mrl(
+                mtop, mleft, w=w, h=h, mode=cu.mode, mri=cu.mrl,
+                bit_depth=cfg.bit_depth), np.int32)
+        return np.asarray(_jit_predict(w, h, (cu.mode,), True,
+                                       cfg.bit_depth)(*refs))[0, 0] \
+            .astype(np.int32)
+
+    def _recon_isp(self, cu: CuInfo, subs_parsed, qp_y):
+        """Mirror of the recon loop in FrameEncoder._code_isp_trial."""
+        cfg = self.cfg
+        x, y, W, H = cu.x, cu.y, cu.w, cu.h
+        ver = cu.isp == 2
+        subs = self._isp_subs(W, H, cu.isp)
+        tw, th_ = subs[0][2], subs[0][3]
+        kinds = self._isp_tr_kinds(tw, th_)
+        pw = max(tw, 4) if ver else W
+        ph = H if ver else th_
+        refs = self._refs_for_block(self.recon_y, x, y, W, H, 1,
+                                    cfg.bit_depth)
+        fill_top = np.asarray(refs[0][0], np.int64)
+        fill_left = np.asarray(refs[1][0], np.int64)
+        region_pred = None
+        for (dx, dy, sw, sh), (cbf, lev, _) in zip(subs, subs_parsed):
+            off = dx if ver else dy
+            if off % (pw if ver else ph) == 0:
+                r = off // (pw if ver else ph)
+                top, left = self._isp_region_refs(cu, ver, r, pw, ph,
+                                                  fill_top, fill_left)
+                region_pred = intra_ops.predict_isp(
+                    top, left, cu_w=W, cu_h=H, pw=pw, ph=ph,
+                    mode=cu.mode, bit_depth=cfg.bit_depth)
+            pred = region_pred[:, off % pw: off % pw + sw] if ver \
+                else region_pred
+            rr = self._recon_resid(lev, sw, sh, qp_y, tr_kinds=kinds) \
+                if cbf else 0
+            recon = np.clip(np.asarray(pred, np.int32) + rr, 0,
+                            (1 << cfg.bit_depth) - 1)
+            self.recon_y[y + dy:y + dy + sh, x + dx:x + dx + sw] = recon
+
+    def _chroma_qp(self):
+        cfg = self.cfg
+        qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
+        qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
+            + cfg.chroma_qp_offset
+        return max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
+
+    def _pred_chroma(self, cu: CuInfo, coded_map):
+        """(pred_u, pred_v) for the parsed chroma mode (DM or CCLM)."""
+        cfg = self.cfg
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        refs_u = self._refs_for_block(self.recon_u, cx, cy, cw, chh, 2,
+                                      cfg.bit_depth, coded=coded_map)
+        refs_v = self._refs_for_block(self.recon_v, cx, cy, cw, chh, 2,
+                                      cfg.bit_depth, coded=coded_map)
+        if cu.cclm:
+            for sym, pu_, pv_ in self._cclm_candidates(
+                    x, y, w, h, refs_u, refs_v, coded_map):
+                if sym == cu.lm_symbol:
+                    return pu_.astype(np.int32), pv_.astype(np.int32)
+            raise AssertionError("parsed CCLM symbol not derivable")
+        cpred = _jit_predict(cw, chh, (cu.mode,), False, cfg.bit_depth)
+        return (np.asarray(cpred(*refs_u))[0, 0].astype(np.int32),
+                np.asarray(cpred(*refs_v))[0, 0].astype(np.int32))
+
+    def _recon_chroma_pair(self, pred_u, pred_v, lev_u, lev_v,
+                           cbf_u, cbf_v, joint, cw, chh, qp_c, crs):
+        bd = self.cfg.bit_depth
+        mx = (1 << bd) - 1
+
+        def rr(lev):
+            r = self._recon_resid(lev, cw, chh, qp_c)
+            if crs is not None and lev is not None and lev.any():
+                r = scale_chroma_residual_inv(r, crs, bd)
+            return r
+
+        if joint:
+            rec_u = np.clip(pred_u + rr(lev_u), 0, mx)
+            dec_res = rec_u.astype(np.int64) - pred_u
+            rec_v = np.clip(pred_v - dec_res, 0, mx).astype(rec_u.dtype)
+            return rec_u, rec_v
+        rec_u = np.clip(pred_u + (rr(lev_u) if cbf_u else 0), 0, mx)
+        rec_v = np.clip(pred_v + (rr(lev_v) if cbf_v else 0), 0, mx)
+        return rec_u, rec_v
+
+    def _mark_luma(self, cu: CuInfo):
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        r, c = y // 4, x // 4
+        self.coded[r:r + h // 4, c:c + w // 4] = True
+        self.unit_mode[r:r + h // 4, c:c + w // 4] = cu.mode
+        self.unit_w[r:r + h // 4, c:c + w // 4] = w
+        self.unit_h[r:r + h // 4, c:c + w // 4] = h
+        self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
+        self.unit_isp[r:r + h // 4, c:c + w // 4] = cu.isp != 0
+        if cu.isp:
+            self.leaf_l.extend(self._isp_deblock_units(x, y, w, h, cu.isp))
+        else:
+            self.leaf_l.append((x, y, w, h))
+
+    # ---- CU decode --------------------------------------------------------
+
+    def _decode_cu(self, cu: CuInfo):
+        """Single-tree CU (mirror of FrameEncoder._encode_cu syntax)."""
+        cfg, dec, rp = self.cfg, self.dec, self.rp
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        self._parse_intra_luma_mode(cu)
+        cclm_ok = cfg.cclm and not cfg.dual_tree
+        cu.cclm, cu.lm_symbol = self._parse_intra_chroma_mode(cclm_ok)
+
+        joint = False
+        lev_y = lev_u = lev_v = None
+        cbf_y = last_pos_y = violates = None
+        if cu.isp:
+            st = {}
+
+            def _chroma_cbfs():
+                st["u"] = bool(dec.decode_bin(ctx("QtCbf1", 0)))
+                st["v"] = bool(dec.decode_bin(
+                    ctx("QtCbf2", 1 if st["u"] else 0)))
+
+            def _jccr():
+                mask = (2 if st["u"] else 0) + (1 if st["v"] else 0)
+                st["j"] = bool(cfg.joint_cbcr and mask and dec.decode_bin(
+                    ctx("JointCbCrFlag", mask - 1)))
+
+            subs = self._parse_isp_tus(cu, _chroma_cbfs, _jccr)
+            cbf_u, cbf_v, joint = st["u"], st["v"], st.get("j", False)
+            if cbf_u:
+                lev_u = rp.parse(cw, chh, is_luma=False)[0]
+            if cbf_v and not joint:
+                lev_v = rp.parse(cw, chh, is_luma=False)[0]
+            comps = [(sw, sh, lv) for (cbf, lv, (_, _, sw, sh)) in subs
+                     if cbf]
+            if cbf_u:
+                comps.append((cw, chh, lev_u))
+            if cbf_v:
+                comps.append((cw, chh, lev_v if lev_v is not None
+                              else lev_u))
+            lfnst_idx = self._parse_lfnst_idx(cu, comps, False)
+            assert lfnst_idx == 0, "encoder never pairs LFNST with ISP"
+            mts_idx = 0
+        else:
+            cbf_u = bool(dec.decode_bin(ctx("QtCbf1", 0)))
+            cbf_v = bool(dec.decode_bin(ctx("QtCbf2", 1 if cbf_u else 0)))
+            cbf_y = bool(dec.decode_bin(ctx("QtCbf0", 0)))
+            mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
+            if cfg.joint_cbcr and mask:
+                joint = bool(dec.decode_bin(ctx("JointCbCrFlag",
+                                                mask - 1)))
+            if cbf_y:
+                lev_y, last_pos_y, violates = rp.parse(w, h, is_luma=True)
+            if cbf_u:
+                lev_u = rp.parse(cw, chh, is_luma=False)[0]
+            if cbf_v and not joint:
+                lev_v = rp.parse(cw, chh, is_luma=False)[0]
+            comps = []
+            if cbf_y:
+                comps.append((w, h, lev_y))
+            if cbf_u:
+                comps.append((cw, chh, lev_u))
+            if cbf_v:
+                comps.append((cw, chh, lev_v if not joint else lev_u))
+            lfnst_idx = self._parse_lfnst_idx(cu, comps, False)
+            mts_idx = 0
+            if lfnst_idx == 0:
+                mts_idx = self._parse_mts_idx(
+                    w, h, cbf_y, last_pos_y if cbf_y else -1,
+                    violates if cbf_y else False)
+
+        # ---- recon (luma first: CCLM reads the co-located luma) ----
+        qp_y = cfg.qp + self.qp_bd_offset
+        if cu.isp:
+            self._recon_isp(cu, subs, qp_y)
+        else:
+            pred_y = self._pred_luma(cu)
+            rr = self._recon_resid(lev_y, w, h, qp_y, mts_idx, lfnst_idx,
+                                   cu.mode) if cbf_y else 0
+            self.recon_y[y:y + h, x:x + w] = np.clip(
+                pred_y + rr, 0, (1 << cfg.bit_depth) - 1)
+
+        pred_u, pred_v = self._pred_chroma(cu, self.coded)
+        crs = self._crs_scale(x, y, cw, chh)
+        qp_c = self._chroma_qp()
+        rec_u, rec_v = self._recon_chroma_pair(
+            pred_u, pred_v, lev_u, lev_v, cbf_u, cbf_v, joint,
+            cw, chh, qp_c, crs)
+        self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
+        self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
+        self._mark_luma(cu)
+        self.leaf_c.append((cx, cy, cw, chh))
+
+    def _decode_luma_cu(self, cu: CuInfo):
+        """Dual-tree luma CU (mirror of FrameEncoder._encode_luma_cu)."""
+        cfg, dec, rp = self.cfg, self.dec, self.rp
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        self._parse_intra_luma_mode(cu)
+        qp_y = cfg.qp + self.qp_bd_offset
+        if cu.isp:
+            subs = self._parse_isp_tus(cu)
+            comps = [(sw, sh, lv) for (cbf, lv, (_, _, sw, sh)) in subs
+                     if cbf]
+            lfnst_idx = self._parse_lfnst_idx(cu, comps, True)
+            assert lfnst_idx == 0
+            self._recon_isp(cu, subs, qp_y)
+        else:
+            cbf_y = bool(dec.decode_bin(ctx("QtCbf0", 0)))
+            lev_y = last_pos_y = violates = None
+            if cbf_y:
+                lev_y, last_pos_y, violates = rp.parse(w, h, is_luma=True)
+            lfnst_idx = self._parse_lfnst_idx(
+                cu, [(w, h, lev_y)] if cbf_y else [], True)
+            mts_idx = 0
+            if lfnst_idx == 0:
+                mts_idx = self._parse_mts_idx(
+                    w, h, cbf_y, last_pos_y if cbf_y else -1,
+                    violates if cbf_y else False)
+            pred_y = self._pred_luma(cu)
+            rr = self._recon_resid(lev_y, w, h, qp_y, mts_idx, lfnst_idx,
+                                   cu.mode) if cbf_y else 0
+            self.recon_y[y:y + h, x:x + w] = np.clip(
+                pred_y + rr, 0, (1 << cfg.bit_depth) - 1)
+        self._mark_luma(cu)
+
+    def _decode_chroma_cu(self, cu: CuInfo, split_path=(None, None)):
+        """Dual-tree chroma CU (mirror of _encode_chroma_cu)."""
+        cfg, dec, rp = self.cfg, self.dec, self.rp
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        cu.mode = int(self.unit_mode[(y + h // 2) // 4,
+                                     (x + w // 2) // 4])
+        cclm_ok = cfg.cclm and self._cclm_allowed_dual(split_path)
+        cu.cclm, cu.lm_symbol = self._parse_intra_chroma_mode(cclm_ok)
+        cbf_u = bool(dec.decode_bin(ctx("QtCbf1", 0)))
+        cbf_v = bool(dec.decode_bin(ctx("QtCbf2", 1 if cbf_u else 0)))
+        cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
+        joint = False
+        if cfg.joint_cbcr and cbf_mask:
+            joint = bool(dec.decode_bin(ctx("JointCbCrFlag",
+                                            cbf_mask - 1)))
+        lev_u = rp.parse(cw, chh, is_luma=False)[0] if cbf_u else None
+        lev_v = rp.parse(cw, chh, is_luma=False)[0] \
+            if cbf_v and not joint else None
+        if min(cw, chh) >= 4:
+            comps = []
+            if cbf_u:
+                comps.append((cw, chh, lev_u))
+            if cbf_v and not joint:
+                comps.append((cw, chh, lev_v))
+            assert self._parse_lfnst_idx(cu, comps, True) == 0
+
+        pred_u, pred_v = self._pred_chroma(cu, self.coded_c)
+        crs = self._crs_scale(x, y, cw, chh)
+        rec_u, rec_v = self._recon_chroma_pair(
+            pred_u, pred_v, lev_u, lev_v, cbf_u, cbf_v, joint,
+            cw, chh, self._chroma_qp(), crs)
+        self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
+        self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
+        r, c = y // 4, x // 4
+        self.coded_c[r:r + h // 4, c:c + w // 4] = True
+        self.unit_w_c[r:r + h // 4, c:c + w // 4] = w
+        self.unit_h_c[r:r + h // 4, c:c + w // 4] = h
+        self.unit_qt_c[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.leaf_c.append((cx, cy, cw, chh))
+
+    # ---- coding tree ------------------------------------------------------
+
+    def _decode_tree(self, x, y, w, h, state):
+        cfg = self.cfg
+        if x >= cfg.width or y >= cfg.height:
+            return
+        implicit = get_implicit_split(x, y, w, h, state, cfg)
+        split = self._parse_split(x, y, w, h, state)
+        if split != Split.NONE:
+            imp_bt = state.implicit_bt_depth + (
+                1 if split == implicit
+                and split in (Split.BT_H, Split.BT_V) else 0)
+            for i, (nx, ny, nw, nh) in enumerate(
+                    self._children(x, y, w, h, split)):
+                cstate = SplitState(
+                    last_split=split, part_idx=i,
+                    qt_depth=state.qt_depth
+                    + (1 if split == Split.QT else 0),
+                    mtt_depth=state.mtt_depth
+                    + (0 if split == Split.QT else 1),
+                    implicit_bt_depth=imp_bt)
+                self._decode_tree(nx, ny, nw, nh, cstate)
+            return
+        self._decode_cu(CuInfo(x, y, w, h, state.qt_depth))
+
+    def _decode_tree_ch(self, x, y, w, h, state, chroma, depth64=0,
+                        path=(None, None)):
+        cfg = self.cfg
+        if x >= cfg.width or y >= cfg.height:
+            return
+        implicit = get_implicit_split(x, y, w, h, state, cfg, chroma)
+        split = self._parse_split(x, y, w, h, state, chroma)
+        if not chroma and depth64 == 0:
+            # actual split of the 64x64 luma node (CU::getSplitAtDepth
+            # for checkCCLMAllowed)
+            self._luma_root_split = split
+        if split != Split.NONE:
+            npath = (split if depth64 == 0 else path[0],
+                     split if depth64 == 1 else path[1])
+            imp_bt = state.implicit_bt_depth + (
+                1 if split == implicit
+                and split in (Split.BT_H, Split.BT_V) else 0)
+            for i, (nx, ny, nw, nh) in enumerate(
+                    self._children(x, y, w, h, split)):
+                cstate = SplitState(
+                    last_split=split, part_idx=i,
+                    qt_depth=state.qt_depth
+                    + (1 if split == Split.QT else 0),
+                    mtt_depth=state.mtt_depth
+                    + (0 if split == Split.QT else 1),
+                    implicit_bt_depth=imp_bt)
+                self._decode_tree_ch(nx, ny, nw, nh, cstate, chroma,
+                                     depth64 + 1, npath)
+            return
+        cu = CuInfo(x, y, w, h, state.qt_depth)
+        if chroma:
+            npath = (path[0] if depth64 > 0 else None,
+                     path[1] if depth64 > 1 else None)
+            self._decode_chroma_cu(cu, split_path=npath)
+        else:
+            self._decode_luma_cu(cu)
+
+    # ---- frame ------------------------------------------------------------
+
+    def decode_frame(self, slice_data: bytes):
+        """Decode one slice payload. Returns (recon_y, recon_u, recon_v)."""
+        cfg, si = self.cfg, self.si
+        self._init_state()
+        self._vpdu_adj = {}
+        self.dec = BinDecoder(slice_data,
+                              ContextStore.standard_init(cfg.qp, 2))
+        self.rp = ResidualParser(self.dec, dep_quant=si.dep_quant,
+                                 sign_hiding=si.sign_hiding)
+        sao_params = [] if cfg.sao else None
+        n_ctu_x = (cfg.width + 127) // 128
+        n_ctu_y = (cfg.height + 127) // 128
+        for cty in range(n_ctu_y):
+            for ctx_i in range(n_ctu_x):
+                if cfg.sao:
+                    sao_params.append(parse_sao_ctu(
+                        self.dec, ctx_i > 0, cty > 0, cfg.bit_depth))
+                bx, by = ctx_i * 128, cty * 128
+                if not cfg.dual_tree:
+                    self._decode_tree(bx, by, 128, 128, SplitState())
+                    continue
+                for (qx, qy, qw, qh) in self._children(bx, by, 128, 128,
+                                                       Split.QT):
+                    if qx >= cfg.width or qy >= cfg.height:
+                        continue
+                    st = SplitState(last_split=Split.QT, qt_depth=1)
+                    self._decode_tree_ch(qx, qy, qw, qh, st, False)
+                    self._luma_root_isp = bool(
+                        self.unit_isp[qy // 4, qx // 4]) \
+                        and int(self.unit_w[qy // 4, qx // 4]) == 64 \
+                        and int(self.unit_h[qy // 4, qx // 4]) == 64
+                    self._decode_tree_ch(qx, qy, qw, qh, st, True)
+        assert self.dec.decode_bin_trm() == 1, "missing end_of_slice bit"
+
+        if self.reshaper is not None:
+            self.recon_y = self.reshaper.inv(self.recon_y).astype(np.int32)
+        if not cfg.deblocking_disabled:
+            qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
+            qp_c_db = max(-self.qp_bd_offset,
+                          min(63,
+                              int(self.qp_table[qpi + self.qp_bd_offset])
+                              + cfg.chroma_qp_offset))
+            deblock_frame(self.recon_y, self.recon_u, self.recon_v,
+                          self.leaf_l, self.leaf_c, cfg.qp, qp_c_db,
+                          bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size)
+        if cfg.sao:
+            apply_sao_frame([self.recon_y, self.recon_u, self.recon_v],
+                            sao_params, 128, bit_depth=cfg.bit_depth)
+        return (self.recon_y.copy(), self.recon_u.copy(),
+                self.recon_v.copy())
+
+
+def decode_stream(data: bytes, verify_hash: bool = True):
+    """Decode an Annex-B stream. Returns (cfg, [per-frame (y, u, v)]).
+
+    With ``verify_hash``, each frame's recon is checked against the
+    decoded-picture-hash SEI (DecoderApp "(OK)" equivalent); a mismatch
+    raises.
+    """
+    bs: Bitstream = parse_bitstream(data)
+    frames = []
+    for i, si in enumerate(bs.slices):
+        fd = FrameDecoder(bs.cfg, si)
+        recon = fd.decode_frame(si.slice_data)
+        if verify_hash and bs.hashes[i] is not None:
+            nbytes = (bs.cfg.bit_depth + 7) // 8
+            for plane, want in zip(recon, bs.hashes[i]):
+                dat = (np.asarray(plane).astype("<u2").tobytes()
+                       if nbytes == 2 else
+                       np.asarray(plane).astype(np.uint8).tobytes())
+                got = hashlib.md5(dat).digest()
+                assert got == want, f"picture hash mismatch on frame {i}"
+        frames.append(recon)
+    return bs.cfg, frames

@@ -223,3 +223,27 @@ def lmcs_aps_nal(model: ReshapeModel, aps_id: int = 0,
     bw.write(1, 1)
     bw.byte_align_zero()
     return nal_unit(NAL_PREFIX_APS, bw.bytes())
+
+
+def parse_lmcs_aps(rbsp: bytes) -> ReshapeModel:
+    """Parse mirror of ``lmcs_aps_nal`` (HLSyntaxReader::parseLmcsAps)."""
+    from .bitstream import BitReader
+    br = BitReader(rbsp)
+    assert br.read(3) == LMCS_APS_TYPE, "not an LMCS APS"
+    br.read(5)                          # aps id
+    chroma_present = br.read_flag()
+    min_bin = br.read_uvlc()
+    max_bin = PIC_CODE_CW_BINS - 1 - br.read_uvlc()
+    nbits = br.read_uvlc() + 1
+    deltas = [0] * PIC_CODE_CW_BINS
+    for i in range(min_bin, max_bin + 1):
+        d = br.read(nbits)
+        if d != 0 and br.read_flag():
+            d = -d
+        deltas[i] = d
+    crs = 0
+    if chroma_present:
+        crs = br.read(3)
+        if crs != 0 and br.read_flag():
+            crs = -crs
+    return ReshapeModel(min_bin, max_bin, deltas, crs, nbits)

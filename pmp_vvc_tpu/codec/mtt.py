@@ -224,3 +224,44 @@ def write_split_cu_mode(enc, split: Split, w, h, state: SplitState, cfg,
     if can12 and can14:
         enc.encode_bin(1 if is12 else 0,
                        ctx("Split12Flag", ctx_v12 if is_ver else ctx_h12))
+
+
+def parse_split_cu_mode(dec, w, h, state: SplitState, cfg, left, above,
+                        chroma: bool = False,
+                        implicit: Split = Split.NONE) -> Split:
+    """CABACReader::split_cu_mode — exact parse mirror of
+    ``write_split_cu_mode`` (same legality set + contexts, bins read
+    only where the encoder wrote them, everything else inferred)."""
+    can = can_split_set(w, h, state, cfg, chroma, implicit)
+    ctx_spl, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = derive_split_ctx(
+        w, h, state, can, left, above)
+    can_split = any(can[s] for s in (Split.QT, Split.BT_H, Split.BT_V,
+                                     Split.TT_H, Split.TT_V))
+    if can[Split.NONE] and can_split:
+        if dec.decode_bin(ctx("SplitFlag", ctx_spl)) == 0:
+            return Split.NONE
+    elif can[Split.NONE]:
+        return Split.NONE
+    can_btt = any(can[s] for s in (Split.BT_H, Split.BT_V,
+                                   Split.TT_H, Split.TT_V))
+    if can[Split.QT] and can_btt:
+        if dec.decode_bin(ctx("SplitQtFlag", ctx_qt)):
+            return Split.QT
+    elif can[Split.QT]:
+        return Split.QT
+    can_hor = can[Split.BT_H] or can[Split.TT_H]
+    can_ver = can[Split.BT_V] or can[Split.TT_V]
+    if can_ver and can_hor:
+        is_ver = bool(dec.decode_bin(ctx("SplitHvFlag", ctx_hv)))
+    else:
+        is_ver = can_ver
+    can14 = can[Split.TT_V] if is_ver else can[Split.TT_H]
+    can12 = can[Split.BT_V] if is_ver else can[Split.BT_H]
+    if can12 and can14:
+        is12 = bool(dec.decode_bin(
+            ctx("Split12Flag", ctx_v12 if is_ver else ctx_h12)))
+    else:
+        is12 = can12
+    if is_ver:
+        return Split.BT_V if is12 else Split.TT_V
+    return Split.BT_H if is12 else Split.TT_H

@@ -524,3 +524,232 @@ def rd_quant_cleanup(lev, coef, w, h, qp, bit_depth=10, lam=0.0):
     if not changed:
         return lev
     return flat_l.reshape(lev.shape)
+
+
+class ResidualParser:
+    """Parses one TU's coefficients — exact mirror of ``ResidualCoder``
+    (CABACReader::residual_coding counterpart).
+
+    Template sums are maintained incrementally: pass-1 contexts read the
+    partial levels ``min(|c|, 4 + (|c| & 1))`` (identical to the whole-TU
+    precompute in ResidualCoder since every template neighbour lies at a
+    strictly higher scan position, hence is already parsed)."""
+
+    def __init__(self, dec, *, max_log2_dyn_range: int = 15,
+                 dep_quant: bool = False, sign_hiding: bool = False):
+        self.dec = dec
+        self.max_log2_dyn = max_log2_dyn_range
+        self.state_tab = 32040 if dep_quant else 0
+        self.sign_hiding = sign_hiding
+
+    @staticmethod
+    def _t5(a, x, y, w, h):
+        s = 0
+        if x < w - 1:
+            s += a[y][x + 1]
+            if x < w - 2:
+                s += a[y][x + 2]
+            if y < h - 1:
+                s += a[y + 1][x + 1]
+        if y < h - 1:
+            s += a[y + 1][x]
+            if y < h - 2:
+                s += a[y + 2][x]
+        return s
+
+    def _parse_last(self, w, h, is_luma):
+        dec = self.dec
+        max_x = int(GROUP_IDX[min(ZERO_OUT_TH, w) - 1])
+        max_y = int(GROUP_IDX[min(ZERO_OUT_TH, h) - 1])
+        ch = 0 if is_luma else 1
+        log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+        if is_luma:
+            prefix_ctx = [0, 0, 0, 3, 6, 10, 15, 21]
+            off_x, off_y = prefix_ctx[log2w], prefix_ctx[log2h]
+            shift_x = (log2w + 1) >> 2
+            shift_y = (log2h + 1) >> 2
+        else:
+            off_x = off_y = 0
+            shift_x = min(2, max(0, w >> 3))
+            shift_y = min(2, max(0, h >> 3))
+        gx = 0
+        while gx < max_x and dec.decode_bin(
+                ctx(f"LastX{ch}", off_x + (gx >> shift_x))):
+            gx += 1
+        gy = 0
+        while gy < max_y and dec.decode_bin(
+                ctx(f"LastY{ch}", off_y + (gy >> shift_y))):
+            gy += 1
+        px = py = 0
+        if gx > 3:
+            for i in range(((gx - 2) >> 1) - 1, -1, -1):
+                px |= dec.decode_bin_ep() << i
+        if gy > 3:
+            for i in range(((gy - 2) >> 1) - 1, -1, -1):
+                py |= dec.decode_bin_ep() << i
+        return int(MIN_IN_GROUP[gx]) + px, int(MIN_IN_GROUP[gy]) + py
+
+    def parse(self, w, h, *, is_luma: bool):
+        """Returns (levels (h, w) int32, scan_pos_last, violates_mts)."""
+        log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+        cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
+        log2_cg = cgl2w + cgl2h
+        wig = min(ZERO_OUT_TH, w) >> cgl2w
+        hig = min(ZERO_OUT_TH, h) >> cgl2h
+        scan_t = _scan_tuples(w, h)
+        cg_scan = diag_scan(wig, hig)
+        ch = 0 if is_luma else 1
+
+        pos_x, pos_y = self._parse_last(w, h, is_luma)
+        scan_pos_last = next(i for i, (_, x, y) in enumerate(scan_t)
+                             if x == pos_x and y == pos_y)
+
+        ratio = CTX_BIN_RATIO_LUMA if is_luma else CTX_BIN_RATIO_CHROMA
+        tb_zoned = min(ZERO_OUT_TH, w) * min(ZERO_OUT_TH, h)
+        rem_bins = (tb_zoned * ratio) >> 4
+
+        part = [[0] * w for _ in range(h)]   # pass-1 partial abs levels
+        full = [[0] * w for _ in range(h)]   # abs levels incl. remainders
+        nzf = [[0] * w for _ in range(h)]
+        sign = [[0] * w for _ in range(h)]
+
+        sig_cg_flags = np.zeros(wig * hig, bool)
+        state = 0
+        violates_mts = False
+        for subset in range(scan_pos_last >> log2_cg, -1, -1):
+            cg_pos = int(cg_scan[subset][0])
+            cg_x, cg_y = int(cg_scan[subset][1]), int(cg_scan[subset][2])
+            min_sub = subset << log2_cg
+            max_sub = min_sub + (1 << log2_cg) - 1
+            is_last_cg = subset == (scan_pos_last >> log2_cg)
+            is_not_first = subset > 0
+            if not is_last_cg and is_not_first:
+                sig_right = cg_x + 1 < wig and sig_cg_flags[cg_pos + 1]
+                sig_lower = cg_y + 1 < hig and sig_cg_flags[cg_pos + wig]
+                gctx = ctx(f"SigCoeffGroup{ch}",
+                           1 if (sig_right or sig_lower) else 0)
+                if not self.dec.decode_bin(gctx):
+                    continue
+            sig_cg_flags[cg_pos] = True
+            state, rem_bins = self._parse_subblock(
+                scan_t, w, h, min_sub, max_sub, scan_pos_last, is_last_cg,
+                is_not_first, state, rem_bins, is_luma,
+                part, full, nzf, sign)
+            if is_luma and (cg_x > 3 or cg_y > 3):
+                violates_mts = True
+
+        lev = np.array(full, np.int32)
+        lev[np.array(sign, bool)] *= -1
+        return lev, scan_pos_last, violates_mts
+
+    def _parse_subblock(self, scan_t, w, h, min_sub, max_sub,
+                        scan_pos_last, is_last_cg, is_not_first, state,
+                        rem_bins, is_luma, part, full, nzf, sign):
+        dec = self.dec
+        ch = 0 if is_luma else 1
+        first_sig = scan_pos_last if is_last_cg else max_sub
+        infer_sig_pos = (first_sig if first_sig == scan_pos_last
+                         else (min_sub if is_not_first else -1))
+        num_nonzero = 0
+        cg_nz = []                       # nonzero scan positions, parse order
+        gt2_list = []
+        next_pos = first_sig
+        while next_pos >= min_sub and rem_bins >= 4:
+            idx, x, y = scan_t[next_pos]
+            sum_abs = self._t5(part, x, y, w, h)
+            num_pos = self._t5(nzf, x, y, w, h)
+            diag = x + y
+            template_set = False
+            if num_nonzero or next_pos != infer_sig_pos:
+                ctx_ofs = min((sum_abs + 1) >> 1, 3) + (4 if diag < 2 else 0)
+                if is_luma:
+                    ctx_ofs += 4 if diag < 5 else 0
+                sig_set = ch + 2 * max(0, state - 1)
+                sig = dec.decode_bin(ctx(f"SigFlag{sig_set}", ctx_ofs))
+                rem_bins -= 1
+                template_set = True
+            else:
+                sig = 1
+                if next_pos != scan_pos_last:
+                    template_set = True
+            val = 0
+            if sig:
+                sum1 = sum_abs - num_pos
+                if not template_set:
+                    off = 0
+                else:
+                    off = min(sum1, 4) + 1
+                    if diag == 0:
+                        off += 15 if is_luma else 5
+                    elif is_luma:
+                        off += 10 if diag < 3 else (5 if diag < 10 else 0)
+                num_nonzero += 1
+                cg_nz.append(next_pos)
+                gt1 = dec.decode_bin(ctx(f"GtxFlag{2 + ch}", off))
+                rem_bins -= 1
+                par = gt2 = 0
+                if gt1:
+                    par = dec.decode_bin(ctx(f"ParFlag{ch}", off))
+                    gt2 = dec.decode_bin(ctx(f"GtxFlag{ch}", off))
+                    rem_bins -= 2
+                val = 1 + gt1 + par + 2 * gt2
+                part[y][x] = val
+                full[y][x] = val
+                nzf[y][x] = 1
+                if gt2:
+                    gt2_list.append(next_pos)
+            state = (self.state_tab >> ((state << 2)
+                                        + ((val & 1) << 1))) & 3
+            next_pos -= 1
+
+        first_pos_mode2 = next_pos
+        gt2_set = set(gt2_list)
+        for pos in range(first_sig, first_pos_mode2, -1):
+            if pos not in gt2_set:
+                continue
+            idx, x, y = scan_t[pos]
+            sum_all = max(min(self._t5(full, x, y, w, h) - 20, 31), 0)
+            rice = int(GO_RICE_PARS[sum_all])
+            rem = dec.decode_rem_abs_ep(rice, COEF_REMAIN_BIN_REDUCTION,
+                                        self.max_log2_dyn)
+            full[y][x] += rem << 1
+
+        for pos in range(first_pos_mode2, min_sub - 1, -1):
+            idx, x, y = scan_t[pos]
+            sum_all = max(min(self._t5(full, x, y, w, h), 31), 0)
+            rice = int(GO_RICE_PARS[sum_all])
+            pos0 = (1 if state < 2 else 2) << rice
+            rem = dec.decode_rem_abs_ep(rice, COEF_REMAIN_BIN_REDUCTION,
+                                        self.max_log2_dyn)
+            if rem == pos0:
+                a = 0
+            elif rem < pos0:
+                a = rem + 1
+            else:
+                a = rem
+            state = (self.state_tab >> ((state << 2)
+                                        + ((a & 1) << 1))) & 3
+            if a:
+                num_nonzero += 1
+                cg_nz.append(pos)
+                full[y][x] = a
+                part[y][x] = min(4 + (a & 1), a)
+                nzf[y][x] = 1
+
+        if not cg_nz:
+            return state, rem_bins
+        first_nz, last_nz = cg_nz[-1], cg_nz[0]
+        hide = self.sign_hiding and (last_nz - first_nz) >= 4
+        num_signs = num_nonzero - (1 if hide else 0)
+        pattern = dec.decode_bins_ep(num_signs) if num_signs else 0
+        k = num_signs
+        for i, pos in enumerate(cg_nz):
+            idx, x, y = scan_t[pos]
+            if hide and i == len(cg_nz) - 1:
+                parity = sum(full[yy][xx] for (_, xx, yy) in
+                             (scan_t[p] for p in cg_nz)) & 1
+                sign[y][x] = parity
+            else:
+                k -= 1
+                sign[y][x] = (pattern >> k) & 1
+        return state, rem_bins

@@ -284,3 +284,54 @@ def write_sao_ctu(enc, par: SaoCtuParam, left_avail, above_avail,
             enc.encode_bins_ep(cp.band_pos, 5)
         elif first_of_ch:
             enc.encode_bins_ep(cp.type_idc, 2)
+
+
+def _parse_unary_max_eqprob(dec, max_val):
+    """CABACReader::unary_max_eqprob."""
+    v = 0
+    while v < max_val and dec.decode_bin_ep():
+        v += 1
+    return v
+
+
+def parse_sao_ctu(dec, left_avail, above_avail, bit_depth=10):
+    """CABACReader::sao — parse mirror of ``write_sao_ctu`` (merge never
+    signalled by this encoder; Cr inherits Cb's mode/type per the spec)."""
+    par = SaoCtuParam()
+    if left_avail:
+        assert dec.decode_bin(ctx("SaoMergeFlag", 0)) == 0, "SAO merge"
+    if above_avail:
+        assert dec.decode_bin(ctx("SaoMergeFlag", 0)) == 0, "SAO merge"
+    max_q = (1 << (min(bit_depth, 10) - 5)) - 1
+
+    def offsets4():
+        return [_parse_unary_max_eqprob(dec, max_q) for _ in range(4)]
+
+    def bo_tail(cp, coded):
+        signed = [(-c if c and dec.decode_bin_ep() else c) for c in coded]
+        cp.offsets = tuple(signed)
+        cp.band_pos = dec.decode_bins_ep(5)
+
+    for comp in (0, 1):
+        cp = par.comps[comp]
+        if dec.decode_bin(ctx("SaoTypeIdx", 0)) == 0:
+            continue
+        cp.mode = MODE_NEW
+        is_eo = dec.decode_bin_ep()
+        coded = offsets4()
+        if not is_eo:
+            cp.type_idc = TYPE_BO
+            bo_tail(cp, coded)
+        else:
+            cp.offsets = (coded[0], coded[1], 0, -coded[2], -coded[3])
+            cp.type_idc = dec.decode_bins_ep(2)
+        if comp == 1:                    # Cr follows Cb's mode/type
+            cr = par.comps[2]
+            cr.mode = MODE_NEW
+            cr.type_idc = cp.type_idc
+            c2 = offsets4()
+            if cp.type_idc == TYPE_BO:
+                bo_tail(cr, c2)
+            else:
+                cr.offsets = (c2[0], c2[1], 0, -c2[2], -c2[3])
+    return par
