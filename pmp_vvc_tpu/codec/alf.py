@@ -679,3 +679,180 @@ def ccalf_aps_payload(bw, coeff_cb, coeff_cr):
             else:
                 bw.write(1 + int(abs(c)).bit_length() - 1, 3)
                 bw.write_flag(1 if c < 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Decoder side: APS/CTU parsing + frame application (ALFProcess mirror)
+# ---------------------------------------------------------------------------
+
+def parse_alf_aps(rbsp: bytes):
+    """Parse mirror of ``alf_aps_nal`` -> dict(luma (25,12)|None,
+    luma_delta_idx, chroma (6,)|None, cc_cb (7,)|None, cc_cr (7,)|None)."""
+    from .bitstream import BitReader
+    br = BitReader(rbsp)
+    assert br.read(3) == 0, "not an ALF APS"
+    br.read(5)                          # aps id
+    assert br.read_flag(), "chroma-absent ALF APS unsupported"
+    has_luma = br.read_flag()
+    has_chroma = br.read_flag()
+    has_cc_cb = br.read_flag()
+    has_cc_cr = br.read_flag()
+    out = {"luma": None, "luma_delta_idx": None, "chroma": None,
+           "cc_cb": None, "cc_cr": None}
+    if has_luma:
+        assert not br.read_flag(), "nonlinear luma ALF unsupported"
+        nf = br.read_uvlc() + 1
+        if nf > 1:
+            out["luma_delta_idx"] = np.array(
+                [br.read(5) for _ in range(NUM_CLASSES)], np.int32)
+        else:
+            out["luma_delta_idx"] = np.zeros(NUM_CLASSES, np.int32)
+        coeff = np.zeros((nf, 12), np.int32)
+        for f in range(nf):
+            for i in range(12):
+                c = br.read_uvlc()
+                if c and br.read_flag():
+                    c = -c
+                coeff[f, i] = c
+        out["luma"] = coeff
+    if has_chroma:
+        assert not br.read_flag(), "nonlinear chroma ALF unsupported"
+        assert br.read_uvlc() == 0, "multiple chroma alternatives"
+        out["chroma"] = np.array([_read_svlc_coeff(br) for _ in range(6)],
+                                 np.int32)
+    for key, has in (("cc_cb", has_cc_cb), ("cc_cr", has_cc_cr)):
+        if not has:
+            continue
+        assert br.read_uvlc() == 0, "multiple CC-ALF filters"
+        coeff = np.zeros(7, np.int32)
+        for i in range(7):
+            k = br.read(3)
+            if k:
+                sign = br.read_flag()
+                coeff[i] = (-1 if sign else 1) * (1 << (k - 1))
+        out[key] = coeff
+    return out
+
+
+def _read_svlc_coeff(br):
+    c = br.read_uvlc()
+    if c and br.read_flag():
+        c = -c
+    return c
+
+
+def parse_alf_ctu(dec, ctx, cy, cx, flags_y, sets, num_aps=0,
+                  flags_cb=None, flags_cr=None):
+    """Parse mirror of ``write_alf_ctu`` (fills the decision arrays)."""
+    c = (1 if cx > 0 and flags_y[cy, cx - 1] else 0) \
+        + (1 if cy > 0 and flags_y[cy - 1, cx] else 0)
+    fl = bool(dec.decode_bin(ctx("ctbAlfFlag", 0 * 3 + c)))
+    flags_y[cy, cx] = fl
+    if fl:
+        if num_aps > 0:
+            if dec.decode_bin(ctx("AlfUseTemporalFilt")):
+                sets[cy, cx] = NUM_FIXED_SETS      # single APS set
+            else:
+                sets[cy, cx] = dec.decode_bins_ep(4)
+        else:
+            sets[cy, cx] = dec.decode_bins_ep(4)
+    for comp, fc in ((1, flags_cb), (2, flags_cr)):
+        if fc is None:
+            continue
+        c = (1 if cx > 0 and fc[cy, cx - 1] else 0) \
+            + (1 if cy > 0 and fc[cy - 1, cx] else 0)
+        fc[cy, cx] = bool(dec.decode_bin(ctx("ctbAlfFlag", comp * 3 + c)))
+
+
+def parse_ccalf_ctu(dec, ctx, cy, cx, idc_cb, idc_cr, filter_count=1):
+    """Parse mirror of ``write_ccalf_ctu``."""
+    for comp, idc in ((1, idc_cb), (2, idc_cr)):
+        if idc is None:
+            continue
+        c = (1 if cx > 0 and idc[cy, cx - 1] else 0) \
+            + (1 if cy > 0 and idc[cy - 1, cx] else 0) \
+            + (3 if comp == 2 else 0)
+        v = dec.decode_bin(ctx("CcAlfFilterControlFlag", c))
+        if v:
+            while v < filter_count and dec.decode_bin_ep():
+                v += 1
+        idc[cy, cx] = v
+
+
+def apply_alf_frame(recon_y, recon_u, recon_v, flags_y, sets, aps,
+                    flags_cb, flags_cr, idc_cb, idc_cr,
+                    bit_depth=10, ctu_size=128):
+    """Decoder-side ALF + CC-ALF application over post-SAO planes.
+
+    Mirrors the encoder's application order in encode_frame: luma ALF
+    (fixed sets + the APS set at index NUM_FIXED_SETS) on the pre-ALF
+    luma; chroma ALF per component; CC-ALF on the post-ALF chroma using
+    the PRE-ALF padded luma. Returns (y, u, v).
+    """
+    y = np.asarray(recon_y, np.int64)
+    h, w = y.shape
+    cls, trs = classify(y, bit_depth, ctu_size)
+    P = pad4(y)                          # pre-ALF luma (CC-ALF input too)
+    out_y = y.copy()
+    cand = [fixed_filter_set(s, bit_depth) for s in range(NUM_FIXED_SETS)]
+    if aps is not None and aps["luma"] is not None:
+        cand.append(reconstruct_coeff(aps["luma"], None, bit_depth,
+                                      NUM_CLASSES,
+                                      delta_idx=aps["luma_delta_idx"]))
+    n_cx = (w + ctu_size - 1) // ctu_size
+    n_cy = (h + ctu_size - 1) // ctu_size
+    for cy in range(n_cy):
+        for cx in range(n_cx):
+            if not flags_y[cy, cx]:
+                continue
+            x0, y0 = cx * ctu_size, cy * ctu_size
+            cw = min(ctu_size, w - x0)
+            ch = min(ctu_size, h - y0)
+            coeff, clip = cand[int(sets[cy, cx])]
+            out_y[y0:y0 + ch, x0:x0 + cw] = apply_luma_ctu(
+                P, x0, y0, cw, ch, cls, trs, coeff, clip, bit_depth,
+                ctu_size)
+
+    outs_c = []
+    for plane, fc in ((recon_u, flags_cb), (recon_v, flags_cr)):
+        pc = np.asarray(plane, np.int64)
+        out_c = pc.copy()
+        if fc is not None and aps is not None and \
+                aps["chroma"] is not None and fc.any():
+            ccoeff, cclip = reconstruct_coeff(
+                aps["chroma"][None, :], None, bit_depth, 1)
+            Pc = pad4(pc)
+            csz = ctu_size // 2
+            hc, wc = pc.shape
+            for cy in range((hc + csz - 1) // csz):
+                for cx in range((wc + csz - 1) // csz):
+                    if not fc[cy, cx]:
+                        continue
+                    x0, y0 = cx * csz, cy * csz
+                    cw = min(csz, wc - x0)
+                    ch = min(csz, hc - y0)
+                    out_c[y0:y0 + ch, x0:x0 + cw] = apply_chroma_ctu(
+                        Pc, x0, y0, cw, ch, ccoeff[0], cclip[0],
+                        bit_depth, ctu_size)
+        outs_c.append(out_c)
+
+    for ci, (idc, key) in enumerate(((idc_cb, "cc_cb"),
+                                     (idc_cr, "cc_cr"))):
+        if idc is None or aps is None or aps[key] is None \
+                or not aps[key].any() or not idc.any():
+            continue
+        out_c = outs_c[ci]
+        hc, wc = out_c.shape
+        csz = ctu_size // 2
+        for cy in range((hc + csz - 1) // csz):
+            for cx in range((wc + csz - 1) // csz):
+                if not idc[cy, cx]:
+                    continue
+                x0, y0 = cx * csz, cy * csz
+                cw = min(csz, wc - x0)
+                ch = min(csz, hc - y0)
+                out_c[y0:y0 + ch, x0:x0 + cw] = apply_ccalf_ctu(
+                    P, out_c[y0:y0 + ch, x0:x0 + cw], x0, y0, cw, ch,
+                    aps[key], bit_depth, ctu_size)
+    return (out_y.astype(np.int32), outs_c[0].astype(np.int32),
+            outs_c[1].astype(np.int32))

@@ -73,8 +73,15 @@ class FrameDecoder(FrameEncoder):
                     continue
         elif not si.lmcs_enabled:
             self.reshaper = None
+        self.alf_aps = None
         if cfg.alf:
-            raise NotImplementedError("ALF parse lands in the next step")
+            from .alf import parse_alf_aps
+            for rbsp in getattr(si, "aps", []) or []:
+                try:
+                    self.alf_aps = parse_alf_aps(rbsp)
+                    break
+                except AssertionError:
+                    continue
         assert si.jccr_sign or not cfg.joint_cbcr, \
             "only ph_joint_cbcr_sign_flag=1 (Cr = -Cb) is produced/parsed"
 
@@ -607,11 +614,32 @@ class FrameDecoder(FrameEncoder):
         sao_params = [] if cfg.sao else None
         n_ctu_x = (cfg.width + 127) // 128
         n_ctu_y = (cfg.height + 127) // 128
+        alf_flags = alf_sets = alf_cb = alf_cr = cc_cb = cc_cr = None
+        if cfg.alf and si.alf_enabled:
+            alf_flags = np.zeros((n_ctu_y, n_ctu_x), bool)
+            alf_sets = np.zeros((n_ctu_y, n_ctu_x), np.int32)
+            if si.alf_cb:
+                alf_cb = np.zeros((n_ctu_y, n_ctu_x), bool)
+            if si.alf_cr:
+                alf_cr = np.zeros((n_ctu_y, n_ctu_x), bool)
+        if si.ccalf_cb:
+            cc_cb = np.zeros((n_ctu_y, n_ctu_x), np.int32)
+        if si.ccalf_cr:
+            cc_cr = np.zeros((n_ctu_y, n_ctu_x), np.int32)
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):
                 if cfg.sao:
                     sao_params.append(parse_sao_ctu(
                         self.dec, ctx_i > 0, cty > 0, cfg.bit_depth))
+                if alf_flags is not None:
+                    from .alf import parse_alf_ctu, parse_ccalf_ctu
+                    parse_alf_ctu(self.dec, ctx, cty, ctx_i, alf_flags,
+                                  alf_sets,
+                                  num_aps=1 if si.alf_aps_luma else 0,
+                                  flags_cb=alf_cb, flags_cr=alf_cr)
+                    if cc_cb is not None or cc_cr is not None:
+                        parse_ccalf_ctu(self.dec, ctx, cty, ctx_i,
+                                        cc_cb, cc_cr)
                 bx, by = ctx_i * 128, cty * 128
                 if not cfg.dual_tree:
                     self._decode_tree(bx, by, 128, 128, SplitState())
@@ -643,6 +671,13 @@ class FrameDecoder(FrameEncoder):
         if cfg.sao:
             apply_sao_frame([self.recon_y, self.recon_u, self.recon_v],
                             sao_params, 128, bit_depth=cfg.bit_depth)
+        if alf_flags is not None:
+            from .alf import apply_alf_frame
+            self.recon_y, self.recon_u, self.recon_v = apply_alf_frame(
+                self.recon_y, self.recon_u, self.recon_v,
+                alf_flags, alf_sets, self.alf_aps, alf_cb, alf_cr,
+                cc_cb, cc_cr, bit_depth=cfg.bit_depth,
+                ctu_size=cfg.ctu_size)
         return (self.recon_y.copy(), self.recon_u.copy(),
                 self.recon_v.copy())
 

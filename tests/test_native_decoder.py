@@ -133,3 +133,36 @@ def test_lmcs_crs_kitchen_sink():
 def test_boundary_frame_implicit_splits():
     cfg = VVCConfig(width=160, height=96, qp=32)
     _roundtrip(cfg, seed=21)
+
+
+@pytest.mark.parametrize("mode", ["fixed", "aps", "ccalf", "full"])
+def test_alf_native_decode(mode):
+    from pmp_vvc_tpu.codec.decoder import decode_stream
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+
+    rng = np.random.RandomState(5)
+    w, h = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(500 + 300 * np.sin(xx / 7.) * np.cos(yy / 9.)
+                + rng.randn(h, w) * 40, 0, 1023).astype(np.int32)
+    u = np.clip(512 + (y[::2, ::2] - 512) // 3
+                + rng.randn(h // 2, w // 2) * 20, 0, 1023).astype(np.int32)
+    v = np.clip(512 - (y[::2, ::2] - 512) // 4
+                + rng.randn(h // 2, w // 2) * 20, 0, 1023).astype(np.int32)
+    kw = dict(width=w, height=h, qp=32, alf=True)
+    if mode == "aps":
+        kw.update(alf_chroma=True)
+    elif mode == "ccalf":
+        kw.update(ccalf=True)
+    elif mode == "full":
+        kw.update(alf_chroma=True, ccalf=True, sao=True,
+                  deblocking_disabled=False, lmcs=True,
+                  lmcs_chroma_scaling=True)
+    cfg = VVCConfig(**kw)
+    enc = FrameEncoder(cfg, mode_select="satd",
+                       rmd_modes=tuple(range(0, 67, 4)))
+    qt = np.full((h // 8, w // 8), 2, np.int32)
+    bs, recon = enc.encode_frame(y, u, v, qt_map=qt, poc=0)
+    dcfg, frames = decode_stream(bs, verify_hash=True)
+    for plane, (a, b) in enumerate(zip(frames[0], recon)):
+        assert np.array_equal(a, b), (plane, np.argwhere(a != b)[:4])
