@@ -59,8 +59,12 @@ class FrameDecoder(FrameEncoder):
                            lmcs_enabled=cfg.lmcs,
                            chroma_residual_scale=cfg.lmcs_chroma_scaling,
                            sao_luma=cfg.sao, sao_chroma=cfg.sao)
-        # PH-level switches override the encoder-side config defaults
-        cfg.lmcs_chroma_scaling = si.chroma_residual_scale
+        # PH-level switches override the encoder-side config defaults.
+        # Work on a copy: the caller's cfg is shared across per-frame
+        # decoders and must not absorb per-slice state.
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, lmcs_chroma_scaling=si.chroma_residual_scale)
         super().__init__(cfg, mode_select="planar")
         self.si = si
         if cfg.lmcs and si.lmcs_enabled:

@@ -47,6 +47,8 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
     _expect(br.read(3) == 0, "sub layers")
     _expect(br.read(2) == 1, "chroma format != 4:2:0")
     cfg.ctu_size = 1 << (br.read(2) + 5)
+    # the CTU loop / SAO / ALF grids in FrameDecoder assume CTU 128
+    _expect(cfg.ctu_size == 128, "CTU size != 128")
     _expect(br.read_flag(), "no ptl")
     parse_profile_tier_level(br, cfg)
     _expect(not br.read_flag(), "gdr")
@@ -271,19 +273,23 @@ class Bitstream:
 
 
 def parse_bitstream(data: bytes) -> Bitstream:
+    """APS NALs persist by (aps_params_type, aps_id) across pictures
+    (VTM ParameterSetManager semantics): every slice sees the full table
+    of APS received so far, with later same-id APS replacing earlier
+    ones.  aps_params_type u(3) + aps_id u(5) are the first RBSP byte
+    (VLCReader.cpp parseAPS)."""
     out = Bitstream()
-    pending_aps = []
+    aps_table: dict[int, bytes] = {}     # (type<<5)|id -> rbsp
     for nal_type, _hdr, rbsp in split_nals(data):
         if nal_type == NAL_SPS:
             out.cfg = parse_sps(rbsp)
         elif nal_type == NAL_PPS:
             parse_pps(rbsp, out.cfg)
         elif nal_type == NAL_PREFIX_APS:
-            pending_aps.append(rbsp)
+            aps_table[rbsp[0]] = rbsp
         elif nal_type == NAL_IDR_N_LP:
             si = parse_slice_header(rbsp, out.cfg)
-            si.aps = list(pending_aps)
-            pending_aps = []
+            si.aps = list(aps_table.values())
             out.slices.append(si)
             out.hashes.append(None)
         elif nal_type == NAL_SUFFIX_SEI:

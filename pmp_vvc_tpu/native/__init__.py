@@ -22,10 +22,16 @@ _TRIED = False
 
 
 def _build() -> pathlib.Path | None:
+    """Build keyed on a content hash of cabac.c: git does not preserve
+    mtimes, so an mtime check could trust a stale binary after checkout."""
+    import hashlib
     src = _DIR / "cabac.c"
-    out = _DIR / "libcabac.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    out = _DIR / f"libcabac-{tag}.so"
+    if out.exists():
         return out
+    for stale in _DIR.glob("libcabac*.so"):
+        stale.unlink(missing_ok=True)
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
@@ -59,7 +65,46 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long]
     _LIB = lib
-    return lib
+    if not _self_test():
+        _LIB = None
+    return _LIB
+
+
+def _self_test() -> bool:
+    """Known-answer check: a small randomized op stream must match the
+    Python BinEncoder byte-for-byte, else the library is rejected."""
+    import random
+
+    from ..codec.cabac import BinEncoder, ContextStore
+
+    rng = random.Random(20260818)
+    ops = []
+    for _ in range(256):
+        k = rng.randrange(4)
+        if k == 0:
+            ops.append(("b", rng.randrange(2), rng.randrange(300)))
+        elif k == 1:
+            ops.append(("ep", rng.randrange(2)))
+        elif k == 2:
+            n = rng.randrange(1, 12)
+            ops.append(("eps", rng.randrange(1 << n), n))
+        else:
+            ops.append(("rem", rng.randrange(4000), rng.randrange(4), 5, 15))
+    got = cabac_finalize(ops, ContextStore.standard_init(32, 2))
+    enc = BinEncoder(ContextStore.standard_init(32, 2))
+    for op in ops:
+        k = op[0]
+        if k == "b":
+            enc.encode_bin(op[1], op[2])
+        elif k == "ep":
+            enc.encode_bin_ep(op[1])
+        elif k == "eps":
+            enc.encode_bins_ep(op[1], op[2])
+        else:
+            enc.encode_rem_abs_ep(op[1], op[2], op[3], op[4])
+    enc.encode_bin_trm(1)
+    enc.finish()
+    return got == enc.write_stop_bit_and_align()
 
 
 def cabac_finalize(ops, ctx_store) -> bytes | None:
