@@ -57,6 +57,8 @@ def _dp(b, r, e, shift=0, ctb=False):
 
 
 def _dq(b, r, e, shift=0):
+    """xCalcDQ at ``shift`` samples right of the edge (:1730-1734)."""
+    e = e + shift
     return abs(int(b[r, e]) - 2 * int(b[r, e + 1]) + int(b[r, e + 2]))
 
 

@@ -40,7 +40,8 @@ from .deblock import deblock_frame
 from .sao import apply_sao_frame, decide_sao_frame, write_sao_ctu
 from .headers import (VVCConfig, decoded_picture_hash_sei,
                       pps_nal, slice_nal, sps_nal)
-from .mtt import SplitState, get_implicit_split, write_split_cu_mode
+from .mtt import (SplitState, can_split_set, get_implicit_split,
+                  write_split_cu_mode)
 from .partition import MapPartitioner, PartitionConstraints, Split
 from .residual import ResidualCoder, ctx
 
@@ -87,17 +88,28 @@ class RecordingEncoder:
     in-loop filters are decided (EncSlice::encodeSlice); this captures
     pass 1 so pass 2 can interleave the SAO CTU syntax
     (CABACWriter::coding_tree_unit order: sao() first, :158).
+
+    ``owner``: optional FrameEncoder — every recorded ctx bin also
+    adapts ``owner.est`` (the live RateEstimator), so RD trials branched
+    off the estimator always start from the true coding-position state
+    (the CABACEstimator discipline of EncCu/IntraSearch).  The tee reads
+    the estimator through the owner because the RDO split search swaps
+    ``owner.est`` when committing a trial branch.
     """
 
-    def __init__(self):
+    def __init__(self, owner=None):
         self.ops = []
         self.ctu_marks = []
+        self.owner = owner
 
     def mark_ctu(self):
         self.ctu_marks.append(len(self.ops))
 
     def encode_bin(self, v, ctx_id):
         self.ops.append(("b", v, ctx_id))
+        o = self.owner
+        if o is not None and o.est is not None:
+            o.est.encode_bin(v, ctx_id)
 
     def encode_bin_ep(self, v):
         self.ops.append(("ep", v))
@@ -123,6 +135,10 @@ class RecordingEncoder:
 PLANAR, DC, HOR, VER, VDIA = 0, 1, 18, 50, 66
 DM_CHROMA = 67
 NUM_MPM = 6
+
+# decide() sentinel: defer this node to the RDO split search
+# (EncModeCtrl.cpp:1455-1645 stock fallback outside the map gate)
+RDO = "rdo"
 
 
 def derive_chroma_qp_table(start_minus26=0, delta_in_minus1=(0,),
@@ -175,15 +191,38 @@ class FrameEncoder:
     """Encodes one intra frame to a slice-data CABAC payload + recon."""
 
     def __init__(self, cfg: VVCConfig, *, mode_select: str = "satd",
-                 rmd_modes: tuple | None = None):
+                 rmd_modes: tuple | None = None, accel_level: int = 3,
+                 rdo_fallback: bool = False, rd_effort: int = 1):
         self.cfg = cfg
         self.mode_select = mode_select
         self.rmd_modes = rmd_modes or tuple(range(67))
+        self.accel_level = accel_level
+        self.rdo_fallback = rdo_fallback
+        self.rd_effort = rd_effort
         self.qp_table, self.qp_bd_offset = derive_chroma_qp_table(
             cfg.chroma_qp_start_minus26,
             tuple(p[0] for p in cfg.chroma_qp_points),
             tuple(p[1] for p in cfg.chroma_qp_points),
             bit_depth=cfg.bit_depth)
+        # slice lambda (EncSlice::initializeLambda, AI: QPfactor 0.57):
+        # lambda = 0.57 * 2^((QP + bitDepthShift)/3) with bitDepthShift =
+        # 6*(bd-8) - SHIFT_QP(12), i.e. the *internal* QP drives lambda
+        # (distortion is measured at full internal bit depth, FULL_NBIT);
+        # dep-quant adds 2^(0.25/3) (EncSlice::calculateLambda)
+        self.lam = 0.57 * 2.0 ** ((cfg.qp + 6 * (cfg.bit_depth - 8) - 12)
+                                  / 3.0)
+        if cfg.dep_quant:
+            self.lam *= 2.0 ** (0.25 / 3.0)
+        # chroma distortion weight 2^((qpY-qpC)/3) in user-QP scale
+        # (EncSlice::setUpLambda), +2^(0.2/3) under dep-quant (GOP < 8)
+        qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
+        qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
+            + cfg.chroma_qp_offset
+        qp_c = max(-self.qp_bd_offset, min(63, qp_c))
+        self.dw_c = 2.0 ** ((cfg.qp - qp_c) / 3.0)
+        if cfg.dep_quant:
+            self.dw_c *= 2.0 ** (0.2 / 3.0)
+        self.est = None                 # running CABAC rate estimator
         self.reshaper = None
         if cfg.lmcs:
             from .lmcs import Reshaper, derive_ai_model
@@ -668,48 +707,57 @@ class FrameEncoder:
                                            cfg.bit_depth)(*refs))[0, 0]
 
         # ---- stage 2: true RD over the shortlist ----
+        # estIntraPredLumaQT's structure: SATD shortlist -> per-candidate
+        # transform-quant trial costed as SSE + lambda * estimated CABAC
+        # bits of (intra mode syntax + cbf + residual), from the live
+        # context state
         mpm = self._mpm_list(cu)
         cands = []
-        for i in order[:3]:
+        n_satd = 3 if w * h >= 256 else 4
+        for i in order[:n_satd]:
             m = int(self.rmd_modes[int(i)])
             if m not in cands:
                 cands.append(m)
-        for m in mpm[:3]:
+        for m in mpm[:4]:
             if m not in cands:
                 cands.append(m)
-        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        lam = self.lam
         qp_y = cfg.qp + self.qp_bd_offset
         cpred = _jit_predict(w, h, tuple(cands), True, cfg.bit_depth)
         cand_preds = np.asarray(cpred(*refs))[0]      # (K, h, w)
-        best = None
-        for k, m in enumerate(cands):
-            pr = cand_preds[k]
+
+        def _rd(pr, mode, mip=False, mip_mode=0, mip_t=False, mrl=0):
             resid = org.astype(np.int32) - pr
             lev, rec = self._tq_roundtrip(resid, w, h, qp_y, 0)
             err = rec.astype(np.int64) - resid
-            mode_bits = (2 + mpm.index(m) if m in mpm else 8)
-            cost = float((err * err).sum()) \
-                + lam * (16.0 * int(np.count_nonzero(lev)) + mode_bits)
+            tmp = CuInfo(cu.x, cu.y, w, h, cu.qt_depth, mode=mode,
+                         mip=mip, mip_mode=mip_mode, mip_transpose=mip_t,
+                         mrl=mrl)
+            est = self.est.clone()
+            self._write_intra_luma_mode(est, tmp)
+            base = est.frac
+            bits_mode = (base - self.est.frac) / 32768.0
+            bits_tu = self._est_tu_bits(
+                lev if lev.any() else None, ("QtCbf0", 0), True)
+            return float((err * err).sum()) + lam * (bits_mode + bits_tu)
+
+        best = None
+        for k, m in enumerate(cands):
+            pr = cand_preds[k]
+            cost = _rd(pr, m)
             if best is None or cost < best[0]:
                 best = (cost, m, False, 0, False, 0, pr)
         if mip_best is not None:
             n = mip_ops.num_modes(w, h)
             pr = mip_preds[mip_best[0]].astype(np.int32)
-            resid = org.astype(np.int32) - pr
-            lev, rec = self._tq_roundtrip(resid, w, h, qp_y, 0)
-            err = rec.astype(np.int64) - resid
-            cost = float((err * err).sum()) \
-                + lam * (16.0 * int(np.count_nonzero(lev)) + 7)
+            cost = _rd(pr, PLANAR, mip=True, mip_mode=mip_best[0] % n,
+                       mip_t=mip_best[0] >= n)
             if cost < best[0]:
                 best = (cost, PLANAR, True, mip_best[0] % n,
                         mip_best[0] >= n, 0, pr)
         if mrl_best is not None:
             pr = mrl_best[3].astype(np.int32)
-            resid = org.astype(np.int32) - pr
-            lev, rec = self._tq_roundtrip(resid, w, h, qp_y, 0)
-            err = rec.astype(np.int64) - resid
-            cost = float((err * err).sum()) \
-                + lam * (16.0 * int(np.count_nonzero(lev)) + 6)
+            cost = _rd(pr, mrl_best[1], mrl=mrl_best[2])
             if cost < best[0]:
                 best = (cost, mrl_best[1], False, 0, False, mrl_best[2], pr)
         (_, cu.mode, cu.mip, cu.mip_mode, cu.mip_transpose, cu.mrl,
@@ -735,9 +783,8 @@ class FrameEncoder:
             dirty = False
             if self.cfg.rd_quant and lev.any():
                 from .residual import rd_quant_cleanup
-                lam = 0.57 * 2.0 ** ((self.cfg.qp - 12) / 3.0)
                 lev2 = rd_quant_cleanup(lev, np.asarray(coef_j), w, h,
-                                        qp, bd, lam)
+                                        qp, bd, self.lam)
                 dirty = lev2 is not lev
                 lev = lev2
             if self.cfg.sign_hiding and lev.any():
@@ -894,11 +941,19 @@ class FrameEncoder:
         fill_top = np.asarray(refs[0][0], np.int64)
         fill_left = np.asarray(refs[1][0], np.int64)
 
-        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        lam = self.lam
         out = []
         cost = 0.0
         region_pred = None
-        for (dx, dy, sw, sh) in subs:
+        # sub-TU cbf + residual bits on a local estimator advanced across
+        # sub-TUs (ISP cbf ctx 2+prev; last inferred when all prior zero)
+        est = self.est.clone()
+        rc_e = ResidualCoder(est, dep_quant=cfg.dep_quant,
+                             sign_hiding=cfg.sign_hiding)
+        n_subs = len(subs)
+        prev_cbf = False
+        any_cbf = False
+        for si, (dx, dy, sw, sh) in enumerate(subs):
             off = dx if ver else dy
             if off % (pw if ver else ph) == 0:
                 r = off // (pw if ver else ph)
@@ -920,10 +975,20 @@ class FrameEncoder:
                             (1 << cfg.bit_depth) - 1)
             self.recon_y[sy:sy + sh, sx:sx + sw] = recon
             err = recon.astype(np.int64) - org
-            nnz = int(np.count_nonzero(lev))
-            cost += float((err * err).sum()) + lam * (16.0 * nnz + 2.0)
-            out.append((bool(lev.any()), lev, (sx, sy, sw, sh)))
-        if not any(cbf for cbf, _, _ in out):
+            cbf = bool(lev.any())
+            f0 = est.frac
+            inferred = si == n_subs - 1 and not any_cbf
+            if not inferred:
+                est.encode_bin(1 if cbf else 0,
+                               ctx("QtCbf0", 2 + (1 if prev_cbf else 0)))
+            if cbf:
+                rc_e.code(lev, is_luma=True)
+            cost += float((err * err).sum()) \
+                + lam * (est.frac - f0) / 32768.0
+            prev_cbf = cbf
+            any_cbf = any_cbf or cbf
+            out.append((cbf, lev, (sx, sy, sw, sh)))
+        if not any_cbf:
             return None
         return {"cost": cost, "subs": out}
 
@@ -981,14 +1046,43 @@ class FrameEncoder:
             any_prev = any_prev or cbf
         return comps
 
+    def _est_tu_bits(self, lev, cbf_ctx, is_luma, extra=None) -> float:
+        """Estimated rate (bits) of coding ``cbf + residual`` for one TU
+        component starting from the current CABAC context state
+        (CABACEstimator discipline: IntraSearch xGetIntraFracBitsQT).
+
+        ``cbf_ctx``: (set name, inc) of the cbf bin; None skips the cbf
+        bin (inferred cbf).  ``extra(est)``: optional callback writing
+        trailing syntax (mts_idx / lfnst_idx bins) into the estimator."""
+        est = self.est.clone()
+        cbf = lev is not None and bool(lev.any())
+        if cbf_ctx is not None:
+            est.encode_bin(1 if cbf else 0, ctx(*cbf_ctx))
+        if cbf:
+            ResidualCoder(est, dep_quant=self.cfg.dep_quant,
+                          sign_hiding=self.cfg.sign_hiding).code(
+                              lev, is_luma=is_luma)
+        if extra is not None:
+            extra(est)
+        return (est.frac - self.est.frac) / 32768.0
+
     def _code_tu_component(self, enc_rc, org, pred, x, y, w, h, qp, is_luma,
                            try_mts=False, try_lfnst=False, intra_mode=0,
-                           chroma_scale=None):
+                           chroma_scale=None, cbf_ctx=None,
+                           allow_zero=True):
         """Returns (cbf, levels, recon, mts_idx, lfnst_idx).
+
+        Candidate transforms are compared by true RD cost: SSE (in the
+        residual domain) + lambda * estimated CABAC bits of cbf +
+        residual + transform-index syntax, from the live context state
+        (IntraSearch::xIntraCodingTUBlock + xGetIntraFracBitsQT roles).
+        A null-cbf candidate competes too unless ``allow_zero=False``.
 
         ``chroma_scale``: LMCS chroma-residual scale (CSCALE_FP_PREC fixed
         point) — residual forward-scaled before the transform, recon via
         the decoder's inverse scaling (DecCu.cpp scaleSignal call)."""
+        if cbf_ctx is None:
+            cbf_ctx = ("QtCbf0", 0) if is_luma else ("QtCbf1", 0)
         resid = org.astype(np.int32) - np.asarray(pred, np.int32)
         if chroma_scale is not None:
             from .lmcs import scale_chroma_residual_fwd
@@ -999,9 +1093,15 @@ class FrameEncoder:
             candidates += [(m, 0) for m in (2, 3, 4, 5)]
         if try_lfnst and w >= 4 and h >= 4:
             candidates += [(0, 1), (0, 2)]
-        lam = 0.57 * 2.0 ** ((self.cfg.qp - 12) / 3.0)
+        lam = self.lam
+        dw = 1.0 if is_luma else self.dw_c
         from .residual import grouped_scan
         best = None
+        zero_err = resid.astype(np.int64)
+        if allow_zero:
+            cost0 = dw * float((zero_err * zero_err).sum()) \
+                + lam * self._est_tu_bits(None, cbf_ctx, is_luma)
+            best = (cost0, 0, 0, np.zeros_like(resid), np.zeros_like(resid))
         for mts_idx, lfnst_idx in candidates:
             lev, rec_resid = self._tq_roundtrip(resid, w, h, qp, mts_idx,
                                                 lfnst_idx, intra_mode)
@@ -1014,9 +1114,30 @@ class FrameEncoder:
                     continue
                 if mts_idx != 0 and (lev[:, 16:].any() or lev[16:, :].any()):
                     continue
+            if not lev.any():
+                if best is None:        # allow_zero=False, all-zero quant
+                    best = (float("inf"), 0, 0, lev, rec_resid)
+                continue
+
+            def _extra(est, m=mts_idx, lf=lfnst_idx):
+                # transform-index signalling bits (residual_lfnst_mode /
+                # mts_idx), included so DCT2 vs MTS/LFNST compare fairly
+                if try_lfnst and w >= 4 and h >= 4:
+                    est.encode_bin(1 if lf else 0, ctx("LFNSTIdx", 0))
+                    if lf:
+                        est.encode_bin(1 if lf == 2 else 0,
+                                       ctx("LFNSTIdx", 2))
+                if try_mts and lf == 0:
+                    est.encode_bin(1 if m else 0, ctx("MTSIdx", 0))
+                    if m:
+                        for i in range(3):
+                            s = 1 if m > i + 2 else 0
+                            est.encode_bin(s, ctx("MTSIdx", 1 + i))
+                            if not s:
+                                break
+            bits = self._est_tu_bits(lev, cbf_ctx, is_luma, extra=_extra)
             err = rec_resid.astype(np.int64) - resid
-            cost = float((err * err).sum()) + lam * 16.0 * int(
-                np.count_nonzero(lev))
+            cost = dw * float((err * err).sum()) + lam * bits
             if best is None or cost < best[0]:
                 best = (cost, mts_idx, lfnst_idx, lev, rec_resid)
         _, mts_idx, lfnst_idx, lev, rec_resid = best
@@ -1102,16 +1223,27 @@ class FrameEncoder:
         dec_res = rec_ju.astype(np.int64) - pred_u
         rec_jv = np.clip(pred_v - dec_res, 0,
                          (1 << cfg.bit_depth) - 1).astype(rec_ju.dtype)
-        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        lam = self.lam
 
         def sse(a, b):
             d = a.astype(np.int64) - b.astype(np.int64)
-            return float((d * d).sum())
-        cost_j = sse(rec_ju, org_cu) + sse(rec_jv, org_cv) \
-            + lam * 16.0 * np.count_nonzero(lev_j)
-        cost_s = sse(rec_u, org_cu) + sse(rec_v, org_cv) \
-            + lam * 16.0 * (np.count_nonzero(lev_u)
-                            + np.count_nonzero(lev_v))
+            return self.dw_c * float((d * d).sum())
+        # joint: cbf_u=1, cbf_v=1 (inferred from joint), joint flag, one
+        # residual; separate: cbf_u + cbf_v + joint=0 flag (when a cbf is
+        # set) + both residuals (CABACWriter transform_unit order)
+        bits_j = self._est_tu_bits(lev_j, ("QtCbf1", 0), False) \
+            + self.est.bin_bits(1, ctx("QtCbf2", 1)) / 32768.0 \
+            + self.est.bin_bits(1, ctx("JointCbCrFlag", 2)) / 32768.0
+        bits_s = self._est_tu_bits(lev_u if cbf_u else None,
+                                   ("QtCbf1", 0), False) \
+            + self._est_tu_bits(lev_v if cbf_v else None,
+                                ("QtCbf2", 1 if cbf_u else 0), False)
+        cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
+        if cfg.joint_cbcr and cbf_mask:
+            bits_s += self.est.bin_bits(
+                0, ctx("JointCbCrFlag", cbf_mask - 1)) / 32768.0
+        cost_j = sse(rec_ju, org_cu) + sse(rec_jv, org_cv) + lam * bits_j
+        cost_s = sse(rec_u, org_cu) + sse(rec_v, org_cv) + lam * bits_s
         if cost_j < cost_s:
             self.n_jccr += 1
             return (True, True, lev_j, rec_ju, True, lev_j, rec_jv)
@@ -1186,10 +1318,10 @@ class FrameEncoder:
         trial = None
         if cfg.isp and not cu.mip and cu.mrl == 0 \
                 and intra_ops.can_use_isp(w, h):
-            lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
             err = rec_y.astype(np.int64) - org
-            cost_base = float((err * err).sum()) \
-                + lam * (16.0 * int(np.count_nonzero(lev_y)) + 2.0)
+            cost_base = float((err * err).sum()) + self.lam * \
+                self._est_tu_bits(lev_y if cbf_y else None,
+                                  ("QtCbf0", 0), True)
             trial = self._maybe_isp(cu, org_y, qp_y, cost_base)
 
         self._write_intra_luma_mode(enc, cu)
@@ -1275,7 +1407,8 @@ class FrameEncoder:
             cx, cy, cw, chh, qp_c, False, chroma_scale=crs)
         cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
             rc, self._org_v[cy:cy + chh, cx:cx + cw], pred_v,
-            cx, cy, cw, chh, qp_c, False, chroma_scale=crs)
+            cx, cy, cw, chh, qp_c, False, chroma_scale=crs,
+            cbf_ctx=("QtCbf2", 1 if cbf_u else 0))
 
         joint = False
         if cfg.joint_cbcr:
@@ -1334,6 +1467,15 @@ class FrameEncoder:
                 split = Split.QT     # implicit-BV chroma-width-4 ban
         else:
             split = decide(x, y, w, h, state)
+        if split == RDO:
+            split = self._rd_search(enc, rc, org, x, y, w, h, state,
+                                    decide, "chroma" if chroma else "luma",
+                                    depth64, path)
+            if not chroma and depth64 == 0:
+                self._luma_root_split = split
+            return
+        if not chroma and depth64 == 0:
+            self._luma_root_split = split
         self._write_split(enc, x, y, w, h, state, split, chroma)
         if split != Split.NONE:
             npath = (split if depth64 == 0 else path[0],
@@ -1386,10 +1528,10 @@ class FrameEncoder:
         isp_trial = None
         if cfg.isp and not cu.mip and cu.mrl == 0 \
                 and intra_ops.can_use_isp(w, h):
-            lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
             err = rec_y.astype(np.int64) - org
-            cost_base = float((err * err).sum()) \
-                + lam * (16.0 * int(np.count_nonzero(lev_y)) + 2.0)
+            cost_base = float((err * err).sum()) + self.lam * \
+                self._est_tu_bits(lev_y if cbf_y else None,
+                                  ("QtCbf0", 0), True)
             isp_trial = self._maybe_isp(cu, org_y, qp_y, cost_base)
             if isp_trial is not None:
                 lfnst_idx = mts_idx = 0    # no LFNST/MTS with ISP here
@@ -1439,7 +1581,8 @@ class FrameEncoder:
             qp_c, False, chroma_scale=crs)
         cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
             rc, org_cv, pred_v, cx, cy, cw, chh,
-            qp_c, False, chroma_scale=crs)
+            qp_c, False, chroma_scale=crs,
+            cbf_ctx=("QtCbf2", 1 if cbf_u else 0))
 
         if lfnst_idx:
             # single tree: chroma coefficients share the LFNST signalling
@@ -1573,6 +1716,153 @@ class FrameEncoder:
             self.leaf_l.append((x, y, w, h))
         self.leaf_c.append((x // 2, y // 2, w // 2, h // 2))
 
+    # ---- RDO split search (EncCu::xCompressCU / xCheckModeSplit) ---------
+
+    _SNAP_L = ("coded", "unit_mode", "unit_w", "unit_h", "unit_qt",
+               "unit_mip", "unit_isp")
+    _SNAP_C = ("coded_c", "unit_w_c", "unit_h_c", "unit_qt_c")
+
+    def _state_snapshot(self, x, y, w, h):
+        """Copy every per-region mutable coding state for trial rollback."""
+        r, c, nr, nc = y // 4, x // 4, h // 4, w // 4
+        cy_, cx_, chh, cw = y // 2, x // 2, h // 2, w // 2
+        d = {"xywh": (x, y, w, h),
+             "ry": self.recon_y[y:y + h, x:x + w].copy(),
+             "ru": self.recon_u[cy_:cy_ + chh, cx_:cx_ + cw].copy(),
+             "rv": self.recon_v[cy_:cy_ + chh, cx_:cx_ + cw].copy(),
+             "ll": len(self.leaf_l), "lc": len(self.leaf_c),
+             "ctr": (self.n_cclm, self.n_lfnst, self.n_mrl, self.n_jccr,
+                     self.n_isp)}
+        names = self._SNAP_L + (self._SNAP_C if self.cfg.dual_tree else ())
+        for name in names:
+            d[name] = getattr(self, name)[r:r + nr, c:c + nc].copy()
+        return d
+
+    def _state_restore(self, d):
+        x, y, w, h = d["xywh"]
+        r, c, nr, nc = y // 4, x // 4, h // 4, w // 4
+        cy_, cx_, chh, cw = y // 2, x // 2, h // 2, w // 2
+        self.recon_y[y:y + h, x:x + w] = d["ry"]
+        self.recon_u[cy_:cy_ + chh, cx_:cx_ + cw] = d["ru"]
+        self.recon_v[cy_:cy_ + chh, cx_:cx_ + cw] = d["rv"]
+        names = self._SNAP_L + (self._SNAP_C if self.cfg.dual_tree else ())
+        for name in names:
+            getattr(self, name)[r:r + nr, c:c + nc] = d[name]
+        del self.leaf_l[d["ll"]:]
+        del self.leaf_c[d["lc"]:]
+        (self.n_cclm, self.n_lfnst, self.n_mrl, self.n_jccr,
+         self.n_isp) = d["ctr"]
+
+    def _capture_post(self, snap):
+        """Post-trial state relative to ``snap`` (winner re-application)."""
+        x, y, w, h = snap["xywh"]
+        d = self._state_snapshot(x, y, w, h)
+        d["new_ll"] = self.leaf_l[snap["ll"]:]
+        d["new_lc"] = self.leaf_c[snap["lc"]:]
+        return d
+
+    def _apply_post(self, snap, post):
+        self._state_restore(post)       # truncates to post's recorded lens
+        del self.leaf_l[snap["ll"]:]
+        del self.leaf_c[snap["lc"]:]
+        self.leaf_l.extend(post["new_ll"])
+        self.leaf_c.extend(post["new_lc"])
+
+    def _region_dist(self, org, x, y, w, h, tree) -> float:
+        """Trial distortion: SSE over the node region, chroma weighted
+        (RdCost distortion weights; luma in the coding/mapped domain)."""
+        d = 0.0
+        if tree in ("single", "luma"):
+            e = self.recon_y[y:y + h, x:x + w].astype(np.int64) \
+                - org[0][y:y + h, x:x + w]
+            d += float((e * e).sum())
+        if tree in ("single", "chroma"):
+            cy_, cx_, chh, cw = y // 2, x // 2, h // 2, w // 2
+            for p, o in ((self.recon_u, org[1]), (self.recon_v, org[2])):
+                e = p[cy_:cy_ + chh, cx_:cx_ + cw].astype(np.int64) \
+                    - o[cy_:cy_ + chh, cx_:cx_ + cw]
+                d += self.dw_c * float((e * e).sum())
+        return d
+
+    def _rd_search(self, enc, rc, org, x, y, w, h, state, decide, tree,
+                   depth64=0, path=(None, None)):
+        """Exhaustive split-vs-leaf RD at one tree node, committing the
+        winner's syntax ops, context states, recon and neighbour state
+        (EncCu::xCompressCU: mode loop over ETM_POST_DONT_SPLIT +
+        ETM_SPLIT_*, best-CS commit; EncCu.cpp:531, 1288).
+
+        ``tree``: "single" | "luma" | "chroma".  Trial rate is the live
+        fractional-bit estimate (split bins + full CU syntax); trial
+        distortion is region SSE with chroma weighting.
+        """
+        cfg = self.cfg
+        chroma = tree == "chroma"
+        can = can_split_set(w, h, state, cfg, chroma)
+        order = [Split.NONE, Split.QT, Split.BT_H, Split.BT_V,
+                 Split.TT_H, Split.TT_V]
+        cands = [s for s in order if can[s]]
+        base_est = self.est
+        snap = self._state_snapshot(x, y, w, h)
+        best = None
+        split_costs = {}
+        for cand in cands:
+            # TT pruning (EncModeCtrl fast modes in spirit): skip a TT
+            # trial when the parallel BT already lost clearly
+            if self.rd_effort <= 1 and cand in (Split.TT_H, Split.TT_V) \
+                    and best is not None:
+                bt = Split.BT_H if cand == Split.TT_H else Split.BT_V
+                if bt in split_costs and split_costs[bt] > best[0] * 1.1:
+                    continue
+            est2 = base_est.clone()
+            self.est = est2
+            enc2 = RecordingEncoder(self)
+            rc2 = ResidualCoder(enc2, dep_quant=cfg.dep_quant,
+                                sign_hiding=cfg.sign_hiding)
+            self._write_split(enc2, x, y, w, h, state, cand, chroma)
+            if cand == Split.NONE:
+                cu = CuInfo(x, y, w, h, state.qt_depth)
+                if tree == "single":
+                    self._encode_cu(enc2, rc2, org[0], org[1], org[2], cu)
+                elif tree == "luma":
+                    self._encode_luma_cu(enc2, rc2, org[0], cu)
+                else:
+                    npath = (path[0] if depth64 > 0 else None,
+                             path[1] if depth64 > 1 else None)
+                    self._encode_chroma_cu(enc2, rc2, org[1], org[2], cu,
+                                           split_path=npath)
+            else:
+                npath = (cand if depth64 == 0 else path[0],
+                         cand if depth64 == 1 else path[1])
+                for i, (cx, cy, cw, chh) in enumerate(
+                        self._children(x, y, w, h, cand)):
+                    cstate = SplitState(
+                        last_split=cand, part_idx=i,
+                        qt_depth=state.qt_depth
+                        + (1 if cand == Split.QT else 0),
+                        mtt_depth=state.mtt_depth
+                        + (0 if cand == Split.QT else 1),
+                        implicit_bt_depth=state.implicit_bt_depth)
+                    if tree == "single":
+                        self._encode_tree(enc2, rc2, org, cx, cy, cw, chh,
+                                          cstate, decide)
+                    else:
+                        self._encode_tree_ch(enc2, rc2, org, cx, cy, cw,
+                                             chh, cstate, decide, chroma,
+                                             depth64 + 1, npath)
+            cost = self._region_dist(org, x, y, w, h, tree) \
+                + self.lam * (est2.frac - base_est.frac) / 32768.0
+            split_costs[cand] = cost
+            if best is None or cost < best[0]:
+                best = (cost, cand, enc2.ops, est2,
+                        self._capture_post(snap))
+            self.est = base_est
+            self._state_restore(snap)
+        _, cand, ops, est2, post = best
+        self._apply_post(snap, post)
+        self.est = est2
+        enc.ops.extend(ops)
+        return cand
+
     # ---- coding tree -----------------------------------------------------
 
     @staticmethod
@@ -1601,6 +1891,10 @@ class FrameEncoder:
         implicit = get_implicit_split(x, y, w, h, state, cfg)
         split = implicit if implicit != Split.NONE \
             else decide(x, y, w, h, state)
+        if split == RDO:
+            self._rd_search(enc, rc, org, x, y, w, h, state, decide,
+                            "single")
+            return
         self._write_split(enc, x, y, w, h, state, split)
         if split != Split.NONE:
             imp_bt = state.implicit_bt_depth + (
@@ -1650,30 +1944,37 @@ class FrameEncoder:
                 max_bt=cfg.max_bt_intra, max_tt=cfg.max_tt_intra,
                 max_mtt_depth=cfg.max_mtt_depth_intra,
                 min_cb=1 << cfg.log2_min_cb)
-        part = MapPartitioner(hor, ver, qt, dire, accel_level=3,
+        part = MapPartitioner(hor, ver, qt, dire,
+                              accel_level=self.accel_level,
                               constraints=cons)
-        table = {}
-        for r in range(cfg.height // 64):
-            for c in range(cfg.width // 64):
-                tree = part.derive_ctu(r, c)
-                stack = [tree]
-                while stack:
-                    n = stack.pop()
-                    # scheduler coords: x=row, y=col -> encoder (col, row)
-                    table[(n.y, n.x, n.w, n.h)] = n.split
-                    stack.extend(n.children)
 
         def decide(x, y, w, h, state):
             implicit = (x + w > cfg.width) or (y + h > cfg.height)
             if w > 64 or h > 64 or implicit:
                 return Split.QT
-            split = table.get((x, y, w, h), Split.NONE)
+            # scheduler coords: x=row, y=col -> encoder (col, row)
+            split, needs_rdo = part.decide(
+                y, x, h, w, state.qt_depth, state.mtt_depth,
+                state.last_split, state.part_idx)
+            if needs_rdo and self.rdo_fallback:
+                return RDO
             if split != Split.NONE:
                 # defensive: the scheduled split must be signallable
-                from .mtt import can_split_set
                 if not can_split_set(w, h, state, cfg, chroma)[split]:
                     return Split.NONE
             return split
+        return decide
+
+    def _rdo_decider(self):
+        """Stock full RDO partitioning (no maps): every in-picture node
+        <= 64 goes through the split search (EncCu stock mode list)."""
+        cfg = self.cfg
+
+        def decide(x, y, w, h, state):
+            implicit = (x + w > cfg.width) or (y + h > cfg.height)
+            if w > 64 or h > 64 or implicit:
+                return Split.QT
+            return RDO
         return decide
 
     # ---- entropy finalize --------------------------------------------------
@@ -1706,13 +2007,15 @@ class FrameEncoder:
 
     def encode_frame(self, y, u, v, qt_map=None, maps=None,
                      chroma_maps=None, poc: int = 0,
-                     collect_bin_stats: bool = False):
+                     collect_bin_stats: bool = False, rdo: bool = False):
         """Encode one frame. Returns (bitstream_bytes, recon (y,u,v)).
 
         ``maps``: optional (hor, ver, qt, dire) frame partition maps for
         full MTT map-driven coding; else ``qt_map`` drives QT-only coding.
         ``chroma_maps``: chroma-component maps for the dual chroma tree
         (defaults to ``maps``).
+        ``rdo``: with no maps, run the stock full RDO split search
+        instead of QT-only coding (EncCu::xCompressCU equivalent).
         """
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width)
@@ -1724,6 +2027,8 @@ class FrameEncoder:
         self._org_v = v.astype(np.int32)
         if maps is not None:
             decide = self._map_decider(*maps)
+        elif rdo:
+            decide = self._rdo_decider()
         else:
             if qt_map is None:
                 qt_map = np.ones((cfg.height // 8, cfg.width // 8), np.int32)
@@ -1732,6 +2037,8 @@ class FrameEncoder:
             cmaps = chroma_maps or maps
             if cmaps is not None:
                 decide_c = self._map_decider(*cmaps, chroma=True)
+            elif rdo:
+                decide_c = self._rdo_decider()
             else:
                 cqt = (qt_map if qt_map is not None else
                        np.ones((cfg.height // 8, cfg.width // 8), np.int32))
@@ -1749,7 +2056,9 @@ class FrameEncoder:
         # syntax is interleaved afterwards (EncSlice 2-pass), and the
         # stream is serialized by the native C finalizer in one call
         record = True
-        enc = RecordingEncoder()
+        from .estimator import RateEstimator
+        self.est = RateEstimator.standard_init(cfg.qp, 2)
+        enc = RecordingEncoder(self)
         assert not (cfg.dep_quant and cfg.sign_hiding), \
             "dep-quant and sign-hiding are mutually exclusive per slice"
         rc = ResidualCoder(enc, dep_quant=cfg.dep_quant,
@@ -1783,8 +2092,8 @@ class FrameEncoder:
                     if qx >= cfg.width or qy >= cfg.height:
                         continue
                     st = SplitState(last_split=Split.QT, qt_depth=1)
-                    # co-located 64x64 luma node split (checkCCLMAllowed)
-                    self._luma_root_split = decide(qx, qy, qw, qh, st)
+                    # the luma pass records the co-located 64x64 luma
+                    # node's split into _luma_root_split (checkCCLMAllowed)
                     self._encode_tree_ch(enc, rc, org, qx, qy, qw, qh,
                                          st, decide, False)
                     # unsplit 64x64 luma leaf coded with ISP bans CCLM
@@ -1819,7 +2128,8 @@ class FrameEncoder:
                 # SAO compares against the ORIGINAL (unmapped) planes
                 sao_params = decide_sao_frame((y_orig, org[1], org[2]),
                                               recs, 128, cfg.qp,
-                                              bit_depth=cfg.bit_depth)
+                                              bit_depth=cfg.bit_depth,
+                                              lam=self.lam)
                 apply_sao_frame(recs, sao_params, 128,
                                 bit_depth=cfg.bit_depth)
             alf_flags = alf_sets = None
@@ -1832,7 +2142,7 @@ class FrameEncoder:
                                   derive_chroma_filter,
                                   derive_luma_filters, pad4,
                                   reconstruct_coeff)
-                lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+                lam = self.lam
                 extra = None
                 luma_raw = chroma_raw = None
                 # CC-ALF reads the PRE-ALF luma (tmpYuv in ALFProcess)

@@ -202,9 +202,14 @@ def _decide_comp(org, rec, x0, y0, w, h, bit_depth, lam, pic_w, pic_h):
     return results
 
 
-def decide_sao_frame(org_planes, rec_planes, ctu_size, qp, bit_depth=10):
-    """Per-CTU SAO parameters (merge never used; OFF when not beneficial)."""
-    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+def decide_sao_frame(org_planes, rec_planes, ctu_size, qp, bit_depth=10,
+                     lam=None):
+    """Per-CTU SAO parameters (merge never used; OFF when not beneficial).
+
+    ``lam``: slice lambda; default reproduces EncSlice::initializeLambda
+    at the internal bit depth (bitDepthShift = 6*(bd-8) - 12)."""
+    if lam is None:
+        lam = 0.57 * 2.0 ** ((qp + 6 * (bit_depth - 8) - 12) / 3.0)
     pic_h, pic_w = org_planes[0].shape
     params = []
     for y0 in range(0, pic_h, ctu_size):

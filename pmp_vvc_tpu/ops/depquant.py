@@ -76,10 +76,11 @@ def dep_quant_trellis(coef, scan, *, w, h, qp, bit_depth=10, lam=None):
     t_shift, sqrt2 = _geom(w, h, bit_depth)
     if lam is None:
         # slice lambda at the internal (bit-depth-offset) QP: distortion
-        # is measured in bit_depth-domain squared error (no precision
-        # adjustment), so the 8-bit lambda scales by 2^(2*(bd-8)) -- i.e.
-        # use the internal QP directly (EncSlice::setUpLambda)
-        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        # is measured in bit_depth-domain squared error (FULL_NBIT), so
+        # lambda is driven by the internal QP (EncSlice::initializeLambda
+        # bitDepthShift) -- ``qp`` here IS the internal QP already --
+        # plus the dep-quant slope adjustment (calculateLambda)
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0) * 2.0 ** (0.25 / 3.0)
     # nomDistFactor * 2^QShift (initQuantBlock), re-normalized so the
     # rate term is in plain bits (VTM fractional-bit scale / 2^15)
     f = 2.0 ** (-2 * t_shift + sqrt2 + 2 * q_shift) \
