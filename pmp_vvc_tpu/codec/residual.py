@@ -483,7 +483,10 @@ def rd_quant_cleanup(lev, coef, w, h, qp, bit_depth=10, lam=0.0):
     if not lev.any():
         return lev
     t_shift, sqrt2 = _geom(w, h, bit_depth)
-    divisor = float(4.0 ** t_shift) * (2.0 if sqrt2 else 1.0)
+    # transform energy gain: 4^t_shift, HALVED for odd-log2-area TUs
+    # (measured: sum(coef^2)/sum(resid^2) = 4^t_shift/2 when sqrt2 — the
+    # sqrt(2) compensation lives in the quantiser scale tables)
+    divisor = float(4.0 ** t_shift) / (2.0 if sqrt2 else 1.0)
     iscale = int(INV_QUANT_SCALES[sqrt2][qp % 6])
     rshift = IQUANT_SHIFT - ((t_shift - sqrt2) + qp // 6)
     flat_l = lev.reshape(-1).copy()

@@ -1,0 +1,123 @@
+"""Wavefront (batched device) encoder: streams must decode bit-exactly in
+our native decoder (and, when the VTM oracle is built, in the stock
+DecoderApp) — proving the batched schedule + availability-masked device
+reference construction preserves normative semantics."""
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+from pmp_vvc_tpu.codec.headers import VVCConfig
+
+_DEC = pathlib.Path("/tmp/vtm_oracle/DecoderApp")
+
+
+def _synth(w, h, seed=7):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y8 = np.clip(128 + 60 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+                 + rng.randn(h, w) * 6, 0, 255)
+    y = (y8.astype(np.int32) << 2)
+    u = ((128 + 40 * np.sin(xx[::2, ::2] / 31.0)).astype(np.int32) << 2)
+    v = ((128 + 40 * np.cos(yy[::2, ::2] / 29.0)).astype(np.int32) << 2)
+    return y, u, v
+
+
+def _mtt_maps(w, h, chroma_factor=1, seed0=0):
+    """Deterministic MTT partition maps exercising rect CU buckets
+    (same synthesis as tests/test_native_decoder.py)."""
+    from pmp_vvc_tpu.pmp.map2partition import MapToPartition
+    hor = np.zeros((h // 4, w // 4), np.uint8)
+    ver = np.zeros_like(hor)
+    qt = np.zeros((h // 8, w // 8), np.int32)
+    dire = np.zeros((3, h // 4, w // 4), np.int8)
+    for bx in range(h // 64):
+        for by in range(w // 64):
+            r = np.random.RandomState(seed0 + bx * 31 + by)
+            qtb = np.full((8, 8), r.randint(0, 2), float)
+            msbt = np.clip(r.randn(3, 16, 16) * 0.3
+                           + np.cumsum(r.rand(3, 1, 1) < 0.6, 0), 0, 3)
+            p, d = MapToPartition(qtb, msbt, r.randn(3, 16, 16) * 0.9,
+                                  chroma_factor).get_partition()
+            hor[bx*16:(bx+1)*16, by*16:(by+1)*16] = p[0][:16, :16]
+            ver[bx*16:(bx+1)*16, by*16:(by+1)*16] = p[1][:16, :16]
+            qt[bx*8:(bx+1)*8, by*8:(by+1)*8] = qtb.astype(int)
+            dire[:, bx*16:(bx+1)*16, by*16:(by+1)*16] = d
+    return hor, ver, qt, dire
+
+
+def _roundtrip(cfg, frames=1, maps=None, qt_map=None):
+    from pmp_vvc_tpu.codec.decoder import decode_stream
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+
+    enc = WavefrontEncoder(cfg)
+    bs = b""
+    recons = []
+    for poc in range(frames):
+        y, u, v = _synth(cfg.width, cfg.height, 7 + poc)
+        b, recon = enc.encode_frame(y, u, v, maps=maps, qt_map=qt_map,
+                                    poc=poc)
+        bs += b
+        recons.append(recon)
+    dcfg, got = decode_stream(bs, verify_hash=True)
+    assert len(got) == frames
+    for f in range(frames):
+        for plane, (a, b) in enumerate(zip(got[f], recons[f])):
+            assert np.array_equal(a, b), (f, plane)
+    return bs, recons
+
+
+def test_wavefront_qt_only_bit_exact():
+    cfg = VVCConfig(width=192, height=128, qp=32)
+    _roundtrip(cfg, frames=2)
+
+
+def test_wavefront_mtt_maps_bit_exact():
+    cfg = VVCConfig(width=192, height=128, qp=27)
+    maps = _mtt_maps(192, 128)
+    _roundtrip(cfg, maps=maps)
+
+
+def test_wavefront_filters_bit_exact():
+    cfg = VVCConfig(width=192, height=128, qp=32, sao=True,
+                    deblocking_disabled=False)
+    _roundtrip(cfg)
+
+
+def test_wavefront_matches_sequential_decisions_shape():
+    """The wavefront path must produce the same partition (leaf set) as
+    the sequential encoder for identical maps."""
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+
+    cfg = VVCConfig(width=192, height=128, qp=32)
+    y, u, v = _synth(192, 128)
+    maps = _mtt_maps(192, 128)
+    wf = WavefrontEncoder(cfg)
+    wf.encode_frame(y, u, v, maps=maps)
+    seq = FrameEncoder(cfg, mode_select="satd")
+    seq.encode_frame(y, u, v, maps=maps)
+    assert sorted(wf.leaf_l) == sorted(seq.leaf_l)
+
+
+def test_wavefront_unsupported_cfg_raises():
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+    with pytest.raises(NotImplementedError):
+        WavefrontEncoder(VVCConfig(width=64, height=64, qp=32,
+                                   dual_tree=True))
+
+
+@pytest.mark.skipif(not _DEC.exists(), reason="VTM oracle not built")
+def test_wavefront_stock_vtm_decode(tmp_path):
+    cfg = VVCConfig(width=192, height=128, qp=32, sao=True,
+                    deblocking_disabled=False)
+    bs, recons = _roundtrip(cfg, frames=2, maps=_mtt_maps(192, 128))
+    bit = tmp_path / "wf.bin"
+    bit.write_bytes(bs)
+    r = subprocess.run([str(_DEC), "-b", str(bit), "-o",
+                        str(tmp_path / "out.yuv")],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "(OK)" in r.stdout
