@@ -162,16 +162,27 @@ class FrameDecoder(FrameEncoder):
                     mode += 1
             cu.mode = mode
 
-    def _parse_intra_chroma_mode(self, cclm_allowed):
+    def _parse_intra_chroma_mode(self, cclm_allowed, luma_mode=0):
+        """Returns (cclm, lm_symbol, chroma_mode | None for DM).
+
+        Non-DM list per UnitTools getIntraChromaCandModes: {PLANAR, VER,
+        HOR, DC} with the entry equal to the co-located luma mode
+        replaced by VDIA (66) — stock VTM streams use these; our encoder
+        only emits DM/CCLM."""
         dec = self.dec
         if cclm_allowed:
             if dec.decode_bin(ctx("CclmModeFlag")):
                 if dec.decode_bin(ctx("CclmModeIdx")) == 0:
-                    return True, 0
-                return True, 1 + dec.decode_bin_ep()
-        assert dec.decode_bin(ctx("IntraChromaPredMode")) == 0, \
-            "only DM chroma is produced by this encoder"
-        return False, 0
+                    return True, 0, None
+                return True, 1 + dec.decode_bin_ep(), None
+        if dec.decode_bin(ctx("IntraChromaPredMode")) == 0:
+            return False, 0, None
+        idx = (dec.decode_bin_ep() << 1) | dec.decode_bin_ep()
+        cands = [0, 50, 18, 1]
+        for i, m in enumerate(cands):
+            if m == luma_mode:
+                cands[i] = 66
+        return False, 0, cands[idx]
 
     def _parse_lfnst_idx(self, cu, comps, sep_tree):
         """Gate mirror of FrameEncoder._write_lfnst_idx."""
@@ -337,7 +348,8 @@ class FrameDecoder(FrameEncoder):
                 if sym == cu.lm_symbol:
                     return pu_.astype(np.int32), pv_.astype(np.int32)
             raise AssertionError("parsed CCLM symbol not derivable")
-        cpred = _jit_predict(cw, chh, (cu.mode,), False, cfg.bit_depth)
+        cmode = cu.mode if cu.chroma_mode is None else cu.chroma_mode
+        cpred = _jit_predict(cw, chh, (cmode,), False, cfg.bit_depth)
         return (np.asarray(cpred(*refs_u))[0, 0].astype(np.int32),
                 np.asarray(cpred(*refs_v))[0, 0].astype(np.int32))
 
@@ -385,7 +397,8 @@ class FrameDecoder(FrameEncoder):
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         self._parse_intra_luma_mode(cu)
         cclm_ok = cfg.cclm and not cfg.dual_tree
-        cu.cclm, cu.lm_symbol = self._parse_intra_chroma_mode(cclm_ok)
+        cu.cclm, cu.lm_symbol, cu.chroma_mode = \
+            self._parse_intra_chroma_mode(cclm_ok, cu.mode)
 
         joint = False
         lev_y = lev_u = lev_v = None
@@ -509,7 +522,8 @@ class FrameDecoder(FrameEncoder):
         cu.mode = int(self.unit_mode[(y + h // 2) // 4,
                                      (x + w // 2) // 4])
         cclm_ok = cfg.cclm and self._cclm_allowed_dual(split_path)
-        cu.cclm, cu.lm_symbol = self._parse_intra_chroma_mode(cclm_ok)
+        cu.cclm, cu.lm_symbol, cu.chroma_mode = \
+            self._parse_intra_chroma_mode(cclm_ok, cu.mode)
         cbf_u = bool(dec.decode_bin(ctx("QtCbf1", 0)))
         cbf_v = bool(dec.decode_bin(ctx("QtCbf2", 1 if cbf_u else 0)))
         cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)

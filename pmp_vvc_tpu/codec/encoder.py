@@ -185,6 +185,7 @@ class CuInfo:
     lm_symbol: int = 0        # getLMSymbolList: 0=LM, 1=MDLM_L, 2=MDLM_T
     mrl: int = 0
     isp: int = 0              # 0 off, 1 HOR, 2 VER
+    chroma_mode: int | None = None   # non-DM chroma mode (decode side)
 
 
 class FrameEncoder:

@@ -32,6 +32,9 @@ class VVCConfig:
     width: int
     height: int
     qp: int = 32
+    # sps_partition_constraints_override_enabled_flag (decode side: set
+    # from the parsed SPS; our writer always writes 0)
+    partition_override: bool = False
     bit_depth: int = 10
     ctu_size: int = 128
     log2_min_cb: int = 2

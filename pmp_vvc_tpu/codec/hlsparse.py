@@ -51,15 +51,19 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
     _expect(cfg.ctu_size == 128, "CTU size != 128")
     _expect(br.read_flag(), "no ptl")
     parse_profile_tier_level(br, cfg)
-    _expect(not br.read_flag(), "gdr")
-    _expect(not br.read_flag(), "ref pic resampling")
+    br.read_flag()   # sps_gdr_enabled: harmless for an all-IDR stream
+                     # (VTM-10 xInitSPS writes 1 regardless of GDR use)
+    if br.read_flag():      # sps_ref_pic_resampling (CTC default 1):
+        br.read_flag()      # single-resolution AI stream -> harmless;
+                            # sps_res_change_in_clvs_allowed_flag
     cfg.width = br.read_uvlc()
     cfg.height = br.read_uvlc()
     _expect(not br.read_flag(), "conformance window")
     _expect(not br.read_flag(), "subpics")
     cfg.bit_depth = br.read_uvlc() + 8
     _expect(not br.read_flag(), "wpp")
-    _expect(not br.read_flag(), "entry points")
+    self_entry = br.read_flag()   # sps_entry_point_offsets_present: with
+    del self_entry                # one slice/pic no offsets are coded
     cfg.poc_bits = br.read(4) + 4
     _expect(not br.read_flag(), "poc msb")
     _expect(br.read(2) == 0, "extra ph bits")
@@ -68,7 +72,9 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
     cfg.num_reorder_pics = br.read_uvlc()
     br.read_uvlc()                      # max_latency_increase_plus1
     cfg.log2_min_cb = br.read_uvlc() + 2
-    _expect(not br.read_flag(), "partition constraints override")
+    # sps_partition_constraints_override_enabled (CTC default 1): adds a
+    # single always-zero override flag to each picture header
+    cfg.partition_override = br.read_flag()
     min_qt_log2 = br.read_uvlc() + cfg.log2_min_cb
     cfg.min_qt_intra = 1 << min_qt_log2
     cfg.max_mtt_depth_intra = br.read_uvlc()
@@ -84,7 +90,9 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
             cfg.chroma_max_bt = 1 << (br.read_uvlc() + cmin_qt_log2)
             cfg.chroma_max_tt = 1 << (br.read_uvlc() + cmin_qt_log2)
     br.read_uvlc()                      # inter minQT
-    _expect(br.read_uvlc() == 0, "inter MTT")
+    if br.read_uvlc():                  # inter (B/P) MTT depth: unused in
+        br.read_uvlc()                  # an all-intra stream; skip the
+        br.read_uvlc()                  # max BT / max TT size deltas
     if cfg.ctu_size > 32:
         cfg.log2_max_tb = 6 if br.read_flag() else 5
     _expect(not br.read_flag(), "transform skip")
@@ -112,9 +120,21 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
     _expect(not br.read_flag(), "weighted bipred")
     _expect(not br.read_flag(), "long term ref pics")
     _expect(not br.read_flag(), "idr rpl")
-    br.read_flag()                      # rpl1_same_as_rpl0_flag
-    _expect(br.read_uvlc() == 0, "RPL0 in sps")
-    _expect(br.read_uvlc() == 0, "RPL1 in sps")
+    rpl1_same = br.read_flag()          # rpl1_same_as_rpl0_flag
+
+    def _skip_rpl():
+        # ref_pic_list_struct with long-term and inter-layer ref pics
+        # off: per entry abs_delta_poc_st (+ sign when nonzero) — unused
+        # by an all-intra decode, skipped for stock-VTM streams
+        for _ in range(br.read_uvlc()):
+            if br.read_uvlc() > 0:
+                br.read_flag()
+
+    for _ in range(br.read_uvlc()):     # sps_num_ref_pic_lists[0]
+        _skip_rpl()
+    if not rpl1_same:
+        for _ in range(br.read_uvlc()):  # sps_num_ref_pic_lists[1]
+            _skip_rpl()
     for what in ("wraparound", "tmvp", "amvr", "bdof", "smvd", "dmvr",
                  "mmvd"):
         _expect(not br.read_flag(), what)
@@ -151,7 +171,8 @@ def parse_pps(rbsp: bytes, cfg: VVCConfig):
     br.read_flag()                      # output flag present
     _expect(br.read_flag(), "pic partitioning")   # no_pic_partition = 1
     br.read_flag()                      # subpic id mapping
-    _expect(not br.read_flag(), "cabac init present")
+    br.read_flag()    # pps_cabac_init_present: sh_cabac_init_flag is
+                      # only coded for P/B slices — harmless in AI
     br.read_uvlc()
     br.read_uvlc()                      # num_ref_idx defaults
     br.read_flag()                      # rpl1_idx_present
@@ -209,6 +230,8 @@ def parse_slice_header(rbsp: bytes, cfg: VVCConfig) -> SliceInfo:
     _expect(not br.read_flag(), "inter slices")
     _expect(br.read_uvlc() == 0, "ph pps id")
     si.poc = br.read(cfg.poc_bits)
+    if cfg.partition_override:
+        _expect(not br.read_flag(), "ph partition constraints override")
     if cfg.lmcs:
         si.lmcs_enabled = br.read_flag()
         if si.lmcs_enabled:
