@@ -23,17 +23,28 @@ def _encode_frame_job(payload):
     """Worker: encode one frame (AI frames are independent, so the frame
     axis is the natural host-parallel dimension; chips-parallel batching
     happens inside each frame's kernels)."""
-    cfg_dict, mode_select, (y, u, v), poc, map_entry, mtt, stats = payload
+    (cfg_dict, mode_select, (y, u, v), poc, map_entry, mtt, stats,
+     engine, accel, rdo_fb, rdo) = payload
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if engine != "wavefront":
+        # sequential per-block coding is latency-bound over the TPU
+        # tunnel; the wavefront engine is the batched device path
+        jax.config.update("jax_platforms", "cpu")
     from ..codec.encoder import FrameEncoder
     from ..codec.headers import VVCConfig
+    from ..codec.wavefront import WavefrontEncoder
     cfg = VVCConfig(**cfg_dict)
-    enc = FrameEncoder(cfg, mode_select=mode_select)
+    if engine == "wavefront":
+        enc = WavefrontEncoder(cfg, accel_level=accel)
+    else:
+        enc = FrameEncoder(cfg, mode_select=mode_select,
+                           accel_level=accel, rdo_fallback=rdo_fb)
     kw = dict(poc=poc, collect_bin_stats=stats)
     kind, m = map_entry
     if kind == "maps":
         bs, recon = enc.encode_frame(y, u, v, maps=m, **kw)
+    elif rdo and engine != "wavefront":
+        bs, recon = enc.encode_frame(y, u, v, rdo=True, **kw)
     else:
         bs, recon = enc.encode_frame(y, u, v, qt_map=m, **kw)
     return poc, bs, recon, list(enc.leaf_l), enc.bin_stats
@@ -93,15 +104,32 @@ def main(argv=None):
                     help="print per-syntax-class bin statistics")
     ap.add_argument("--ctc-chroma-qp", action="store_true",
                     help="CTC AI chroma QP mapping table (QP32 -> 34)")
+    ap.add_argument("--accel-level", type=int, default=3,
+                    choices=[0, 1, 2, 3],
+                    help="map-acceleration level L0-L3 (reference "
+                         "Acceleration_Config_fal; L0 = map drives QT "
+                         "force/ban + all MTT, L1-L3 = map gates MTT "
+                         "levels < L only)")
+    ap.add_argument("--rdo-fallback", action="store_true",
+                    help="bounded RDO split search outside the map gate "
+                         "(EncModeCtrl.cpp:1455 stock fallback role)")
+    ap.add_argument("--rdo", action="store_true",
+                    help="stock full RDO partitioning (no maps)")
+    ap.add_argument("--engine", default="sequential",
+                    choices=["sequential", "wavefront"],
+                    help="wavefront = batched device CU coding "
+                         "(tools-off envelope)")
     ap.add_argument("--jobs", type=int, default=1,
                     help="frame-parallel worker processes (AI frames are "
                          "independent)")
     args = ap.parse_args(argv)
 
     import jax
-    # sequential per-block coding is latency-bound: the tunneled TPU
-    # backend only adds RTT; force CPU (batched TPU paths are separate)
-    jax.config.update("jax_platforms", "cpu")
+    if args.engine != "wavefront":
+        # sequential per-block coding is latency-bound: the tunneled TPU
+        # backend only adds RTT; force CPU (the wavefront engine keeps
+        # the device backend)
+        jax.config.update("jax_platforms", "cpu")
 
     from ..codec.encoder import FrameEncoder
     from ..codec.headers import VVCConfig
@@ -170,7 +198,8 @@ def main(argv=None):
                                    np.int32))
         payloads.append((cfg_dict, args.mode_select,
                          (y[f], u[f], v[f]), f, entry, args.mtt,
-                         args.bit_stats))
+                         args.bit_stats, args.engine, args.accel_level,
+                         args.rdo_fallback, args.rdo))
 
     if args.jobs > 1 and len(payloads) > 1:
         # AI frames are independent: fan out across processes

@@ -138,10 +138,15 @@ def _tq_zero(orgs, pred, w, h, qp, bd, lam, dw, rd_quant):
 
 
 @functools.cache
-def _wave_step(w, h, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
+def _wave_step(w, h, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
+               mesh=None):
     """One jitted wave step for a (w, h) size bucket of ``bsz`` CUs:
     luma RMD + TQ + chroma DM + TQ + recon scatter.  Donates the recon
-    planes so the buffers stay device-resident across waves."""
+    planes so the buffers stay device-resident across waves.
+
+    ``mesh``: optional 1-D device mesh — per-CU arrays are sharded over
+    its ``dp`` axis (parallel/wavefront_dp.py), planes replicated;
+    integer math keeps sharded and single-device bitstreams identical."""
     modes = tuple(range(67))
     cw, chh = w // 2, h // 2
 
@@ -160,14 +165,17 @@ def _wave_step(w, h, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
             preds, best[:, None, None, None], axis=1)[:, 0]
         lev_y, rec_y = _tq_zero(orgs, pred, w, h, qp_y, bd, lam, 1.0,
                                 rd_quant)
-        sr = jnp.where(s_ok[:, None, None], o_rows, -1)
+        # invalid (padding) CUs: push the scatter row genuinely out of
+        # bounds — negative indices would WRAP to the last row
+        oob = 1 << 24
+        sr = jnp.where(s_ok[:, None, None], o_rows, oob)
         ry = ry.at[sr, o_cols].set(rec_y, mode="drop")
 
         # ---- chroma: DM mode at half res ----
         cxs, cys = xs // 2, ys // 2
         co_rows = cys[:, None, None] + jnp.arange(chh)[None, :, None]
         co_cols = cxs[:, None, None] + jnp.arange(cw)[None, None, :]
-        csr = jnp.where(s_ok[:, None, None], co_rows, -1)
+        csr = jnp.where(s_ok[:, None, None], co_rows, 1 << 24)
         out_c = []
         for plane, org_p in ((ru, ou), (rv, ov)):
             crefs = _gather_refs(plane, cxs, cys, cat, cal, cac,
@@ -184,6 +192,11 @@ def _wave_step(w, h, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
         (ru, lev_u), (rv, lev_v) = out_c
         return ry, ru, rv, best, lev_y, lev_u, lev_v
 
+    if mesh is not None:
+        from ..parallel.wavefront_dp import cu_batch_shardings
+        ins, outs = cu_batch_shardings(mesh)
+        return jax.jit(f, donate_argnums=(0, 1, 2), in_shardings=ins,
+                       out_shardings=outs)
     return jax.jit(f, donate_argnums=(0, 1, 2))
 
 
@@ -268,9 +281,10 @@ class WavefrontEncoder(FrameEncoder):
                     "isp", "cclm", "joint_cbcr", "lmcs", "dep_quant",
                     "sign_hiding")
 
-    def __init__(self, cfg, **kw):
+    def __init__(self, cfg, *, mesh=None, **kw):
         kw.setdefault("mode_select", "satd")
         super().__init__(cfg, **kw)
+        self.mesh = mesh          # optional dp mesh for CU-batch sharding
         bad = [f for f in self._UNSUPPORTED if getattr(cfg, f)]
         if bad:
             raise NotImplementedError(
@@ -350,6 +364,10 @@ class WavefrontEncoder(FrameEncoder):
             for (w, h), idxs in sorted(buckets.items()):
                 n = len(idxs)
                 bsz = 1 << (n - 1).bit_length() if n > 1 else 1
+                if self.mesh is not None:
+                    nd = self.mesh.size
+                    bsz = max(bsz, nd)
+                    bsz = ((bsz + nd - 1) // nd) * nd
                 xs = np.zeros(bsz, np.int32)
                 ys = np.zeros(bsz, np.int32)
                 s_ok = np.zeros(bsz, bool)
@@ -369,7 +387,7 @@ class WavefrontEncoder(FrameEncoder):
                         cfg.width, cfg.height)
                 step = _wave_step(w, h, bsz, qp_y, qp_c, bd,
                                   float(self.lam), float(self.dw_c),
-                                  bool(cfg.rd_quant))
+                                  bool(cfg.rd_quant), mesh=self.mesh)
                 ry, ru, rv, best, ly, lu, lv = step(
                     ry, ru, rv, oy, ou, ov,
                     jnp.asarray(xs), jnp.asarray(ys),
