@@ -52,12 +52,20 @@ def _encode_frame_job(payload):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
-    ap.add_argument("--width", type=int, required=True)
-    ap.add_argument("--height", type=int, required=True)
-    ap.add_argument("--frames", type=int, default=1)
-    ap.add_argument("--qp", type=int, default=32)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("-c", "--cfg", action="append", default=[],
+                    help="VTM-style cfg file (repeatable, layered; the "
+                         "reference demo stack '-c seq.cfg -c "
+                         "encoder_intra_vtm.cfg -q QP' works unchanged)")
+    ap.add_argument("-q", dest="qp_short", type=int, default=None,
+                    help="QP (VTM-compatible shorthand)")
+    ap.add_argument("-b", dest="out_short", default=None,
+                    help="bitstream file (VTM-compatible shorthand)")
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--qp", type=int, default=None)
+    ap.add_argument("--output", default=None)
     ap.add_argument("--is10bit", action="store_true")
     ap.add_argument("--model-dir", default=None,
                     help="reference .pkl checkpoints for map prediction")
@@ -124,6 +132,34 @@ def main(argv=None):
                          "independent)")
     args = ap.parse_args(argv)
 
+    vtm_cfg_kwargs = None
+    if args.cfg:
+        from ..utils.vtmcfg import merge_cfgs, to_encoder_args
+        io, vtm_cfg_kwargs, warns = to_encoder_args(merge_cfgs(args.cfg))
+        for wmsg in warns:
+            print(f"warning: {wmsg}", file=sys.stderr)
+        args.input = args.input or io["input"]
+        args.width = args.width or io["width"]
+        args.height = args.height or io["height"]
+        if args.frames is None:
+            args.frames = io["frames"]
+        args.output = args.output or io["output"]
+        args.is10bit = args.is10bit or io["is10bit"]
+        if args.qp_short is not None:
+            vtm_cfg_kwargs["qp"] = args.qp_short
+        if args.qp is not None:
+            vtm_cfg_kwargs["qp"] = args.qp
+        args.qp = vtm_cfg_kwargs["qp"]
+    if args.out_short:
+        args.output = args.out_short
+    if args.qp_short is not None and args.qp is None:
+        args.qp = args.qp_short
+    args.qp = 32 if args.qp is None else args.qp
+    args.frames = 1 if args.frames is None else args.frames
+    for req in ("input", "width", "height", "output"):
+        if getattr(args, req) in (None,):
+            ap.error(f"--{req} required (directly or via -c cfg files)")
+
     import jax
     if args.engine != "wavefront":
         # sequential per-block coding is latency-bound: the tunneled TPU
@@ -174,7 +210,9 @@ def main(argv=None):
     if args.ctc_chroma_qp:
         filt.update(chroma_qp_start_minus26=-9,
                     chroma_qp_points=((9, 12), (4, 5), (11, 7)))
-    if args.mtt:
+    if vtm_cfg_kwargs is not None:
+        cfg = VVCConfig(width=w, height=h, **vtm_cfg_kwargs)
+    elif args.mtt:
         cfg = VVCConfig(width=w, height=h, qp=args.qp, log2_min_cb=3,
                         max_mtt_depth_intra=3, max_bt_intra=32,
                         max_tt_intra=32, **filt)
