@@ -42,7 +42,9 @@ def _encode_frame_job(payload):
     kw = dict(poc=poc, collect_bin_stats=stats)
     kind, m = map_entry
     if kind == "maps":
-        bs, recon = enc.encode_frame(y, u, v, maps=m, **kw)
+        m, cm = m if isinstance(m, tuple) and len(m) == 2 else (m, None)
+        bs, recon = enc.encode_frame(y, u, v, maps=m, chroma_maps=cm,
+                                     **kw)
     elif rdo and engine != "wavefront":
         bs, recon = enc.encode_frame(y, u, v, rdo=True, **kw)
     else:
@@ -185,19 +187,41 @@ def main(argv=None):
         from ..pmp.predict import CompPredictor
         from ..pmp.map2partition import blocks_to_frame_partition
         from ..data.yuv import blocks_for_sequence
-        pred = CompPredictor.from_reference_checkpoints(
-            True, pathlib.Path(args.model_dir) / f"Luma_Q_{args.qp}.pkl")
-        luma_in, _ = blocks_for_sequence(
+
+        def _mk_pred(comp):
+            """Q-net (.pkl) + BD-net (.pkl reference name or .msgpack
+            from our trainer) for one component; BD stays randomly
+            initialized only if neither exists (warned)."""
+            d = pathlib.Path(args.model_dir)
+            bd_pkl = d / f"{comp}_BD_{args.qp}.pkl"
+            pred = CompPredictor.from_reference_checkpoints(
+                comp == "Luma", d / f"{comp}_Q_{args.qp}.pkl",
+                bd_pkl=bd_pkl if bd_pkl.exists() else None)
+            bd_mp = d / f"{comp}_BD_{args.qp}.msgpack"
+            if not bd_pkl.exists() and bd_mp.exists():
+                from ..models.checkpoint import load_params
+                pred.bd_params = load_params(bd_mp, pred.bd_params)
+            elif not bd_pkl.exists() and args.mtt:
+                print(f"warning: no {comp} BD checkpoint in "
+                      f"{args.model_dir}; MTT maps come from an "
+                      "untrained net", file=sys.stderr)
+            return pred
+
+        ins = blocks_for_sequence(
             (np.asarray(y) >> 2).astype(np.uint8),
             (np.asarray(u) >> 2).astype(np.uint8),
             (np.asarray(v) >> 2).astype(np.uint8))
-        qt, bt, dire = pred.predict(luma_in)
         per = (w // 64) * (h // 64)
-        maps_per_frame = []
-        for f in range(y.shape[0]):
-            s = slice(f * per, (f + 1) * per)
-            maps_per_frame.append(blocks_to_frame_partition(
-                qt[s], bt[s], dire[s], w, h, True))
+        comp_maps = {}
+        for comp, blocks in (("Luma", ins[0]), ("Chroma", ins[1])):
+            qt, bt, dire = _mk_pred(comp).predict(blocks)
+            comp_maps[comp] = [
+                blocks_to_frame_partition(
+                    qt[f * per:(f + 1) * per], bt[f * per:(f + 1) * per],
+                    dire[f * per:(f + 1) * per], w, h, comp == "Luma")
+                for f in range(y.shape[0])]
+        maps_per_frame = comp_maps["Luma"]
+        chroma_maps_per_frame = comp_maps["Chroma"]
 
     filt = dict(deblocking_disabled=args.no_deblock, sao=args.sao,
                 mip=args.mip, cclm=args.cclm, lfnst=args.lfnst,
@@ -227,10 +251,16 @@ def main(argv=None):
     import dataclasses
     cfg_dict = dataclasses.asdict(cfg)
     payloads = []
+    cmaps = locals().get("chroma_maps_per_frame")
     for f in range(y.shape[0]):
         if maps_per_frame is not None:
             m = maps_per_frame[min(f, len(maps_per_frame) - 1)]
-            entry = ("maps", m) if args.mtt else ("qt", m[2])
+            if args.mtt and cmaps is not None and cfg.dual_tree:
+                entry = ("maps", (m, cmaps[min(f, len(cmaps) - 1)]))
+            elif args.mtt:
+                entry = ("maps", m)
+            else:
+                entry = ("qt", m[2])
         else:
             entry = ("qt", np.full((h // 8, w // 8), args.qt_depth,
                                    np.int32))

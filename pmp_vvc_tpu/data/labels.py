@@ -225,3 +225,83 @@ def labels_from_tree(tree: CuNode):
     qt_leaves(tree)
     visit(tree)
     return qt8, msbt, msdire
+
+
+def tree_from_leaves(leaves, bx, by, size=64, qt_depth=1, mtt_depth=0):
+    """Reconstruct a 64x64 block's split tree from its final leaf CUs
+    (encoder convention: (x=col, y=row, w, h) tuples), for label
+    generation from RDO encodes — the native counterpart of the
+    reference's decoder-side Save_Depth dump (DecLib.cpp:998, which has
+    the true per-depth splits; from leaves alone a QT is preferred over
+    the equivalent BT+BT pair, matching VVC's QT-before-MTT ordering).
+    """
+    cover = [(lx - bx, ly - by, w, h) for (lx, ly, w, h) in leaves
+             if bx <= lx < bx + size and by <= ly < by + size]
+
+    def clean_cut_v(x0, y0, w, h, cx):
+        """No leaf straddles the vertical line x0+cx within the region."""
+        return all(not (lx < x0 + cx < lx + lw)
+                   for (lx, ly, lw, lh) in cover
+                   if ly < y0 + h and ly + lh > y0 and lx < x0 + w
+                   and lx + lw > x0)
+
+    def clean_cut_h(x0, y0, w, h, cy):
+        return all(not (ly < y0 + cy < ly + lh)
+                   for (lx, ly, lw, lh) in cover
+                   if ly < y0 + h and ly + lh > y0 and lx < x0 + w
+                   and lx + lw > x0)
+
+    def build(x0, y0, w, h, qd, md):
+        # scheduler convention: CuNode(x=row, y=col, h, w)
+        node = CuNode(y0, x0, h, w, qd, md)
+        # is the region exactly one leaf?
+        for (lx, ly, lw, lh) in cover:
+            if (lx, ly, lw, lh) == (x0, y0, w, h):
+                return node
+        qt_ok = (w == h and w >= 16 and clean_cut_v(x0, y0, w, h, w // 2)
+                 and clean_cut_h(x0, y0, w, h, h // 2) and md == 0)
+        bh_ok = h >= 8 and clean_cut_h(x0, y0, w, h, h // 2)
+        bv_ok = w >= 8 and clean_cut_v(x0, y0, w, h, w // 2)
+        th_ok = h >= 16 and clean_cut_h(x0, y0, w, h, h // 4) \
+            and clean_cut_h(x0, y0, w, h, 3 * h // 4) and not bh_ok
+        tv_ok = w >= 16 and clean_cut_v(x0, y0, w, h, w // 4) \
+            and clean_cut_v(x0, y0, w, h, 3 * w // 4) and not bv_ok
+        if qt_ok:
+            node.split = Split.QT
+            kids = [(x0, y0, w // 2, h // 2), (x0 + w // 2, y0, w // 2, h // 2),
+                    (x0, y0 + h // 2, w // 2, h // 2),
+                    (x0 + w // 2, y0 + h // 2, w // 2, h // 2)]
+            args = (qd + 1, 0)
+        elif bh_ok:
+            node.split = Split.BT_H
+            kids = [(x0, y0, w, h // 2), (x0, y0 + h // 2, w, h // 2)]
+            args = (qd, md + 1)
+        elif bv_ok:
+            node.split = Split.BT_V
+            kids = [(x0, y0, w // 2, h), (x0 + w // 2, y0, w // 2, h)]
+            args = (qd, md + 1)
+        elif th_ok:
+            node.split = Split.TT_H
+            kids = [(x0, y0, w, h // 4), (x0, y0 + h // 4, w, h // 2),
+                    (x0, y0 + 3 * h // 4, w, h // 4)]
+            args = (qd, md + 1)
+        elif tv_ok:
+            node.split = Split.TT_V
+            kids = [(x0, y0, w // 4, h), (x0 + w // 4, y0, w // 2, h),
+                    (x0 + 3 * w // 4, y0, w // 4, h)]
+            args = (qd, md + 1)
+        else:
+            raise ValueError(f"no consistent split at {(x0, y0, w, h)}")
+        node.children = [build(kx, ky, kw, kh, *args)
+                         for (kx, ky, kw, kh) in kids]
+        return node
+
+    root = build(0, 0, size, size, qt_depth, mtt_depth)
+
+    def shift(n):
+        n.x += by
+        n.y += bx
+        for c in n.children:
+            shift(c)
+    shift(root)
+    return root
