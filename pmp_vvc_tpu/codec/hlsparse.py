@@ -124,11 +124,13 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
 
     def _skip_rpl():
         # ref_pic_list_struct with long-term and inter-layer ref pics
-        # off: per entry abs_delta_poc_st (+ sign when nonzero) — unused
-        # by an all-intra decode, skipped for stock-VTM streams
+        # off: per entry abs_delta_poc_st + sign — unused by an all-intra
+        # decode, skipped for stock-VTM streams.  VLCReader.cpp:378-391
+        # increments the raw value when weighted pred is off (always in
+        # this envelope) or i == 0, so the sign flag is always present.
         for _ in range(br.read_uvlc()):
-            if br.read_uvlc() > 0:
-                br.read_flag()
+            br.read_uvlc()
+            br.read_flag()
 
     for _ in range(br.read_uvlc()):     # sps_num_ref_pic_lists[0]
         _skip_rpl()
@@ -230,13 +232,18 @@ def parse_slice_header(rbsp: bytes, cfg: VVCConfig) -> SliceInfo:
     _expect(not br.read_flag(), "inter slices")
     _expect(br.read_uvlc() == 0, "ph pps id")
     si.poc = br.read(cfg.poc_bits)
-    if cfg.partition_override:
-        _expect(not br.read_flag(), "ph partition constraints override")
+    # picture_header_structure order (VLCReader.cpp:2776-3445): POC ->
+    # [ALF if alf_info_in_ph, absent here] -> LMCS (:2901) -> [scaling
+    # lists / virtual boundaries / pic output / RPL, all absent in this
+    # envelope] -> partition-constraints override (:3172) -> [cu qp
+    # delta/chroma offset subdivs, absent] -> JCCR sign (:3445).
     if cfg.lmcs:
         si.lmcs_enabled = br.read_flag()
         if si.lmcs_enabled:
             _expect(br.read(2) == 0, "lmcs aps id")
             si.chroma_residual_scale = br.read_flag()
+    if cfg.partition_override:
+        _expect(not br.read_flag(), "ph partition constraints override")
     if cfg.joint_cbcr:
         si.jccr_sign = br.read_flag()
     # slice header tail

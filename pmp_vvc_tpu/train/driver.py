@@ -64,23 +64,34 @@ def rounded_accuracy(pred, label):
     return float(np.mean(np.round(np.asarray(pred)) == np.asarray(label)))
 
 
-def validate(q_net, bd_net, params, data, batch=256):
-    """Per-head rounded accuracy over a (x, qt, bt, dire) split."""
+def validate(q_net, bd_net, params, data, batch=256,
+             label_qt_input=False):
+    """Per-head rounded accuracy over a (x, qt, bt, dire) split.
+
+    ``label_qt_input=True`` feeds the ground-truth QT labels to the
+    BD-net (matching the stage-"bd" training step, which trains on
+    label QT inputs) instead of running a possibly-untrained Q-net;
+    the qt accuracy row is omitted in that mode."""
     x, qt, bt, dire = data
     accs = {"qt": [], "bt0": [], "bt1": [], "bt2": [],
             "dir0": [], "dir1": [], "dir2": []}
+    if label_qt_input:
+        del accs["qt"]
 
     @jax.jit
-    def fwd(p, xb):
+    def fwd(p, xb, qtb):
+        if label_qt_input:
+            return None, bd_net.apply({"params": p["bd"]}, xb, qtb)
         qt_out = q_net.apply({"params": p["q"]}, xb)
         outs = bd_net.apply({"params": p["bd"]}, xb, qt_out)
         return qt_out, outs
 
     for i in range(0, len(x), batch):
         xb = jnp.asarray(x[i:i + batch])
-        qt_out, outs = fwd(params, xb)
         n = xb.shape[0]
-        accs["qt"].append(rounded_accuracy(qt_out, qt[i:i + n]))
+        qt_out, outs = fwd(params, xb, jnp.asarray(qt[i:i + n]))
+        if not label_qt_input:
+            accs["qt"].append(rounded_accuracy(qt_out, qt[i:i + n]))
         for k, bd in enumerate(outs):
             accs[f"bt{k}"].append(
                 rounded_accuracy(bd[..., 0], bt[i:i + n, ..., k]))
@@ -149,10 +160,14 @@ def train(stage, train_data, val_data, *, qp=32, is_luma=True, epochs=20,
         row = {"epoch": epoch, "lr": cur_lr,
                "train_loss": float(np.mean(losses)),
                "time_s": round(time.time() - t0, 2)}
-        if val_data is not None and stage != "q":
-            full = state.params if stage == "qbd" else \
-                {"q": init_params["q"], "bd": state.params}
-            row.update(validate(q_net, bd_net, full, val_data))
+        if val_data is not None and stage == "bd":
+            # validate with the ground-truth QT input, matching the
+            # training step (init_params["q"] may be untrained)
+            row.update(validate(q_net, bd_net,
+                                {"bd": state.params}, val_data,
+                                label_qt_input=True))
+        elif val_data is not None and stage == "qbd":
+            row.update(validate(q_net, bd_net, state.params, val_data))
         elif val_data is not None:
             qp_ = {"q": state.params, "bd": init_params["bd"]}
             row["qt"] = validate(q_net, bd_net, qp_, val_data)["qt"]

@@ -35,7 +35,10 @@ def merge_cfgs(paths, overrides=None) -> dict:
 
 
 def _b(opts, key, default="0"):
-    return opts.get(key, default).split()[0] not in ("0", "false", "")
+    # a key with an empty value ("Key :") is legal program_options_lite
+    # input; treat it as unset/false
+    toks = opts.get(key, default).split()
+    return bool(toks) and toks[0] not in ("0", "false", "")
 
 
 def _i(opts, key, default=None):
