@@ -249,89 +249,107 @@ def _pdpc_planar_dc(pred, top, left, w, h):
     return pred + ((wL[None] * (l - pred) + wT[None] * (t - pred) + 32) >> 6)
 
 
-def _predict_one_angular(main, side, p: ModeParams, wp: int, hp: int,
-                         is_luma: bool, bit_depth: int):
-    """Angular prediction in main/side space ((wp,hp) already swapped for
-    horizontal modes). main/side: (N, L) reference rows, index 0 = corner.
-    Returns (N, hp, wp) before any final transpose.
-    Contract: xPredIntraAng (:476-660).
+def _predict_angular_batch(main_u, main_f, side_u, side_f, mps, wp: int,
+                           hp: int, is_luma: bool, bit_depth: int):
+    """All angular modes of one orientation in ONE vectorized program.
+
+    ``mps``: list of ModeParams (static), all with the same orientation
+    (callers pass vertical modes with (main, side) = (top, left) and
+    horizontal modes with the pair swapped + a final transpose).
+    main_u/main_f: (N, 2wp+3) unfiltered/filtered main reference rows,
+    side_*: (N, 2hp+3).  Returns (N, M, hp, wp) int32.
+
+    The per-mode scalar branches of xPredIntraAng (IntraPrediction.cpp
+    :476-660) are folded into data: the integer-slope copy is the 4-tap
+    DCT-IF at phase 0 ([0,64,0,0]); the reference's [1 2 1] smoothing +
+    copy for smoothed integer-slope modes equals the Gaussian 4-tap at
+    phase 0 on the *unfiltered* refs, but we keep the mode's
+    use_filtered selection and phase-0 cubic taps so values match the
+    scalar path bit-for-bit; the chroma 2-tap lerp ``p0 +
+    ((f*(p1-p0)+16)>>5)`` is the 4-tap [0, 64-2f, 2f, 0] exactly.
     """
-    n = main.shape[0]
+    n = main_u.shape[0]
+    m = len(mps)
     pel_max = (1 << bit_depth) - 1
-    angle, inv_angle = p.angle, p.inv_angle
-    main_i = main.astype(jnp.int32)
-    side_i = side.astype(jnp.int32)
+    angle = np.array([p.angle for p in mps], np.int32)
+    inv_angle = np.array([p.inv_angle for p in mps], np.int64)
+    use_filt = np.array([p.use_filtered for p in mps], bool)
+    gauss = np.array([p.interpolate_gauss for p in mps], bool)
+    pdpc = np.array([p.apply_pdpc for p in mps], bool)
+    scale = np.array([max(p.pdpc_scale, 0) for p in mps], np.int32)
 
-    if angle == 0:
-        pred = jnp.broadcast_to(main_i[:, None, 1:wp + 1], (n, hp, wp))
-        if p.apply_pdpc:
-            scale = (_flog2(wp) + _flog2(hp) - 2) >> 2
-            top_left = main_i[:, 0][:, None, None]
-            l = side_i[:, 1:hp + 1][:, :, None]
-            xs = jnp.arange(wp)[None, None, :]
-            wL = 32 >> jnp.minimum(31, (2 * xs) >> scale)
-            adj = (wL * (l - top_left) + 32) >> 6
-            lim = min(3 << scale, wp)
-            adj = jnp.where(xs < lim, adj, 0)
-            pred = jnp.clip(pred + adj, 0, pel_max)
-        return pred
+    filt = jnp.asarray(use_filt)[None, :, None]
+    main_sel = jnp.where(filt, main_f[:, None, :],
+                         main_u[:, None, :]).astype(jnp.int32)  # (N,M,L)
+    side_sel = jnp.where(filt, side_f[:, None, :],
+                         side_u[:, None, :]).astype(jnp.int32)  # (N,M,Ls)
+    ls = side_sel.shape[2]
 
-    ys = jnp.arange(hp)
-    delta_pos = angle * (1 + ys)
-    delta_int = delta_pos >> 5          # (hp,)
-    delta_frac = delta_pos & 31
+    # negative-angle extension, built unconditionally (positive-angle
+    # modes never index below ``off``): j in -hp..-1 projected from side
+    neg_j = np.arange(1, hp + 1)
+    proj = np.minimum((neg_j[None, :] * inv_angle[:, None] + 256) >> 9,
+                      hp).astype(np.int32)                       # (M,hp)
+    neg = jnp.take_along_axis(side_sel,
+                              jnp.asarray(proj[:, ::-1])[None], axis=2)
+    ref = jnp.concatenate([neg, main_sel], axis=2)               # (N,M,hp+L)
+    off = hp
+    l2 = hp + main_sel.shape[2]
 
-    size_side = hp
-    if angle < 0:
-        # extended main: j in [-hp .. wp+1]; negative j projected from side
-        neg_j = jnp.arange(1, size_side + 1)  # -1 .. -hp as positive k
-        proj = jnp.minimum((neg_j * inv_angle + 256) >> 9, size_side)
-        neg_part = jnp.take(side_i, proj[::-1], axis=1)  # j=-hp..-1
-        ref_main = jnp.concatenate([neg_part, main_i], axis=1)
-        off = size_side
+    ys = np.arange(hp)
+    delta_pos = angle[:, None].astype(np.int64) * (1 + ys[None, :])
+    delta_int = (delta_pos >> 5).astype(np.int32)                # (M,hp)
+    delta_frac = (delta_pos & 31).astype(np.int32)
+    if is_luma:
+        half = delta_frac >> 1
+        g = np.stack([16 - half, 32 - half, 16 + half, half], axis=-1)
+        c = CHROMA_FILTER[delta_frac]
+        fs = np.where(gauss[:, None, None], g, c)                # (M,hp,4)
     else:
-        ref_main = main_i
-        off = 0
+        zf = np.zeros_like(delta_frac)
+        fs = np.stack([zf, 64 - 2 * delta_frac, 2 * delta_frac, zf],
+                      axis=-1)
+    fs = jnp.asarray(fs)
 
-    xs = jnp.arange(wp)
-    is_int_slope = (abs(angle) & 0x1F) == 0
-    if is_int_slope:
-        idx = off + delta_int[:, None] + xs[None, :] + 1     # (hp, wp)
-        pred = jnp.take(ref_main, jnp.clip(idx, 0, ref_main.shape[1] - 1),
-                        axis=1)
-    elif is_luma:
-        if p.interpolate_gauss:
-            f0 = 16 - (delta_frac >> 1)
-            f1 = 32 - (delta_frac >> 1)
-            f2 = 16 + (delta_frac >> 1)
-            f3 = delta_frac >> 1
-            fs = jnp.stack([f0, f1, f2, f3], axis=-1)        # (hp, 4)
-        else:
-            fs = jnp.asarray(CHROMA_FILTER)[delta_frac]      # (hp, 4)
-        base = off + delta_int[:, None] + xs[None, :]        # (hp, wp)
-        acc = jnp.zeros((n, hp, wp), jnp.int32)
-        for k in range(4):
-            idx = jnp.clip(base + k, 0, ref_main.shape[1] - 1)
-            acc = acc + fs[None, :, k:k + 1] * jnp.take(ref_main, idx, axis=1)
-        pred = jnp.clip((acc + 32) >> 6, 0, pel_max)
-    else:
-        base = off + delta_int[:, None] + xs[None, :] + 1
-        p0 = jnp.take(ref_main, jnp.clip(base, 0, ref_main.shape[1] - 1), axis=1)
-        p1 = jnp.take(ref_main, jnp.clip(base + 1, 0, ref_main.shape[1] - 1),
-                      axis=1)
-        pred = p0 + ((delta_frac[None, :, None] * (p1 - p0) + 16) >> 5)
+    xs = np.arange(wp)
+    base = off + delta_int[:, :, None] + xs[None, None, :]       # (M,hp,wp)
+    acc = jnp.zeros((n, m, hp, wp), jnp.int32)
+    for k in range(4):
+        idx = np.clip(base + k, 0, l2 - 1).reshape(m, hp * wp)
+        vals = jnp.take_along_axis(ref, jnp.asarray(idx)[None],
+                                   axis=2).reshape(n, m, hp, wp)
+        acc = acc + fs[None, :, :, k:k + 1] * vals
+    pred = (acc + 32) >> 6
+    pred = jnp.clip(pred, 0, pel_max)
 
-    if p.apply_pdpc:
-        scale = p.pdpc_scale
-        xs2 = jnp.arange(wp)[None, None, :]
-        inv_sum = 256 + (jnp.arange(wp) + 1) * inv_angle     # (wp,)
-        side_idx = ys[:, None] + (inv_sum[None, :] >> 9) + 1  # (hp, wp)
-        side_idx = jnp.clip(side_idx, 0, side_i.shape[1] - 1)
-        left = jnp.take(side_i, side_idx, axis=1)            # (N, hp, wp)
-        wL = 32 >> jnp.minimum(31, (2 * jnp.arange(wp)) >> scale)[None, None, :]
-        adj = (wL * (left - pred) + 32) >> 6
-        lim = min(3 << scale, wp)
-        pred = jnp.where(xs2 < lim, pred + adj, pred)
+    if pdpc.any():
+        zero = angle == 0
+        # variant A: angle > 0 — side-projected gather (:624-660)
+        inv_sum = 256 + (xs[None, :] + 1) * inv_angle[:, None]
+        side_idx = ys[None, :, None] + (inv_sum[:, None, :] >> 9) + 1
+        side_idx = np.clip(side_idx, 0, ls - 1).astype(np.int32)
+        sv = jnp.take_along_axis(
+            side_sel, jnp.asarray(side_idx.reshape(m, hp * wp))[None],
+            axis=2).reshape(n, m, hp, wp)
+        w_l = 32 >> np.minimum(31, (2 * xs[None, :]) >> scale[:, None])
+        adj_pos = (w_l[None, :, None, :] * (sv - pred) + 32) >> 6
+        lim = np.minimum(3 << scale, wp)
+        adj_pos = jnp.where(
+            jnp.asarray((xs[None, :] < lim[:, None]))[None, :, None, :],
+            adj_pos, 0)
+        pred_pos = pred + adj_pos
+        # variant B: angle == 0 (pure hor/ver) — top-left form (:600-622)
+        scale0 = (_flog2(wp) + _flog2(hp) - 2) >> 2
+        top_left = ref[:, :, off][:, :, None, None]
+        lvals = side_sel[:, :, 1:hp + 1][:, :, :, None]
+        wl0 = 32 >> np.minimum(31, (2 * xs) >> scale0)
+        adj0 = (wl0[None, None, None, :] * (lvals - top_left) + 32) >> 6
+        adj0 = jnp.where(jnp.asarray(xs < min(3 << scale0, wp)), adj0, 0)
+        pred_zero = jnp.clip(pred + adj0, 0, pel_max)
+        which = np.where(~pdpc, 0, np.where(zero, 2, 1))
+        sel = jnp.asarray(which)[None, :, None, None]
+        pred = jnp.where(sel == 2, pred_zero,
+                         jnp.where(sel == 1, pred_pos, pred))
     return pred
 
 
@@ -341,27 +359,41 @@ def predict_block(top_u, left_u, top_f, left_f, *, w: int, h: int,
 
     top_u/left_u (and filtered variants): (N, 2W+3)/(N, 2H+3) reference
     rows (index 0 = corner). Returns (N, len(modes), h, w) int32.
+    All vertical (horizontal) angular modes compile to one vectorized
+    gather program each, so a full 67-mode RMD sweep is ~4 XLA chunks
+    instead of 67.
     """
-    outs = []
-    for mode in modes:
-        p = mode_params(w, h, mode, is_luma=is_luma)
-        top = top_f if p.use_filtered else top_u
-        left = left_f if p.use_filtered else left_u
-        if mode == PLANAR_IDX:
+    params = [mode_params(w, h, mode, is_luma=is_luma) for mode in modes]
+    outs = [None] * len(modes)
+    ver_idx = [i for i, p in enumerate(params)
+               if p.mode > DC_IDX and p.is_ver]
+    hor_idx = [i for i, p in enumerate(params)
+               if p.mode > DC_IDX and not p.is_ver]
+    for i, p in enumerate(params):
+        if p.mode == PLANAR_IDX:
+            top = top_f if p.use_filtered else top_u
+            left = left_f if p.use_filtered else left_u
             pred = _predict_planar(top, left, w, h)
-        elif mode == DC_IDX:
-            pred = _predict_dc(top, left, w, h)
-        else:
-            if p.is_ver:
-                pred = _predict_one_angular(top, left, p, w, h,
-                                            is_luma, bit_depth)
-            else:
-                pred = _predict_one_angular(left, top, p, h, w,
-                                            is_luma, bit_depth)
-                pred = jnp.swapaxes(pred, -1, -2)
-        if mode in (PLANAR_IDX, DC_IDX) and p.apply_pdpc:
-            pred = _pdpc_planar_dc(pred, top, left, w, h)
-        outs.append(pred)
+            if p.apply_pdpc:
+                pred = _pdpc_planar_dc(pred, top, left, w, h)
+            outs[i] = pred
+        elif p.mode == DC_IDX:
+            pred = _predict_dc(top_u, left_u, w, h)
+            if p.apply_pdpc:
+                pred = _pdpc_planar_dc(pred, top_u, left_u, w, h)
+            outs[i] = pred
+    if ver_idx:
+        preds = _predict_angular_batch(
+            top_u, top_f, left_u, left_f, [params[i] for i in ver_idx],
+            w, h, is_luma, bit_depth)
+        for k, i in enumerate(ver_idx):
+            outs[i] = preds[:, k]
+    if hor_idx:
+        preds = _predict_angular_batch(
+            left_u, left_f, top_u, top_f, [params[i] for i in hor_idx],
+            h, w, is_luma, bit_depth)
+        for k, i in enumerate(hor_idx):
+            outs[i] = jnp.swapaxes(preds[:, k], -1, -2)
     return jnp.stack(outs, axis=1)
 
 
