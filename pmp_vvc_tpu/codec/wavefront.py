@@ -3,27 +3,36 @@
 Replaces the reference's sequential CTU raster + CU recursion
 (EncSlice.cpp:1686 -> EncCu.cpp:531) with a dependency-levelled batched
 schedule.  The PMP partition map fixes the whole CU tree before coding
-starts, so every leaf CU of the frame is known up front; the encoder
+starts, so every leaf CU of the frame is known up front.
 
-  1. collects the leaf CUs in coding order (host, pure geometry),
-  2. levels them into *waves*: CU A waits only for earlier-coding-order
-     CUs whose reconstruction intersects A's intra reference template —
-     reference-sample *availability* is precomputed from the coding
-     order (a static per-4x4 "coding time" grid), so wave scheduling can
-     run ahead of coding order without changing normative semantics,
-  3. runs each wave as a handful of fused, jitted, size-bucketed device
-     programs: reference gather -> substitution/smoothing -> 67-mode
-     batched intra prediction -> SATD mode select -> DCT-II
-     transform/quant/dequant/inverse roundtrip -> RD zeroing -> recon
-     scatter, with the recon planes resident on the device the whole
-     time (one host->device transfer of the originals at the start, one
-     device->host fetch of all levels/modes/recon at the end — the wave
-     loop itself never synchronises, so dispatch latency pipelines),
-  4. replays the precomputed decisions through the host CABAC writer
-     (record/replay; BinEncoder semantics unchanged) and the standard
-     loop-filter / NAL tail of FrameEncoder.
+Round-3 design (v2): the device work compiles to exactly ONE program
+per *tile class* (pad 32 / pad 64), independent of frame content —
+CU width/height and prediction mode are per-CU tensor data
+(ops/intra_generic.py, ops/tq_generic.py).  The host<->device traffic
+is a handful of bulk transfers:
 
-Supported envelope (v1): single tree, map- or QT-driven partitioning,
+  up:   originals (F, H, W), the coding-order grid, and one packed
+        schedule array set per tile class (all segments at once);
+  loop: zero transfers — each wave step reads its segment row via a
+        device-resident counter (donated, incremented on device) and
+        scatters reconstruction + quantized levels + chosen modes into
+        device-resident frame planes;
+  down: ONE fetch of the packed result planes (recon as uint16, levels
+        as int16, modes as uint8).
+
+Multiple frames are encoded per pass (AI frames are independent), so
+thin waves of one frame batch with the same wave of the other frames —
+the segment count is geometry-bound, not frame-count-bound.
+
+Each wave step: reference gather + availability masking (computed on
+device from the coding-order grid) -> substitution/smoothing -> 67-mode
+batched intra prediction -> SATD mode select -> DCT-II transform/quant/
+dequant/inverse roundtrip -> RD zeroing -> recon/level/mode scatter.
+The host then replays the precomputed decisions through the CABAC
+writer (record/replay; BinEncoder semantics unchanged) and the standard
+loop-filter / NAL tail of FrameEncoder.
+
+Supported envelope: single tree, map- or QT-driven partitioning,
 tools-off TU coding (DCT2, scalar quant + RDOQ-lite zeroing), SAO/ALF/
 deblocking allowed (frame-level post passes).  Everything else falls
 back to the sequential FrameEncoder.
@@ -37,20 +46,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.distortion import satd as satd_kernel
-from ..ops.intra import (fill_reference_samples, filter_reference_samples,
-                         predict_block)
-from ..ops.quant import (INV_QUANT_SCALES, IQUANT_SHIFT, _geom, dequantize,
-                         quantize)
-from ..ops.transforms import DCT2, forward_transform, inverse_transform
+from ..ops.intra import fill_reference_samples
+from ..ops.intra_generic import (filter_reference_samples_generic,
+                                 predict_generic)
+from ..ops.tq_generic import (dequantize_generic, forward_transform_generic,
+                              inverse_transform_generic, quantize_generic,
+                              rd_cleanup_generic, satd_generic)
 from .encoder import RDO, CuInfo, FrameEncoder
 from .mtt import Split, SplitState, get_implicit_split
-from .residual import ctx, grouped_scan, log2_sbb_size
+from .residual import ctx
 
+TILE_CLASSES = (32, 64)        # pad = smallest class >= max(w, h)
+DEFAULT_BATCH = {32: 16, 64: 8}
+_OOB = 1 << 24                 # out-of-bounds scatter index (mode="drop")
 
-# ---------------------------------------------------------------------------
-# device-side helpers
-# ---------------------------------------------------------------------------
 
 def _bits_proxy(lev):
     """Order-independent residual-rate proxy (bits) for the zero-TU
@@ -62,72 +71,74 @@ def _bits_proxy(lev):
     return 8.0 + mag.sum(axis=(-1, -2)) + nz
 
 
-def _rd_cleanup(lev, coef, w, h, qp, bd, lam):
-    """jnp port of residual.rd_quant_cleanup (RDOQ-lite zeroing):
-    per-coding-group and isolated-|1| zeroing with the same ~3 bits per
-    nonzero rate model, batched over the CU dimension."""
-    t_shift, sqrt2 = _geom(w, h, bd)
-    # transform energy gain: 4^t_shift, halved for odd-log2-area TUs
-    # (the sqrt(2) compensation is folded into the quantiser scale)
-    divisor = float(4.0 ** t_shift) / (2.0 if sqrt2 else 1.0)
-    iscale = int(INV_QUANT_SCALES[sqrt2][qp % 6])
-    rshift = IQUANT_SHIFT - ((t_shift - sqrt2) + qp // 6)
-    b = lev.shape[0]
-    fl = lev.reshape(b, -1).astype(jnp.int32)
-    fc = coef.reshape(b, -1).astype(jnp.float32)
-    if rshift > 0:
-        deq = (fl * iscale + (1 << (rshift - 1))) >> rshift
-    else:
-        deq = (fl * iscale) << (-rshift)
-    gain = (fc * fc - (fc - deq.astype(jnp.float32)) ** 2) / divisor
-    # the grouped scan covers only the non-zeroed-out coefficient area
-    # (32x32 for 64-point transforms); everything outside is already 0
-    scan = grouped_scan(w, h)[:, 0]
-    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
-    cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
-    cg = 1 << (cgl2w + cgl2h)
-    gl = fl[:, scan].reshape(b, -1, cg)
-    gg = gain[:, scan].reshape(b, -1, cg)
-    k = (gl != 0).sum(axis=-1).astype(jnp.float32)
-    kill_cg = gg.sum(axis=-1) < lam * (3.0 * k + 1.5)
-    gl = jnp.where(kill_cg[..., None], 0, gl)
-    gl = jnp.where((jnp.abs(gl) == 1) & (gg < lam * 3.0), 0, gl)
-    return fl.at[:, scan].set(gl.reshape(b, -1)).reshape(lev.shape)
+# ---------------------------------------------------------------------------
+# device-side wave step (one compiled program per tile class)
+# ---------------------------------------------------------------------------
+
+def _avail_from_order(og, fi, oi, px, py, ok):
+    """Availability of reference samples at map-grid positions: a sample
+    is available iff its covering leaf precedes leaf ``oi`` in coding
+    order (og: (F, H/4, W/4) coding-order grid, -1 = uncoded)."""
+    r = jnp.clip(py, 0, og.shape[1] - 1)
+    c = jnp.clip(px, 0, og.shape[2] - 1)
+    ids = og[fi, r, c]
+    return ok & (ids >= 0) & (ids < oi)
 
 
-def _gather_refs(plane, xs, ys, at, al, ac, w, h, bd):
-    """Batched reference construction for B blocks of (w, h) at
-    (xs, ys) in ``plane``: raw gather + availability-masked
-    substitution + MDIS smoothing (xFillReferenceSamples +
-    xFilterReferenceSamples, batched)."""
-    hh, ww = plane.shape
-    t_rows = jnp.clip(ys - 1, 0, hh - 1)[:, None]
-    t_cols = jnp.clip(xs[:, None] + jnp.arange(2 * w)[None, :], 0, ww - 1)
-    top_raw = plane[jnp.broadcast_to(t_rows, t_cols.shape), t_cols]
-    l_rows = jnp.clip(ys[:, None] + jnp.arange(2 * h)[None, :], 0, hh - 1)
-    l_cols = jnp.clip(xs - 1, 0, ww - 1)[:, None]
-    left_raw = plane[l_rows, jnp.broadcast_to(l_cols, l_rows.shape)]
-    corner_raw = plane[jnp.clip(ys - 1, 0, hh - 1), jnp.clip(xs - 1, 0, ww - 1)]
-    top, left = fill_reference_samples(
-        top_raw.astype(jnp.int32), left_raw.astype(jnp.int32),
-        at, al, ac, corner_raw.astype(jnp.int32), bit_depth=bd)
-    top_f, left_f = filter_reference_samples(top, left)
-    return top, left, top_f, left_f
+def _gather_plane(plane, fi, rows, cols):
+    return plane[fi, jnp.clip(rows, 0, plane.shape[1] - 1),
+                 jnp.clip(cols, 0, plane.shape[2] - 1)]
 
 
-def _tq_zero(orgs, pred, w, h, qp, bd, lam, dw, rd_quant):
+def _refs_generic(plane, og4, fi, oi, xs, ys, ws, hs, P, scale, bd):
+    """Reference rows for B blocks at (xs, ys) size (ws, hs) in
+    ``plane`` coords; og4 maps plane coords -> coding-order ids at the
+    4-sample map grid of the LUMA plane (scale 2 for chroma)."""
+    H, W = plane.shape[1], plane.shape[2]
+    j2 = np.arange(2 * P)
+    # top row y-1, x..x+2P-1
+    t_ok = ((xs[:, None] + j2) < W) & (ys[:, None] > 0) \
+        & (j2[None, :] < 2 * ws[:, None])
+    at = _avail_from_order(og4, fi[:, None], oi[:, None],
+                           (xs[:, None] + j2) * scale // 4,
+                           jnp.maximum(ys[:, None] - 1, 0) * scale // 4,
+                           t_ok)
+    top_raw = _gather_plane(plane, fi[:, None], ys[:, None] - 1,
+                            xs[:, None] + j2)
+    # left col x-1, y..y+2P-1
+    l_ok = ((ys[:, None] + j2) < H) & (xs[:, None] > 0) \
+        & (j2[None, :] < 2 * hs[:, None])
+    al = _avail_from_order(og4, fi[:, None], oi[:, None],
+                           jnp.maximum(xs[:, None] - 1, 0) * scale // 4,
+                           (ys[:, None] + j2) * scale // 4,
+                           l_ok)
+    left_raw = _gather_plane(plane, fi[:, None], ys[:, None] + j2,
+                             xs[:, None] - 1)
+    c_ok = (xs > 0) & (ys > 0)
+    ac = _avail_from_order(og4, fi, oi,
+                           jnp.maximum(xs - 1, 0) * scale // 4,
+                           jnp.maximum(ys - 1, 0) * scale // 4, c_ok)
+    corner = _gather_plane(plane, fi, ys - 1, xs - 1)
+    tu, lu = fill_reference_samples(top_raw.astype(jnp.int32),
+                                    left_raw.astype(jnp.int32),
+                                    at, al, ac, corner.astype(jnp.int32),
+                                    bit_depth=bd)
+    tf, lf = filter_reference_samples_generic(tu, lu, ws, hs)
+    return tu, lu, tf, lf
+
+
+def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside):
     """Fused transform->quant->(RD zeroing)->dequant->inverse roundtrip
     with the zero-TU candidate competing (cost = dw*SSE + lam*bits)."""
-    resid = orgs - pred
-    coef = forward_transform(resid, DCT2, DCT2, bit_depth=bd)
-    lev = quantize(coef, w=w, h=h, qp=qp, bit_depth=bd)
+    resid = (orgs - pred) * inside
+    coef = forward_transform_generic(resid, ws, hs, bit_depth=bd)
+    lev = quantize_generic(coef, ws, hs, qp, bit_depth=bd)
     if rd_quant:
-        lev = _rd_cleanup(lev, coef, w, h, qp, bd, lam)
-    deq = dequantize(lev, w=w, h=h, qp=qp, bit_depth=bd)
-    rr = inverse_transform(deq, DCT2, DCT2, bit_depth=bd)
-    err = (rr - resid).astype(jnp.float32)
-    cost_code = dw * (err * err).sum(axis=(-1, -2)) \
-        + lam * _bits_proxy(lev)
+        lev = rd_cleanup_generic(lev, coef, ws, hs, qp, lam, bit_depth=bd)
+    deq = dequantize_generic(lev, ws, hs, qp, bit_depth=bd)
+    rr = inverse_transform_generic(deq, ws, hs, bit_depth=bd)
+    err = ((rr - resid) * inside).astype(jnp.float32)
+    cost_code = dw * (err * err).sum(axis=(-1, -2)) + lam * _bits_proxy(lev)
     rz = resid.astype(jnp.float32)
     cost_zero = dw * (rz * rz).sum(axis=(-1, -2)) + lam * 2.0
     zero = cost_zero <= cost_code
@@ -138,66 +149,91 @@ def _tq_zero(orgs, pred, w, h, qp, bd, lam, dw, rd_quant):
 
 
 @functools.cache
-def _wave_step(w, h, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
+def _wave_step(P, bsz, F, H, W, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                mesh=None):
-    """One jitted wave step for a (w, h) size bucket of ``bsz`` CUs:
-    luma RMD + TQ + chroma DM + TQ + recon scatter.  Donates the recon
-    planes so the buffers stay device-resident across waves.
+    """One jitted wave step for the P-pad tile class: luma 67-mode RMD +
+    TQ + chroma DM + TQ + scatter into device-resident result planes.
+    All per-CU geometry comes from one packed schedule array, indexed by
+    a donated device counter — the wave loop transfers nothing."""
+    Pc = P // 2
+    modes67 = np.broadcast_to(np.arange(67, dtype=np.int32), (bsz, 67))
 
-    ``mesh``: optional 1-D device mesh — per-CU arrays are sharded over
-    its ``dp`` axis (parallel/wavefront_dp.py), planes replicated;
-    integer math keeps sharded and single-device bitstreams identical."""
-    modes = tuple(range(67))
-    cw, chh = w // 2, h // 2
-
-    def f(ry, ru, rv, oy, ou, ov, xs, ys, at, al, ac, cat, cal, cac,
-          s_ok):
-        # ---- luma: refs -> 67-mode pred -> SATD argmin ----
-        refs = _gather_refs(ry, xs, ys, at, al, ac, w, h, bd)
-        preds = predict_block(*refs, w=w, h=h, modes=modes, is_luma=True,
-                              bit_depth=bd)                  # (B, 67, h, w)
-        o_rows = ys[:, None, None] + jnp.arange(h)[None, :, None]
-        o_cols = xs[:, None, None] + jnp.arange(w)[None, None, :]
-        orgs = oy[o_rows, o_cols]
-        costs = satd_kernel(orgs[:, None], preds, bit_depth=bd)
-        best = jnp.argmin(costs, axis=1)                     # (B,)
-        pred = jnp.take_along_axis(
-            preds, best[:, None, None, None], axis=1)[:, 0]
-        lev_y, rec_y = _tq_zero(orgs, pred, w, h, qp_y, bd, lam, 1.0,
-                                rd_quant)
-        # invalid (padding) CUs: push the scatter row genuinely out of
-        # bounds — negative indices would WRAP to the last row
-        oob = 1 << 24
-        sr = jnp.where(s_ok[:, None, None], o_rows, oob)
-        ry = ry.at[sr, o_cols].set(rec_y, mode="drop")
+    def f(ry, ru, rv, cY, cU, cV, mg, cnt, oy, ou, ov, og4, sched):
+        row = jax.lax.dynamic_index_in_dim(sched, cnt, 0, keepdims=False)
+        fi, xs, ys, ws, hs, oi, okv = [row[:, k] for k in range(7)]
+        ok = okv > 0
+        # ---- luma ----
+        refs = _refs_generic(ry, og4, fi, oi, xs, ys, ws, hs, P, 1, bd)
+        preds = predict_generic(*refs, modes67,
+                                ws, hs, pad=P, is_luma=True, bit_depth=bd)
+        dy = np.arange(P)
+        o_rows = ys[:, None, None] + dy[None, :, None]
+        o_cols = xs[:, None, None] + dy[None, None, :]
+        orgs = _gather_plane(oy, fi[:, None, None], o_rows, o_cols)
+        costs = satd_generic(orgs[:, None], preds, ws, hs)
+        best = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        pred = jnp.take_along_axis(preds, best[:, None, None, None],
+                                   axis=1)[:, 0]
+        inside = ((dy[None, :, None] < hs[:, None, None])
+                  & (dy[None, None, :] < ws[:, None, None]))
+        lev_y, rec_y = _tq_generic(orgs, pred, ws, hs, qp_y, bd, lam, 1.0,
+                                   rd_quant, inside)
+        okm = ok[:, None, None] & inside
+        srows = jnp.where(okm, o_rows, _OOB)
+        fi3 = fi[:, None, None]
+        ry = ry.at[fi3, srows, o_cols].set(rec_y, mode="drop")
+        cY = cY.at[fi3, srows, o_cols].set(lev_y.astype(jnp.int16),
+                                           mode="drop")
+        d4 = np.arange(P // 4)
+        m_rows = ys[:, None, None] // 4 + d4[None, :, None]
+        m_cols = xs[:, None, None] // 4 + d4[None, None, :]
+        m_ok = ok[:, None, None] & (d4[None, :, None] < hs[:, None, None] // 4) \
+            & (d4[None, None, :] < ws[:, None, None] // 4)
+        mg = mg.at[fi3, jnp.where(m_ok, m_rows, _OOB), m_cols].set(
+            jnp.broadcast_to(best[:, None, None].astype(jnp.uint8),
+                             m_rows.shape), mode="drop")
 
         # ---- chroma: DM mode at half res ----
-        cxs, cys = xs // 2, ys // 2
-        co_rows = cys[:, None, None] + jnp.arange(chh)[None, :, None]
-        co_cols = cxs[:, None, None] + jnp.arange(cw)[None, None, :]
-        csr = jnp.where(s_ok[:, None, None], co_rows, 1 << 24)
-        out_c = []
-        for plane, org_p in ((ru, ou), (rv, ov)):
-            crefs = _gather_refs(plane, cxs, cys, cat, cal, cac,
-                                 cw, chh, bd)
-            cpreds = predict_block(*crefs, w=cw, h=chh, modes=modes,
-                                   is_luma=False, bit_depth=bd)
-            cpred = jnp.take_along_axis(
-                cpreds, best[:, None, None, None], axis=1)[:, 0]
-            corgs = org_p[co_rows, co_cols]
-            lev_c, rec_c = _tq_zero(corgs, cpred, cw, chh, qp_c, bd, lam,
-                                    dw_c, rd_quant)
-            plane = plane.at[csr, co_cols].set(rec_c, mode="drop")
-            out_c.append((plane, lev_c))
-        (ru, lev_u), (rv, lev_v) = out_c
-        return ry, ru, rv, best, lev_y, lev_u, lev_v
+        cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
+        dc_ = np.arange(Pc)
+        co_rows = cys[:, None, None] + dc_[None, :, None]
+        co_cols = cxs[:, None, None] + dc_[None, None, :]
+        c_in = ((dc_[None, :, None] < chs[:, None, None])
+                & (dc_[None, None, :] < cws[:, None, None]))
+        c_ok = ok[:, None, None] & c_in
+        csr = jnp.where(c_ok, co_rows, _OOB)
+        out = []
+        for plane, org_p, lv_p in ((ru, ou, cU), (rv, ov, cV)):
+            crefs = _refs_generic(plane, og4, fi, oi, cxs, cys, cws, chs,
+                                  Pc, 2, bd)
+            cpred = predict_generic(*crefs, best[:, None], cws, chs,
+                                    pad=Pc, is_luma=False,
+                                    bit_depth=bd)[:, 0]
+            corgs = _gather_plane(org_p, fi[:, None, None], co_rows, co_cols)
+            lev_c, rec_c = _tq_generic(corgs, cpred, cws, chs, qp_c, bd,
+                                       lam, dw_c, rd_quant, c_in)
+            plane = plane.at[fi3, csr, co_cols].set(rec_c, mode="drop")
+            lv_p = lv_p.at[fi3, csr, co_cols].set(lev_c.astype(jnp.int16),
+                                                  mode="drop")
+            out.append((plane, lv_p))
+        (ru, cU), (rv, cV) = out
+        return ry, ru, rv, cY, cU, cV, mg, cnt + 1
 
+    donate = tuple(range(8))   # state planes + counter
     if mesh is not None:
-        from ..parallel.wavefront_dp import cu_batch_shardings
-        ins, outs = cu_batch_shardings(mesh)
-        return jax.jit(f, donate_argnums=(0, 1, 2), in_shardings=ins,
+        from ..parallel.wavefront_dp import wave_step_shardings
+        ins, outs = wave_step_shardings(mesh)
+        return jax.jit(f, donate_argnums=donate, in_shardings=ins,
                        out_shardings=outs)
-    return jax.jit(f, donate_argnums=(0, 1, 2))
+    return jax.jit(f, donate_argnums=donate)
+
+
+@functools.cache
+def _pack_fn(mesh=None):
+    def pack(ry, ru, rv, cY, cU, cV, mg):
+        return (ry.astype(jnp.uint16), ru.astype(jnp.uint16),
+                rv.astype(jnp.uint16), cY, cU, cV, mg)
+    return jax.jit(pack)
 
 
 # ---------------------------------------------------------------------------
@@ -238,39 +274,6 @@ def _schedule_waves(leaves, order, width, height):
     return wave
 
 
-def _avail_masks(order, i, x, y, w, h, scale, width, height):
-    """(avail_top (2w,), avail_left (2h,), avail_corner) for block
-    (x, y, w, h) in plane coords at ``scale``, per coding order:
-    a sample is available iff its covering leaf precedes leaf i."""
-    fw, fh = width // scale, height // scale
-    r4, c4 = order.shape
-
-    def run(px0, py, n, horizontal):
-        out = np.zeros(n, bool)
-        if horizontal:
-            if not (0 <= py < fh):
-                return out
-            xs = np.arange(px0, px0 + n)
-            ok = (xs >= 0) & (xs < fw)
-            cs = np.clip(xs * scale // 4, 0, c4 - 1)
-            ids = order[py * scale // 4, cs[ok]]
-            out[ok] = (ids >= 0) & (ids < i)
-        else:
-            if not (0 <= px0 < fw):
-                return out
-            ys = np.arange(py, py + n)
-            ok = (ys >= 0) & (ys < fh)
-            rs = np.clip(ys * scale // 4, 0, r4 - 1)
-            ids = order[rs[ok], px0 * scale // 4]
-            out[ok] = (ids >= 0) & (ids < i)
-        return out
-
-    at = run(x, y - 1, 2 * w, True)
-    al = run(x - 1, y, 2 * h, False)
-    ac = run(x - 1, y - 1, 1, True)[0]
-    return at, al, ac
-
-
 class WavefrontEncoder(FrameEncoder):
     """FrameEncoder with the CU compute lifted onto the device as
     batched wavefronts.  Conformance-equivalent streams (decodable by
@@ -281,10 +284,17 @@ class WavefrontEncoder(FrameEncoder):
                     "isp", "cclm", "joint_cbcr", "lmcs", "dep_quant",
                     "sign_hiding")
 
-    def __init__(self, cfg, *, mesh=None, **kw):
+    def __init__(self, cfg, *, mesh=None, batch=None, **kw):
         kw.setdefault("mode_select", "satd")
         super().__init__(cfg, **kw)
         self.mesh = mesh          # optional dp mesh for CU-batch sharding
+        self.batch = dict(DEFAULT_BATCH)
+        if batch:
+            self.batch.update(batch)
+        if mesh is not None:
+            nd = mesh.size
+            for p in self.batch:
+                self.batch[p] = ((self.batch[p] + nd - 1) // nd) * nd
         bad = [f for f in self._UNSUPPORTED if getattr(cfg, f)]
         if bad:
             raise NotImplementedError(
@@ -335,85 +345,93 @@ class WavefrontEncoder(FrameEncoder):
 
     # ---- phase B: batched device waves ----------------------------------
 
-    def _batched_pass(self, leaves, y_cod, u, v):
+    def _qps(self):
         cfg = self.cfg
-        bd = cfg.bit_depth
         qp_y = cfg.qp + self.qp_bd_offset
         qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
         qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
             + cfg.chroma_qp_offset
         qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
+        return qp_y, qp_c
 
-        order = _order_grid(leaves, cfg.width, cfg.height)
-        wave = _schedule_waves(leaves, order, cfg.width, cfg.height)
-        n_waves = int(wave.max()) + 1 if len(leaves) else 0
+    def _batched_pass(self, frames):
+        """frames: list of (leaves, y, u, v).  Encodes all frames' waves
+        together; returns per-frame packed result planes."""
+        cfg = self.cfg
+        bd = cfg.bit_depth
+        qp_y, qp_c = self._qps()
+        F = len(frames)
+        H, W = cfg.height, cfg.width
 
-        ry = jnp.zeros((cfg.height, cfg.width), jnp.int32)
-        ru = jnp.zeros((cfg.height // 2, cfg.width // 2), jnp.int32)
+        ogs, entries = [], []
+        for f, (leaves, *_d) in enumerate(frames):
+            order = _order_grid(leaves, W, H)
+            wave = _schedule_waves(leaves, order, W, H)
+            ogs.append(order)
+            for i, (x, y, w, h, _) in enumerate(leaves):
+                p = 32 if max(w, h) <= 32 else 64
+                entries.append((int(wave[i]), p, f, x, y, w, h, i))
+
+        # segment packing: per (level, class), chunks of the class batch
+        entries.sort(key=lambda e: (e[0], e[1]))
+        seg_rows = {p: [] for p in TILE_CLASSES}
+        seq = []                    # (class, row index) in execution order
+        key = None
+        for e in entries:
+            lvl, p = e[0], e[1]
+            if key != (lvl, p) or len(seg_rows[p][-1]) >= self.batch[p]:
+                seg_rows[p].append([])
+                seq.append((p, len(seg_rows[p]) - 1))
+                key = (lvl, p)
+            seg_rows[p][-1].append(e)
+
+        scheds = {}
+        for p, rows in seg_rows.items():
+            B = self.batch[p]
+            arr = np.zeros((max(len(rows), 1), B, 7), np.int32)
+            for s, row in enumerate(rows):
+                for k, (_l, _p, f, x, y, w, h, i) in enumerate(row):
+                    arr[s, k] = (f, x, y, w, h, i, 1)
+            scheds[p] = jnp.asarray(arr)
+
+        oy = jnp.asarray(np.stack([np.asarray(fr[1], np.int32)
+                                   for fr in frames]))
+        ou = jnp.asarray(np.stack([np.asarray(fr[2], np.int32)
+                                   for fr in frames]))
+        ov = jnp.asarray(np.stack([np.asarray(fr[3], np.int32)
+                                   for fr in frames]))
+        og4 = jnp.asarray(np.stack(ogs))
+        ry = jnp.zeros((F, H, W), jnp.int32)
+        ru = jnp.zeros((F, H // 2, W // 2), jnp.int32)
         rv = jnp.zeros_like(ru)
-        oy = jnp.asarray(y_cod, jnp.int32)
-        ou = jnp.asarray(u, jnp.int32)
-        ov = jnp.asarray(v, jnp.int32)
+        cY = jnp.zeros((F, H, W), jnp.int16)
+        cU = jnp.zeros((F, H // 2, W // 2), jnp.int16)
+        cV = jnp.zeros_like(cU)
+        mg = jnp.zeros((F, H // 4, W // 4), jnp.uint8)
+        state = (ry, ru, rv, cY, cU, cV, mg)
+        cnts = {p: jnp.zeros((), jnp.int32) for p in TILE_CLASSES}
 
-        pending = []      # (leaf index list, device outputs)
-        for wv in range(n_waves):
-            buckets = {}
-            for i in np.nonzero(wave == wv)[0]:
-                x, y, w, h, _ = leaves[i]
-                buckets.setdefault((w, h), []).append(int(i))
-            for (w, h), idxs in sorted(buckets.items()):
-                n = len(idxs)
-                bsz = 1 << (n - 1).bit_length() if n > 1 else 1
-                if self.mesh is not None:
-                    nd = self.mesh.size
-                    bsz = max(bsz, nd)
-                    bsz = ((bsz + nd - 1) // nd) * nd
-                xs = np.zeros(bsz, np.int32)
-                ys = np.zeros(bsz, np.int32)
-                s_ok = np.zeros(bsz, bool)
-                at = np.zeros((bsz, 2 * w), bool)
-                al = np.zeros((bsz, 2 * h), bool)
-                ac = np.zeros(bsz, bool)
-                cat = np.zeros((bsz, w), bool)
-                cal = np.zeros((bsz, h), bool)
-                cac = np.zeros(bsz, bool)
-                for k, i in enumerate(idxs):
-                    x, y, _, _, _ = leaves[i]
-                    xs[k], ys[k], s_ok[k] = x, y, True
-                    at[k], al[k], ac[k] = _avail_masks(
-                        order, i, x, y, w, h, 1, cfg.width, cfg.height)
-                    cat[k], cal[k], cac[k] = _avail_masks(
-                        order, i, x // 2, y // 2, w // 2, h // 2, 2,
-                        cfg.width, cfg.height)
-                step = _wave_step(w, h, bsz, qp_y, qp_c, bd,
-                                  float(self.lam), float(self.dw_c),
-                                  bool(cfg.rd_quant), mesh=self.mesh)
-                ry, ru, rv, best, ly, lu, lv = step(
-                    ry, ru, rv, oy, ou, ov,
-                    jnp.asarray(xs), jnp.asarray(ys),
-                    jnp.asarray(at), jnp.asarray(al), jnp.asarray(ac),
-                    jnp.asarray(cat), jnp.asarray(cal), jnp.asarray(cac),
-                    jnp.asarray(s_ok))
-                pending.append((idxs, best, ly, lu, lv))
-
-        fetched = jax.device_get([p[1:] for p in pending])
-        pre = {}
-        for (idxs, *_), (best, ly, lu, lv) in zip(pending, fetched):
-            for k, i in enumerate(idxs):
-                x, y, w, h, _ = leaves[i]
-                pre[(x, y, w, h)] = (int(best[k]),
-                                     np.asarray(ly[k], np.int32),
-                                     np.asarray(lu[k], np.int32),
-                                     np.asarray(lv[k], np.int32))
-        final = jax.device_get((ry, ru, rv))
-        return pre, tuple(np.asarray(p, np.int32) for p in final)
+        steps = {p: _wave_step(p, self.batch[p], F, H, W, qp_y, qp_c, bd,
+                               float(self.lam), float(self.dw_c),
+                               bool(cfg.rd_quant), mesh=self.mesh)
+                 for p in TILE_CLASSES}
+        for p, _row in seq:
+            *state, cnts[p] = steps[p](*state, cnts[p], oy, ou, ov, og4,
+                                       scheds[p])
+        packed = _pack_fn(self.mesh)(*state)
+        return jax.device_get(packed)
 
     # ---- phase C: CABAC replay ------------------------------------------
 
     def _encode_cu(self, enc, rc, org_y, org_u, org_v, cu: CuInfo):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
-        mode, lev_y, lev_u, lev_v = self._pre[(x, y, w, h)]
-        cu.mode = mode
+        f = self._cur_frame
+        ry, ru, rv, cY, cU, cV, mg = self._dev_result
+        cu.mode = int(mg[f, y // 4, x // 4])
+        lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
+        lev_v = cV[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
         cbf_y = bool(lev_y.any())
         cbf_u = bool(lev_u.any())
         cbf_v = bool(lev_v.any())
@@ -431,11 +449,11 @@ class WavefrontEncoder(FrameEncoder):
         if cbf_v:
             rc.code(lev_v, is_luma=False)
 
-        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
-        fy, fu, fv = self._final
-        self.recon_y[y:y + h, x:x + w] = fy[y:y + h, x:x + w]
-        self.recon_u[cy:cy + chh, cx:cx + cw] = fu[cy:cy + chh, cx:cx + cw]
-        self.recon_v[cy:cy + chh, cx:cx + cw] = fv[cy:cy + chh, cx:cx + cw]
+        self.recon_y[y:y + h, x:x + w] = ry[f, y:y + h, x:x + w]
+        self.recon_u[cy:cy + chh, cx:cx + cw] = ru[f, cy:cy + chh,
+                                                   cx:cx + cw]
+        self.recon_v[cy:cy + chh, cx:cx + cw] = rv[f, cy:cy + chh,
+                                                   cx:cx + cw]
         r, c = y // 4, x // 4
         self.coded[r:r + h // 4, c:c + w // 4] = True
         self.unit_mode[r:r + h // 4, c:c + w // 4] = cu.mode
@@ -447,23 +465,40 @@ class WavefrontEncoder(FrameEncoder):
 
     # ---- driver ----------------------------------------------------------
 
+    def _decider(self, qt_map, maps):
+        if maps is not None:
+            return self._map_decider(*maps)
+        qm = qt_map if qt_map is not None else \
+            np.ones((self.cfg.height // 8, self.cfg.width // 8), np.int32)
+        return self._qt_map_decider(qm)
+
+    def encode_frames(self, frames, qt_map=None, maps=None,
+                      chroma_maps=None, poc0: int = 0):
+        """Encode a batch of (y, u, v) frames in one device pass.
+
+        Returns a list of (bitstream_bytes, recon) — one per frame; the
+        caller concatenates payloads after the parameter sets."""
+        decide = self._decider(qt_map, maps)
+        packed = [(self._collect_leaves(decide), y, u, v)
+                  for (y, u, v) in frames]
+        self._dev_result = self._batched_pass(packed)
+        out = []
+        for f, (y, u, v) in enumerate(frames):
+            self._cur_frame = f
+            out.append(super().encode_frame(
+                y, u, v, qt_map=qt_map, maps=maps, chroma_maps=chroma_maps,
+                poc=poc0 + f))
+        return out
+
     def encode_frame(self, y, u, v, qt_map=None, maps=None,
                      chroma_maps=None, poc: int = 0,
                      collect_bin_stats: bool = False, rdo: bool = False):
         if rdo:
             raise NotImplementedError("wavefront path is map-driven only")
-        cfg = self.cfg
-        if maps is not None:
-            decide = self._map_decider(*maps)
-        else:
-            qm = qt_map if qt_map is not None else \
-                np.ones((cfg.height // 8, cfg.width // 8), np.int32)
-            decide = self._qt_map_decider(qm)
+        decide = self._decider(qt_map, maps)
         leaves = self._collect_leaves(decide)
-        y_orig = np.asarray(y, np.int32)
-        self._pre, self._final = self._batched_pass(
-            leaves, y_orig, np.asarray(u, np.int32),
-            np.asarray(v, np.int32))
+        self._dev_result = self._batched_pass([(leaves, y, u, v)])
+        self._cur_frame = 0
         return super().encode_frame(
             y, u, v, qt_map=qt_map, maps=maps, chroma_maps=chroma_maps,
             poc=poc, collect_bin_stats=collect_bin_stats)

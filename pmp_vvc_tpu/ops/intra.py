@@ -152,7 +152,7 @@ def fill_reference_samples(top_raw, left_raw, avail_top, avail_left,
     scan_avail = jnp.concatenate(
         [avail_left[:, ::-1], avail_corner[:, None], avail_top], axis=1)
     L = h2 + 1 + w2
-    idx = jnp.arange(L)[None, :]
+    idx = np.arange(L)[None, :]
     # last available index at or before i (-1 if none)
     masked = jnp.where(scan_avail, idx, -1)
     last = jax.lax.cummax(masked, axis=1)

@@ -80,7 +80,7 @@ def filter_reference_samples_generic(top, left, w, h):
     def one(row, n_real):
         mid = (row[:, :-2] + 2 * row[:, 1:-1] + row[:, 2:] + 2) >> 2
         out = jnp.concatenate([corner[:, None], mid], axis=1)
-        idx = jnp.arange(row.shape[1] - 1)[None, :]
+        idx = np.arange(row.shape[1] - 1)[None, :]
         out = jnp.where(idx >= n_real[:, None], row[:, :-1], out)
         return jnp.concatenate([out, row[:, -1:]], axis=1)
 
@@ -94,8 +94,8 @@ def _planar_dc(top_u, left_u, top_f, left_f, w, h, pad, is_luma,
     iw, ih = _li(w), _li(h)
     lw, lh = iw + 1, ih + 1
     base = (iw * 6 + ih) * 67
-    use_f = jnp.take(jnp.asarray(tabs["use_filt"]), base + 0) > 0
-    pdpc_ok = jnp.take(jnp.asarray(tabs["pdpc"]), base + 0) > 0
+    use_f = jnp.take(tabs["use_filt"], base + 0) > 0
+    pdpc_ok = jnp.take(tabs["pdpc"], base + 0) > 0
 
     tp = jnp.where(use_f[:, None], top_f, top_u).astype(jnp.int32)
     lp = jnp.where(use_f[:, None], left_f, left_u).astype(jnp.int32)
@@ -103,8 +103,8 @@ def _planar_dc(top_u, left_u, top_f, left_f, w, h, pad, is_luma,
     l = lp[:, 1:P + 2]
     top_right = jnp.take_along_axis(t, w[:, None], axis=1)      # (B,1)
     bottom_left = jnp.take_along_axis(l, h[:, None], axis=1)
-    xs = jnp.arange(P)
-    ys = jnp.arange(P)
+    xs = np.arange(P)
+    ys = np.arange(P)
     hor = jnp.left_shift(l[:, :P, None], lw[:, None, None]) + \
         (xs[None, None, :] + 1) * (top_right[:, :, None] - l[:, :P, None])
     ver = jnp.left_shift(t[:, None, :P], lh[:, None, None]) + \
@@ -156,7 +156,7 @@ def predict_generic(top_u, left_u, top_f, left_f, modes, w, h, *,
     modes = jnp.clip(modes, 0, 66)
     iw, ih = _li(w), _li(h)
     flat = ((iw * 6 + ih)[:, None]) * 67 + modes                  # (B,M)
-    gat = lambda k: jnp.take(jnp.asarray(tabs[k]), flat)
+    gat = lambda k: jnp.take(tabs[k], flat)
     angle = gat("angle")
     inv_angle = gat("inv_angle")
     is_ver = gat("is_ver") > 0
@@ -184,28 +184,28 @@ def predict_generic(top_u, left_u, top_f, left_f, modes, w, h, *,
 
     # negative-angle extension: ref[off - k] = side[min((k*invAngle+256)>>9, hp)]
     ps = np.arange(P)
-    j = jnp.asarray(P - ps)[None, None, :]                        # (B,M,P)
+    j = (P - ps)[None, None, :]                        # (B,M,P)
     proj = jnp.minimum((j * inv_angle[:, :, None] + 256) >> 9, hp[:, :, None])
     neg = jnp.take_along_axis(side, jnp.clip(proj, 0, L - 1), axis=2)
     ref = jnp.concatenate([neg, main], axis=2)                    # (B,M,P+L)
     ltot = P + L
     off = P
 
-    ys = jnp.asarray(ps)
+    ys = ps
     delta_pos = angle[:, :, None] * (1 + ys)[None, None, :]       # (B,M,P)
     delta_int = delta_pos >> 5
     delta_frac = delta_pos & 31
     if is_luma:
         half = delta_frac >> 1
         g = jnp.stack([16 - half, 32 - half, 16 + half, half], axis=-1)
-        c = jnp.take(jnp.asarray(CHROMA_FILTER), delta_frac, axis=0)
+        c = jnp.take(CHROMA_FILTER, delta_frac, axis=0)
         fs = jnp.where(gauss[:, :, None, None], g, c)             # (B,M,P,4)
     else:
         zf = jnp.zeros_like(delta_frac)
         fs = jnp.stack([zf, 64 - 2 * delta_frac, 2 * delta_frac, zf],
                        axis=-1)
 
-    xs = jnp.asarray(ps)
+    xs = ps
     base = off + delta_int[:, :, :, None] + xs[None, None, None, :]
     acc = jnp.zeros((B, M, P, P), jnp.int32)
     for k in range(4):

@@ -53,11 +53,11 @@ def dct2_matrices(n, pad):
     """(B, pad, pad) int32 DCT-2 matrices for per-CU sizes ``n`` (data),
     rows >= zero-out limit and columns >= n zeroed."""
     ln = _log2(n)
-    d = jnp.asarray(_dct2_64()[:, :pad])              # (64, pad)
-    rows = jnp.arange(pad)[None, :] << (6 - ln)[:, None]      # (B, pad)
+    d = _dct2_64()[:, :pad]                           # (64, pad)
+    rows = np.arange(pad)[None, :] << (6 - ln)[:, None]       # (B, pad)
     t = jnp.take(d, jnp.clip(rows, 0, 63), axis=0)    # (B, pad, pad)
     keep = jnp.minimum(n, 32)                          # zero-out rule
-    i = jnp.arange(pad)
+    i = np.arange(pad)
     mask = (i[None, :, None] < keep[:, None, None]) & \
         (i[None, None, :] < n[:, None, None])
     return jnp.where(mask, t, 0)
@@ -102,7 +102,7 @@ def _geom_v(w, h, bit_depth):
 def quantize_generic(coef, w, h, qp: int, *, bit_depth: int = 10,
                      is_irap: bool = True):
     t_shift, sqrt2 = _geom_v(w, h, bit_depth)
-    scale = jnp.take(jnp.asarray(QUANT_SCALES[:, qp % 6]), sqrt2)
+    scale = jnp.take(QUANT_SCALES[:, qp % 6], sqrt2)
     q_bits = QUANT_SHIFT + qp // 6 + (t_shift - sqrt2)
     dz = 171 if is_irap else 85
     add = dz << (q_bits - 9)
@@ -115,8 +115,7 @@ def quantize_generic(coef, w, h, qp: int, *, bit_depth: int = 10,
 
 def dequantize_generic(level, w, h, qp: int, *, bit_depth: int = 10):
     t_shift, sqrt2 = _geom_v(w, h, bit_depth)
-    scale = jnp.take(jnp.asarray(INV_QUANT_SCALES[:, qp % 6]),
-                     sqrt2)[:, None, None]
+    scale = jnp.take(INV_QUANT_SCALES[:, qp % 6], sqrt2)[:, None, None]
     rs = (IQUANT_SHIFT - ((t_shift - sqrt2) + qp // 6))[:, None, None]
     lvl = jnp.clip(level.astype(jnp.int32), COEFF_MIN, COEFF_MAX)
     pos = (lvl * scale + (1 << jnp.maximum(rs - 1, 0)) * (rs > 0)) \
@@ -130,7 +129,7 @@ def satd_generic(org, pred, w, h, *, min_dim: int = 4):
     masked to zero so padded tiles contribute nothing.  ``min_dim``:
     static lower bound on CU dims (skips the 2x2 pass when >= 4)."""
     P = org.shape[-1]
-    i = jnp.arange(P)
+    i = np.arange(P)
     inside = (i[None, :, None] < h[:, None, None]) & \
         (i[None, None, :] < w[:, None, None])
     d = (org.astype(jnp.int32) - pred.astype(jnp.int32)) \
@@ -138,7 +137,7 @@ def satd_generic(org, pred, w, h, *, min_dim: int = 4):
 
     def tiles(ts):
         nt = P // ts
-        hh = jnp.asarray(hadamard(ts))
+        hh = hadamard(ts)
         lead = d.shape[:-2]
         v = d.reshape(*lead, nt, ts, nt, ts).astype(jnp.float32)
         coef = jnp.einsum("ij,...ajbk,lk->...abil", hh, v, hh,
@@ -169,8 +168,7 @@ def rd_cleanup_generic(lev, coef, w, h, qp: int, lam: float,
     t_shift, sqrt2 = _geom_v(w, h, bit_depth)
     divisor = jnp.exp2(2.0 * t_shift.astype(jnp.float32)
                        - sqrt2.astype(jnp.float32))
-    iscale = jnp.take(jnp.asarray(INV_QUANT_SCALES[:, qp % 6]),
-                      sqrt2)[:, None, None]
+    iscale = jnp.take(INV_QUANT_SCALES[:, qp % 6], sqrt2)[:, None, None]
     rs = (IQUANT_SHIFT - ((t_shift - sqrt2) + qp // 6))[:, None, None]
     fl = lev.astype(jnp.int32)
     fc = coef.astype(jnp.float32)

@@ -30,19 +30,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(devs, (axis,))
 
 
-def cu_batch_shardings(mesh: Mesh, axis: str = "dp"):
-    """(in_shardings, out_shardings) for wavefront._wave_step's
-    signature: planes/orgs replicated, per-CU arrays sharded on the CU
-    axis; outputs mirror the inputs (planes replicated, levels
-    sharded)."""
+def wave_step_shardings(mesh: Mesh, axis: str = "dp"):
+    """(in_shardings, out_shardings) for wavefront._wave_step's v2
+    signature ``f(ry, ru, rv, cY, cU, cV, mg, cnt, oy, ou, ov, og4,
+    sched)``: every frame plane and the counter replicated, the packed
+    schedule sharded on its per-CU batch axis — XLA partitions the
+    whole wave step (reference gather, substitution, 67-mode intra
+    prediction, SATD argmin, transform/quant roundtrip) over the CU
+    axis and all-gathers only the tiny recon/level scatters, riding
+    ICI.  Integer math keeps sharded and single-device bitstreams
+    identical."""
     rep = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis))
-    ins = (rep, rep, rep,          # recon y/u/v
-           rep, rep, rep,          # org y/u/v
-           shard, shard,           # xs, ys
-           shard, shard, shard,    # luma avail top/left/corner
-           shard, shard, shard,    # chroma avail top/left/corner
-           shard)                  # valid
-    outs = (rep, rep, rep,         # recon planes
-            shard, shard, shard, shard)   # best, lev_y, lev_u, lev_v
+    shard_b = NamedSharding(mesh, P(None, axis))   # sched (S, B, 7)
+    ins = (rep,) * 8 + (rep, rep, rep, rep, shard_b)
+    outs = (rep,) * 8
     return ins, outs
