@@ -254,6 +254,7 @@ class FrameEncoder:
         self.unit_mip = np.zeros((r4, c4), bool)
         self.unit_isp = np.zeros((r4, c4), bool)
         self.n_cclm = 0                   # CUs that chose CCLM
+        self.n_nondm = 0                  # CUs that chose a non-DM chroma mode
         self.n_lfnst = 0                  # CUs that chose LFNST
         self.n_mrl = 0                    # CUs that chose MRL
         self.n_jccr = 0                   # TUs that chose joint Cb-Cr
@@ -423,10 +424,24 @@ class FrameEncoder:
                     mode -= 1
             self._write_trunc_bin(enc, mode, 67 - NUM_MPM)
 
+    @staticmethod
+    def _chroma_cand_list(luma_mode):
+        """Non-DM chroma candidates: {PLANAR, VER, HOR, DC} with the
+        entry equal to the co-located luma (DM) mode replaced by VDIA
+        (PU::getIntraChromaCandModes, UnitTools.cpp)."""
+        cands = [0, 50, 18, 1]
+        for i, m in enumerate(cands):
+            if m == luma_mode:
+                cands[i] = 66
+        return cands
+
     def _write_intra_chroma_mode(self, enc, cclm=False, cclm_allowed=None,
-                                 lm_symbol=0):
+                                 lm_symbol=0, chroma_mode=None,
+                                 luma_mode=0):
         """intra_chroma_pred_mode (CABACWriter.cpp:1258-1276) +
-        intra_chroma_lmc_mode; getLMSymbolList order LM/MDLM_L/MDLM_T."""
+        intra_chroma_lmc_mode; getLMSymbolList order LM/MDLM_L/MDLM_T.
+        ``chroma_mode``: non-DM mode from the 4-candidate list (None =
+        DM); ``luma_mode`` the DM mode for the VDIA replacement."""
         if cclm_allowed is None:
             cclm_allowed = self.cfg.cclm and not self.cfg.dual_tree
         if cclm_allowed:
@@ -437,8 +452,14 @@ class FrameEncoder:
                 if lm_symbol > 0:
                     enc.encode_bin_ep(lm_symbol - 1)
                 return
-        # DM (derived mode): single ctx bin 0
-        enc.encode_bin(0, ctx("IntraChromaPredMode"))
+        if chroma_mode is None:
+            # DM (derived mode): single ctx bin 0
+            enc.encode_bin(0, ctx("IntraChromaPredMode"))
+            return
+        idx = self._chroma_cand_list(luma_mode).index(chroma_mode)
+        enc.encode_bin(1, ctx("IntraChromaPredMode"))
+        enc.encode_bin_ep(idx >> 1)
+        enc.encode_bin_ep(idx & 1)
 
     def _mdlm_ext(self, x, y, w, h, coded):
         """(ext_top, ext_left) extra template lengths in chroma samples
@@ -503,6 +524,102 @@ class FrameEncoder:
             lambda t, l: cclm_ops.mdlm_parameters(
                 True, ds_above_ext, t, at, cfg.bit_depth))))
         return out
+
+    #: RD-trialled shortlist size of the chroma mode search
+    CHROMA_RD_CANDS = 3
+
+    def _choose_chroma(self, cu: CuInfo, x, y, w, h, refs_u, refs_v,
+                       coded, cclm_ok, dm_mode, qp_c, crs,
+                       org_cu, org_cv):
+        """Chroma mode search over the full candidate list — DM, the
+        non-DM {planar, ver, hor, DC} list (VDIA replacement), and the
+        three CCLM/MDLM modes: SATD preselect, then a true-RD trial of
+        the shortlist (IntraSearch::estIntraPredChromaQT,
+        IntraSearch.cpp:1224-1400; shortlist simplification of its
+        full-list RD loop).
+
+        Sets ``cu.cclm`` / ``cu.lm_symbol`` / ``cu.chroma_mode`` and
+        returns the winning ``(pred_u, pred_v)``."""
+        cfg = self.cfg
+        bd = cfg.bit_depth
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        full = self.mode_select != "planar"
+        modes = [dm_mode] + (self._chroma_cand_list(dm_mode)
+                             if full else [])
+        pu_all = np.asarray(_jit_predict(cw, chh, tuple(modes), False,
+                                         bd)(*refs_u))[0]
+        pv_all = np.asarray(_jit_predict(cw, chh, tuple(modes), False,
+                                         bd)(*refs_v))[0]
+        if not full and not cclm_ok:
+            cu.cclm, cu.lm_symbol, cu.chroma_mode = False, 0, None
+            return pu_all[0].astype(np.int32), pv_all[0].astype(np.int32)
+        ou = jnp.asarray(org_cu)[None, None]
+        ov = jnp.asarray(org_cv)[None, None]
+
+        def _satd(o, p):
+            return int(np.asarray(satd_kernel(
+                o, jnp.asarray(p, jnp.int32)[None, None],
+                bit_depth=bd))[0, 0])
+
+        # (satd, kind, payload, pred_u, pred_v); kind 'dm'|'mode'|'cclm'
+        cands = []
+        for i, m in enumerate(modes):
+            pu = pu_all[i].astype(np.int32)
+            pv = pv_all[i].astype(np.int32)
+            cands.append((_satd(ou, pu) + _satd(ov, pv),
+                          "dm" if i == 0 else "mode",
+                          None if i == 0 else m, pu, pv))
+        if cclm_ok:
+            for sym, pu_, pv_ in self._cclm_candidates(
+                    x, y, w, h, refs_u, refs_v, coded):
+                pu = pu_.astype(np.int32)
+                pv = pv_.astype(np.int32)
+                cands.append((_satd(ou, pu) + _satd(ov, pv),
+                              "cclm", sym, pu, pv))
+        cands.sort(key=lambda t: t[0])
+        # fast path (test configs): SATD argmin only, no RD trials
+        short = cands[:self.CHROMA_RD_CANDS] if full else cands[:1]
+        best = None
+        if len(short) > 1:
+            for _c, kind, payload, pu, pv in short:
+                cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
+                    None, org_cu, pu, cx, cy, cw, chh, qp_c, False,
+                    chroma_scale=crs)
+                cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
+                    None, org_cv, pv, cx, cy, cw, chh, qp_c, False,
+                    chroma_scale=crs,
+                    cbf_ctx=("QtCbf2", 1 if cbf_u else 0))
+                est = self.est.clone()
+                f0 = est.frac
+                self._write_intra_chroma_mode(
+                    est, cclm=kind == "cclm", cclm_allowed=cclm_ok,
+                    lm_symbol=payload if kind == "cclm" else 0,
+                    chroma_mode=payload if kind == "mode" else None,
+                    luma_mode=dm_mode)
+                bits = (est.frac - f0) / 32768.0 \
+                    + self._est_tu_bits(lev_u if cbf_u else None,
+                                        ("QtCbf1", 0), False) \
+                    + self._est_tu_bits(lev_v if cbf_v else None,
+                                        ("QtCbf2", 1 if cbf_u else 0),
+                                        False)
+                eu = rec_u.astype(np.int64) - org_cu
+                ev = rec_v.astype(np.int64) - org_cv
+                cost = self.dw_c * float((eu * eu).sum()
+                                         + (ev * ev).sum()) \
+                    + self.lam * bits
+                if best is None or cost < best[0]:
+                    best = (cost, kind, payload, pu, pv)
+        else:
+            best = (0.0, *short[0][1:])
+        _, kind, payload, pu, pv = best
+        cu.cclm = kind == "cclm"
+        cu.lm_symbol = payload if kind == "cclm" else 0
+        cu.chroma_mode = payload if kind == "mode" else None
+        if cu.cclm:
+            self.n_cclm += 1
+        if cu.chroma_mode is not None:
+            self.n_nondm += 1
+        return pu, pv
 
     def _cclm_allowed_dual(self, split_path):
         """checkCCLMAllowed, dual tree, CTU 128 (Unit.cpp:378-443).
@@ -1372,37 +1489,17 @@ class FrameEncoder:
                                       cfg.bit_depth, coded=self.coded_c)
         refs_v = self._refs_for_block(self.recon_v, cx, cy, cw, chh, 2,
                                       cfg.bit_depth, coded=self.coded_c)
-        cpred = _jit_predict(cw, chh, (mode,), False, cfg.bit_depth)
-        pred_u = np.asarray(cpred(*refs_u))[0, 0]
-        pred_v = np.asarray(cpred(*refs_v))[0, 0]
-
         cclm_ok = cfg.cclm and self._cclm_allowed_dual(split_path)
-        if cclm_ok:
-            o_u = self._org_u[cy:cy + chh, cx:cx + cw]
-            o_v = self._org_v[cy:cy + chh, cx:cx + cw]
-
-            def _sc(o, pr):
-                return int(np.asarray(satd_kernel(
-                    jnp.asarray(o)[None, None],
-                    jnp.asarray(pr, jnp.int32)[None, None],
-                    bit_depth=cfg.bit_depth))[0, 0])
-            best = _sc(o_u, pred_u) + _sc(o_v, pred_v)
-            for sym, pu_, pv_ in self._cclm_candidates(
-                    x, y, w, h, refs_u, refs_v, self.coded_c):
-                c = _sc(o_u, pu_) + _sc(o_v, pv_)
-                if c < best:
-                    best = c
-                    cu.cclm = True
-                    cu.lm_symbol = sym
-                    pred_u = pu_.astype(np.int32)
-                    pred_v = pv_.astype(np.int32)
-            if cu.cclm:
-                self.n_cclm += 1
         qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
         qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
             + cfg.chroma_qp_offset
         qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
         crs = self._crs_scale(x, y, cw, chh)
+        pred_u, pred_v = self._choose_chroma(
+            cu, x, y, w, h, refs_u, refs_v, self.coded_c,
+            cclm_ok, mode, qp_c, crs,
+            self._org_u[cy:cy + chh, cx:cx + cw],
+            self._org_v[cy:cy + chh, cx:cx + cw])
         cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
             rc, self._org_u[cy:cy + chh, cx:cx + cw], pred_u,
             cx, cy, cw, chh, qp_c, False, chroma_scale=crs)
@@ -1425,7 +1522,9 @@ class FrameEncoder:
         # chroma-tree CU syntax: intra_chroma_pred_mode, then TU
         self._write_intra_chroma_mode(enc, cclm=cu.cclm,
                                       cclm_allowed=cclm_ok,
-                                      lm_symbol=cu.lm_symbol)
+                                      lm_symbol=cu.lm_symbol,
+                                      chroma_mode=cu.chroma_mode,
+                                      luma_mode=mode)
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
         cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
@@ -1546,37 +1645,13 @@ class FrameEncoder:
                                       cfg.bit_depth)
         refs_v = self._refs_for_block(self.recon_v, cx, cy, cw, chh, 2,
                                       cfg.bit_depth)
-        chroma_mode = cu.mode
-        cpred = _jit_predict(cw, chh, (chroma_mode,), False, cfg.bit_depth)
-        pred_u = np.asarray(cpred(*refs_u))[0, 0]
-        pred_v = np.asarray(cpred(*refs_v))[0, 0]
-
         org_cu = org_u[cy:cy + chh, cx:cx + cw]
         org_cv = org_v[cy:cy + chh, cx:cx + cw]
-        if cfg.cclm and not cfg.dual_tree:
-            def _satd2(o1, p1, o2, p2):
-                return (int(np.asarray(satd_kernel(
-                    jnp.asarray(o1)[None, None],
-                    jnp.asarray(p1, jnp.int32)[None, None],
-                    bit_depth=cfg.bit_depth))[0, 0])
-                    + int(np.asarray(satd_kernel(
-                        jnp.asarray(o2)[None, None],
-                        jnp.asarray(p2, jnp.int32)[None, None],
-                        bit_depth=cfg.bit_depth))[0, 0]))
-            best = _satd2(org_cu, pred_u, org_cv, pred_v)
-            for sym, pu_, pv_ in self._cclm_candidates(
-                    x, y, w, h, refs_u, refs_v, self.coded):
-                c = _satd2(org_cu, pu_, org_cv, pv_)
-                if c < best:
-                    best = c
-                    cu.cclm = True
-                    cu.lm_symbol = sym
-                    pred_u = pu_.astype(np.int32)
-                    pred_v = pv_.astype(np.int32)
-            if cu.cclm:
-                self.n_cclm += 1
-
         crs = self._crs_scale(x, y, cw, chh)
+        pred_u, pred_v = self._choose_chroma(
+            cu, x, y, w, h, refs_u, refs_v, self.coded,
+            cfg.cclm and not cfg.dual_tree, cu.mode, qp_c, crs,
+            org_cu, org_cv)
         cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
             rc, org_cu, pred_u, cx, cy, cw, chh,
             qp_c, False, chroma_scale=crs)
@@ -1642,7 +1717,9 @@ class FrameEncoder:
         # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm
         self._write_intra_luma_mode(enc, cu)
         self._write_intra_chroma_mode(enc, cclm=cu.cclm,
-                                      lm_symbol=cu.lm_symbol)
+                                      lm_symbol=cu.lm_symbol,
+                                      chroma_mode=cu.chroma_mode,
+                                      luma_mode=cu.mode)
         cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
         if isp_trial is not None:
             # ISP transform tree: sub-TUs 0..n-2 luma-only; the last
@@ -1733,7 +1810,7 @@ class FrameEncoder:
              "rv": self.recon_v[cy_:cy_ + chh, cx_:cx_ + cw].copy(),
              "ll": len(self.leaf_l), "lc": len(self.leaf_c),
              "ctr": (self.n_cclm, self.n_lfnst, self.n_mrl, self.n_jccr,
-                     self.n_isp)}
+                     self.n_isp, self.n_nondm)}
         names = self._SNAP_L + (self._SNAP_C if self.cfg.dual_tree else ())
         for name in names:
             d[name] = getattr(self, name)[r:r + nr, c:c + nc].copy()
@@ -1752,7 +1829,7 @@ class FrameEncoder:
         del self.leaf_l[d["ll"]:]
         del self.leaf_c[d["lc"]:]
         (self.n_cclm, self.n_lfnst, self.n_mrl, self.n_jccr,
-         self.n_isp) = d["ctr"]
+         self.n_isp, self.n_nondm) = d["ctr"]
 
     def _capture_post(self, snap):
         """Post-trial state relative to ``snap`` (winner re-application)."""
