@@ -25,7 +25,7 @@ from ..ops import intra as intra_ops
 from ..ops import depquant as dq_ops
 from ..ops import lfnst as lfnst_ops
 from ..ops import mip as mip_ops
-from ..ops.quant import dequantize
+from ..ops.quant import dequantize, dequantize_ts, ts_qp
 from ..ops.transforms import inverse_transform
 from .cabac import BinDecoder, ContextStore
 from .deblock import deblock_frame
@@ -36,7 +36,8 @@ from .hlsparse import Bitstream, SliceInfo, parse_bitstream
 from .lmcs import Reshaper, parse_lmcs_aps, scale_chroma_residual_inv
 from .mtt import SplitState, get_implicit_split, parse_split_cu_mode
 from .partition import Split
-from .residual import ResidualParser, ctx, grouped_scan
+from .residual import (ResidualParser, TSResidualParser, ctx,
+                       grouped_scan)
 from .sao import apply_sao_frame, parse_sao_ctu
 
 import jax.numpy as jnp
@@ -184,10 +185,13 @@ class FrameDecoder(FrameEncoder):
                 cands[i] = 66
         return False, 0, cands[idx]
 
-    def _parse_lfnst_idx(self, cu, comps, sep_tree):
-        """Gate mirror of FrameEncoder._write_lfnst_idx."""
+    def _parse_lfnst_idx(self, cu, comps, sep_tree, ts_used=False):
+        """Gate mirror of FrameEncoder._write_lfnst_idx.
+
+        ``ts_used``: any cbf component coded with transform skip —
+        lfnst_idx is then never coded (isTrSkip, CABACWriter.cpp:2789)."""
         cfg = self.cfg
-        if not cfg.lfnst:
+        if not cfg.lfnst or ts_used:
             return 0
         isp = cu.isp if cu is not None else 0
         if isp and not intra_ops.can_use_lfnst_with_isp(cu.w, cu.h, isp):
@@ -227,6 +231,19 @@ class FrameDecoder(FrameEncoder):
             mts += 1
         return mts
 
+    def _parse_resid(self, w, h, is_luma, isp=0):
+        """ts_flag + residual parse for one TU component
+        (CABACReader::residual_coding entry). Returns
+        (lev, last_pos, violates_mts, ts)."""
+        ts = False
+        if self._ts_allowed(w, h, is_luma, isp):
+            ts = bool(self.dec.decode_bin(
+                ctx("TransformSkipFlag", 0 if is_luma else 1)))
+        if ts:
+            return self.rp_ts.parse(w, h, is_luma=is_luma), -1, False, True
+        lev, last, viol = self.rp.parse(w, h, is_luma=is_luma)
+        return lev, last, viol, False
+
     def _parse_isp_tus(self, cu, before_last_cbf=None, after_last_cbf=None):
         """Mirror of FrameEncoder._write_isp_tus; returns
         [(cbf, lev|None, (sx, sy, sw, sh))]."""
@@ -255,12 +272,17 @@ class FrameDecoder(FrameEncoder):
     # ---- reconstruction ---------------------------------------------------
 
     def _recon_resid(self, lev, w, h, qp, mts_idx=0, lfnst_idx=0,
-                     intra_mode=0, tr_kinds=None):
+                     intra_mode=0, tr_kinds=None, ts=False):
         """Dequant + inverse transforms (decoder half of _tq_roundtrip)."""
-        th, tv = tr_kinds if tr_kinds is not None else self._MTS_TR[mts_idx]
         bd = self.cfg.bit_depth
         if lev is None or not lev.any():
             return np.zeros((h, w), np.int32)
+        if ts:
+            # TS: scalar dequant at the clamped QP, identity transform
+            # (Quant::dequant TS branch + TrQuant::xITransformSkip)
+            return dequantize_ts(
+                lev, ts_qp(qp, self.cfg.internal_minus_input))
+        th, tv = tr_kinds if tr_kinds is not None else self._MTS_TR[mts_idx]
         if self.si.dep_quant:
             scan = grouped_scan(w, h)[:, 0]
             deq = dq_ops.dep_dequant(lev, scan, w=w, h=h, qp=qp,
@@ -354,23 +376,24 @@ class FrameDecoder(FrameEncoder):
                 np.asarray(cpred(*refs_v))[0, 0].astype(np.int32))
 
     def _recon_chroma_pair(self, pred_u, pred_v, lev_u, lev_v,
-                           cbf_u, cbf_v, joint, cw, chh, qp_c, crs):
+                           cbf_u, cbf_v, joint, cw, chh, qp_c, crs,
+                           ts_u=False, ts_v=False):
         bd = self.cfg.bit_depth
         mx = (1 << bd) - 1
 
-        def rr(lev):
-            r = self._recon_resid(lev, cw, chh, qp_c)
+        def rr(lev, ts):
+            r = self._recon_resid(lev, cw, chh, qp_c, ts=ts)
             if crs is not None and lev is not None and lev.any():
                 r = scale_chroma_residual_inv(r, crs, bd)
             return r
 
         if joint:
-            rec_u = np.clip(pred_u + rr(lev_u), 0, mx)
+            rec_u = np.clip(pred_u + rr(lev_u, ts_u), 0, mx)
             dec_res = rec_u.astype(np.int64) - pred_u
             rec_v = np.clip(pred_v - dec_res, 0, mx).astype(rec_u.dtype)
             return rec_u, rec_v
-        rec_u = np.clip(pred_u + (rr(lev_u) if cbf_u else 0), 0, mx)
-        rec_v = np.clip(pred_v + (rr(lev_v) if cbf_v else 0), 0, mx)
+        rec_u = np.clip(pred_u + (rr(lev_u, ts_u) if cbf_u else 0), 0, mx)
+        rec_v = np.clip(pred_v + (rr(lev_v, ts_v) if cbf_v else 0), 0, mx)
         return rec_u, rec_v
 
     def _mark_luma(self, cu: CuInfo):
@@ -403,6 +426,7 @@ class FrameDecoder(FrameEncoder):
         joint = False
         lev_y = lev_u = lev_v = None
         cbf_y = last_pos_y = violates = None
+        ts_y = ts_u = ts_v = False
         if cu.isp:
             st = {}
 
@@ -419,17 +443,20 @@ class FrameDecoder(FrameEncoder):
             subs = self._parse_isp_tus(cu, _chroma_cbfs, _jccr)
             cbf_u, cbf_v, joint = st["u"], st["v"], st.get("j", False)
             if cbf_u:
-                lev_u = rp.parse(cw, chh, is_luma=False)[0]
+                lev_u, _, _, ts_u = self._parse_resid(cw, chh, False)
             if cbf_v and not joint:
-                lev_v = rp.parse(cw, chh, is_luma=False)[0]
+                lev_v, _, _, ts_v = self._parse_resid(cw, chh, False)
             comps = [(sw, sh, lv) for (cbf, lv, (_, _, sw, sh)) in subs
                      if cbf]
-            if cbf_u:
+            if cbf_u and not ts_u:
                 comps.append((cw, chh, lev_u))
-            if cbf_v:
+            if cbf_v and not (ts_v or (joint and ts_u)):
                 comps.append((cw, chh, lev_v if lev_v is not None
                               else lev_u))
-            lfnst_idx = self._parse_lfnst_idx(cu, comps, False)
+            ts_used = (cbf_u and ts_u) or (cbf_v and (ts_v or
+                                                      (joint and ts_u)))
+            lfnst_idx = self._parse_lfnst_idx(cu, comps, False,
+                                              ts_used=ts_used)
             assert lfnst_idx == 0, "encoder never pairs LFNST with ISP"
             mts_idx = 0
         else:
@@ -441,21 +468,25 @@ class FrameDecoder(FrameEncoder):
                 joint = bool(dec.decode_bin(ctx("JointCbCrFlag",
                                                 mask - 1)))
             if cbf_y:
-                lev_y, last_pos_y, violates = rp.parse(w, h, is_luma=True)
+                lev_y, last_pos_y, violates, ts_y = \
+                    self._parse_resid(w, h, True)
             if cbf_u:
-                lev_u = rp.parse(cw, chh, is_luma=False)[0]
+                lev_u, _, _, ts_u = self._parse_resid(cw, chh, False)
             if cbf_v and not joint:
-                lev_v = rp.parse(cw, chh, is_luma=False)[0]
+                lev_v, _, _, ts_v = self._parse_resid(cw, chh, False)
             comps = []
-            if cbf_y:
+            if cbf_y and not ts_y:
                 comps.append((w, h, lev_y))
-            if cbf_u:
+            if cbf_u and not ts_u:
                 comps.append((cw, chh, lev_u))
-            if cbf_v:
+            if cbf_v and not (ts_v or (joint and ts_u)):
                 comps.append((cw, chh, lev_v if not joint else lev_u))
-            lfnst_idx = self._parse_lfnst_idx(cu, comps, False)
+            ts_used = ((cbf_y and ts_y) or (cbf_u and ts_u)
+                       or (cbf_v and (ts_v or (joint and ts_u))))
+            lfnst_idx = self._parse_lfnst_idx(cu, comps, False,
+                                              ts_used=ts_used)
             mts_idx = 0
-            if lfnst_idx == 0:
+            if lfnst_idx == 0 and not ts_y:
                 mts_idx = self._parse_mts_idx(
                     w, h, cbf_y, last_pos_y if cbf_y else -1,
                     violates if cbf_y else False)
@@ -467,7 +498,7 @@ class FrameDecoder(FrameEncoder):
         else:
             pred_y = self._pred_luma(cu)
             rr = self._recon_resid(lev_y, w, h, qp_y, mts_idx, lfnst_idx,
-                                   cu.mode) if cbf_y else 0
+                                   cu.mode, ts=ts_y) if cbf_y else 0
             self.recon_y[y:y + h, x:x + w] = np.clip(
                 pred_y + rr, 0, (1 << cfg.bit_depth) - 1)
 
@@ -476,7 +507,7 @@ class FrameDecoder(FrameEncoder):
         qp_c = self._chroma_qp()
         rec_u, rec_v = self._recon_chroma_pair(
             pred_u, pred_v, lev_u, lev_v, cbf_u, cbf_v, joint,
-            cw, chh, qp_c, crs)
+            cw, chh, qp_c, crs, ts_u=ts_u, ts_v=ts_v)
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
         self._mark_luma(cu)
@@ -498,18 +529,21 @@ class FrameDecoder(FrameEncoder):
         else:
             cbf_y = bool(dec.decode_bin(ctx("QtCbf0", 0)))
             lev_y = last_pos_y = violates = None
+            ts_y = False
             if cbf_y:
-                lev_y, last_pos_y, violates = rp.parse(w, h, is_luma=True)
+                lev_y, last_pos_y, violates, ts_y = \
+                    self._parse_resid(w, h, True)
             lfnst_idx = self._parse_lfnst_idx(
-                cu, [(w, h, lev_y)] if cbf_y else [], True)
+                cu, [(w, h, lev_y)] if cbf_y and not ts_y else [], True,
+                ts_used=cbf_y and ts_y)
             mts_idx = 0
-            if lfnst_idx == 0:
+            if lfnst_idx == 0 and not ts_y:
                 mts_idx = self._parse_mts_idx(
                     w, h, cbf_y, last_pos_y if cbf_y else -1,
                     violates if cbf_y else False)
             pred_y = self._pred_luma(cu)
             rr = self._recon_resid(lev_y, w, h, qp_y, mts_idx, lfnst_idx,
-                                   cu.mode) if cbf_y else 0
+                                   cu.mode, ts=ts_y) if cbf_y else 0
             self.recon_y[y:y + h, x:x + w] = np.clip(
                 pred_y + rr, 0, (1 << cfg.bit_depth) - 1)
         self._mark_luma(cu)
@@ -531,22 +565,28 @@ class FrameDecoder(FrameEncoder):
         if cfg.joint_cbcr and cbf_mask:
             joint = bool(dec.decode_bin(ctx("JointCbCrFlag",
                                             cbf_mask - 1)))
-        lev_u = rp.parse(cw, chh, is_luma=False)[0] if cbf_u else None
-        lev_v = rp.parse(cw, chh, is_luma=False)[0] \
-            if cbf_v and not joint else None
+        lev_u = lev_v = None
+        ts_u = ts_v = False
+        if cbf_u:
+            lev_u, _, _, ts_u = self._parse_resid(cw, chh, False)
+        if cbf_v and not joint:
+            lev_v, _, _, ts_v = self._parse_resid(cw, chh, False)
         if min(cw, chh) >= 4:
             comps = []
-            if cbf_u:
+            if cbf_u and not ts_u:
                 comps.append((cw, chh, lev_u))
-            if cbf_v and not joint:
+            if cbf_v and not joint and not ts_v:
                 comps.append((cw, chh, lev_v))
-            assert self._parse_lfnst_idx(cu, comps, True) == 0
+            ts_used = (cbf_u and ts_u) or (cbf_v and (ts_v or
+                                                      (joint and ts_u)))
+            assert self._parse_lfnst_idx(cu, comps, True,
+                                         ts_used=ts_used) == 0
 
         pred_u, pred_v = self._pred_chroma(cu, self.coded_c)
         crs = self._crs_scale(x, y, cw, chh)
         rec_u, rec_v = self._recon_chroma_pair(
             pred_u, pred_v, lev_u, lev_v, cbf_u, cbf_v, joint,
-            cw, chh, self._chroma_qp(), crs)
+            cw, chh, self._chroma_qp(), crs, ts_u=ts_u, ts_v=ts_v)
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
         r, c = y // 4, x // 4
@@ -629,6 +669,7 @@ class FrameDecoder(FrameEncoder):
                               ContextStore.standard_init(cfg.qp, 2))
         self.rp = ResidualParser(self.dec, dep_quant=si.dep_quant,
                                  sign_hiding=si.sign_hiding)
+        self.rp_ts = TSResidualParser(self.dec)
         sao_params = [] if cfg.sao else None
         n_ctu_x = (cfg.width + 127) // 128
         n_ctu_y = (cfg.height + 127) // 128

@@ -890,8 +890,17 @@ class FrameEncoder:
 
     def _tq_roundtrip(self, resid, w, h, qp, mts_idx, lfnst_idx=0,
                       intra_mode=0, tr_kinds=None):
-        th, tv = tr_kinds if tr_kinds is not None else self._MTS_TR[mts_idx]
         bd = self.cfg.bit_depth
+        if mts_idx == 1:       # MTS_SKIP: identity transform + TS quant
+            from ..ops.quant import dequantize_ts, quantize_ts, ts_qp
+            qpt = ts_qp(qp, self.cfg.internal_minus_input)
+            lev = quantize_ts(resid, qpt)
+            if lev.any():
+                rec_resid = dequantize_ts(lev, qpt)
+            else:
+                rec_resid = np.zeros_like(resid)
+            return lev, rec_resid
+        th, tv = tr_kinds if tr_kinds is not None else self._MTS_TR[mts_idx]
         if lfnst_idx == 0 and not self.cfg.dep_quant:
             # fused single-dispatch path (the common case)
             coef_j, lev_j, rec_j = _jit_tq(w, h, th, tv, qp, bd)(
@@ -1164,22 +1173,53 @@ class FrameEncoder:
             any_prev = any_prev or cbf
         return comps
 
-    def _est_tu_bits(self, lev, cbf_ctx, is_luma, extra=None) -> float:
+    def _ts_allowed(self, w, h, is_luma, isp=0):
+        """TU::isTSAllowed (UnitTools.cpp) — BDPCM/SBT off."""
+        cfg = self.cfg
+        mx = 1 << cfg.ts_max_log2
+        return (cfg.transform_skip and w <= mx and h <= mx
+                and (not isp or not is_luma))
+
+    def _write_resid(self, rc, lev, w, h, is_luma, ts=False, isp=0):
+        """ts_flag + residual for one cbf TU component (the
+        CABACWriter::residual_coding entry, :2630). Returns
+        (last_pos, violates_mts); (-1, False) for transform skip."""
+        if self._ts_allowed(w, h, is_luma, isp):
+            rc.enc.encode_bin(1 if ts else 0,
+                              ctx("TransformSkipFlag", 0 if is_luma else 1))
+        if ts:
+            from .residual import TSResidualCoder
+            TSResidualCoder(rc.enc).code(lev, is_luma=is_luma)
+            return -1, False
+        return rc.code(lev, is_luma=is_luma)
+
+    def _est_tu_bits(self, lev, cbf_ctx, is_luma, extra=None,
+                     ts=False, ts_allowed=False) -> float:
         """Estimated rate (bits) of coding ``cbf + residual`` for one TU
         component starting from the current CABAC context state
         (CABACEstimator discipline: IntraSearch xGetIntraFracBitsQT).
 
         ``cbf_ctx``: (set name, inc) of the cbf bin; None skips the cbf
         bin (inferred cbf).  ``extra(est)``: optional callback writing
-        trailing syntax (mts_idx / lfnst_idx bins) into the estimator."""
+        trailing syntax (mts_idx / lfnst_idx bins) into the estimator.
+        ``ts_allowed``/``ts``: include the ts_flag bin / use the TS
+        residual coder."""
         est = self.est.clone()
         cbf = lev is not None and bool(lev.any())
         if cbf_ctx is not None:
             est.encode_bin(1 if cbf else 0, ctx(*cbf_ctx))
         if cbf:
-            ResidualCoder(est, dep_quant=self.cfg.dep_quant,
-                          sign_hiding=self.cfg.sign_hiding).code(
-                              lev, is_luma=is_luma)
+            if ts_allowed:
+                est.encode_bin(1 if ts else 0,
+                               ctx("TransformSkipFlag",
+                                   0 if is_luma else 1))
+            if ts:
+                from .residual import TSResidualCoder
+                TSResidualCoder(est).code(lev, is_luma=is_luma)
+            else:
+                ResidualCoder(est, dep_quant=self.cfg.dep_quant,
+                              sign_hiding=self.cfg.sign_hiding).code(
+                                  lev, is_luma=is_luma)
         if extra is not None:
             extra(est)
         return (est.frac - self.est.frac) / 32768.0
@@ -1187,8 +1227,9 @@ class FrameEncoder:
     def _code_tu_component(self, enc_rc, org, pred, x, y, w, h, qp, is_luma,
                            try_mts=False, try_lfnst=False, intra_mode=0,
                            chroma_scale=None, cbf_ctx=None,
-                           allow_zero=True):
-        """Returns (cbf, levels, recon, mts_idx, lfnst_idx).
+                           allow_zero=True, try_ts=False):
+        """Returns (cbf, levels, recon, mts_idx, lfnst_idx); mts_idx 1
+        means transform skip (MTS_SKIP) was chosen.
 
         Candidate transforms are compared by true RD cost: SSE (in the
         residual domain) + lambda * estimated CABAC bits of cbf +
@@ -1207,6 +1248,9 @@ class FrameEncoder:
             resid = scale_chroma_residual_fwd(resid, chroma_scale,
                                               self.cfg.bit_depth)
         candidates = [(0, 0)]
+        ts_allowed = self._ts_allowed(w, h, is_luma)
+        if try_ts and ts_allowed:
+            candidates.append((1, 0))          # MTS_SKIP trial
         if try_mts:
             candidates += [(m, 0) for m in (2, 3, 4, 5)]
         if try_lfnst and w >= 4 and h >= 4:
@@ -1223,7 +1267,7 @@ class FrameEncoder:
         for mts_idx, lfnst_idx in candidates:
             lev, rec_resid = self._tq_roundtrip(resid, w, h, qp, mts_idx,
                                                 lfnst_idx, intra_mode)
-            if mts_idx != 0 or lfnst_idx != 0:
+            if mts_idx > 1 or lfnst_idx != 0:
                 # decoder infers DCT2/no-LFNST unless last scan pos >= 1
                 # (mtsLastScanPos / lfnstLastScanPos); skip unusable cands
                 scan = grouped_scan(w, h)
@@ -1239,7 +1283,11 @@ class FrameEncoder:
 
             def _extra(est, m=mts_idx, lf=lfnst_idx):
                 # transform-index signalling bits (residual_lfnst_mode /
-                # mts_idx), included so DCT2 vs MTS/LFNST compare fairly
+                # mts_idx), included so DCT2 vs MTS/LFNST compare fairly;
+                # neither is coded when TS is chosen (isTrSkip /
+                # mtsLastScanPos stays false)
+                if m == 1:
+                    return
                 if try_lfnst and w >= 4 and h >= 4:
                     est.encode_bin(1 if lf else 0, ctx("LFNSTIdx", 0))
                     if lf:
@@ -1253,7 +1301,9 @@ class FrameEncoder:
                             est.encode_bin(s, ctx("MTSIdx", 1 + i))
                             if not s:
                                 break
-            bits = self._est_tu_bits(lev, cbf_ctx, is_luma, extra=_extra)
+            bits = self._est_tu_bits(lev, cbf_ctx, is_luma, extra=_extra,
+                                     ts=mts_idx == 1,
+                                     ts_allowed=ts_allowed)
             err = rec_resid.astype(np.int64) - resid
             cost = dw * float((err * err).sum()) + lam * bits
             if best is None or cost < best[0]:
@@ -1367,13 +1417,16 @@ class FrameEncoder:
             return (True, True, lev_j, rec_ju, True, lev_j, rec_jv)
         return (False, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v)
 
-    def _write_lfnst_idx(self, enc, cu, lfnst_idx, comps, sep_tree):
+    def _write_lfnst_idx(self, enc, cu, lfnst_idx, comps, sep_tree,
+                         ts_used=False):
         """CABACWriter::residual_lfnst_mode (:2770-2820).
 
-        ``comps``: list of (w, h, lev) for every coded (cbf=1) TU
-        component of this CU in its channel scope."""
+        ``comps``: list of (w, h, lev) for every coded (cbf=1) non-TS TU
+        component of this CU in its channel scope; ``ts_used``: any cbf
+        component coded with transform skip (isTrSkip, :2789) — the
+        index is then never coded."""
         cfg = self.cfg
-        if not cfg.lfnst:
+        if not cfg.lfnst or ts_used:
             return
         isp = cu.isp if cu is not None else 0
         if isp and not intra_ops.can_use_lfnst_with_isp(cu.w, cu.h, isp):
@@ -1431,7 +1484,9 @@ class FrameEncoder:
         try_lfnst = cfg.lfnst and (not cu.mip or (w >= 16 and h >= 16))
         cbf_y, lev_y, rec_y, mts_idx, lfnst_idx = self._code_tu_component(
             rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts,
-            try_lfnst=try_lfnst, intra_mode=cu.mode)
+            try_lfnst=try_lfnst, intra_mode=cu.mode,
+            try_ts=cfg.transform_skip)
+        ts_y = mts_idx == 1
 
         trial = None
         if cfg.isp and not cu.mip and cu.mrl == 0 \
@@ -1439,7 +1494,8 @@ class FrameEncoder:
             err = rec_y.astype(np.int64) - org
             cost_base = float((err * err).sum()) + self.lam * \
                 self._est_tu_bits(lev_y if cbf_y else None,
-                                  ("QtCbf0", 0), True)
+                                  ("QtCbf0", 0), True, ts=ts_y,
+                                  ts_allowed=self._ts_allowed(w, h, True))
             trial = self._maybe_isp(cu, org_y, qp_y, cost_base)
 
         self._write_intra_luma_mode(enc, cu)
@@ -1452,12 +1508,15 @@ class FrameEncoder:
             enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
             last_pos_y, violates_mts = -1, False
             if cbf_y:
-                last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
+                last_pos_y, violates_mts = self._write_resid(
+                    rc, lev_y, w, h, True, ts=ts_y)
             if lfnst_idx:
                 self.n_lfnst += 1
-            self._write_lfnst_idx(enc, cu, lfnst_idx,
-                                  [(w, h, lev_y)] if cbf_y else [], True)
-            if lfnst_idx == 0:
+            self._write_lfnst_idx(
+                enc, cu, lfnst_idx,
+                [(w, h, lev_y)] if cbf_y and not ts_y else [], True,
+                ts_used=cbf_y and ts_y)
+            if lfnst_idx == 0 and not ts_y:
                 self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
                                     violates_mts)
             self.recon_y[y:y + h, x:x + w] = rec_y
@@ -1500,13 +1559,16 @@ class FrameEncoder:
             cclm_ok, mode, qp_c, crs,
             self._org_u[cy:cy + chh, cx:cx + cw],
             self._org_v[cy:cy + chh, cx:cx + cw])
-        cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
+        cbf_u, lev_u, rec_u, mts_u, _ = self._code_tu_component(
             rc, self._org_u[cy:cy + chh, cx:cx + cw], pred_u,
-            cx, cy, cw, chh, qp_c, False, chroma_scale=crs)
-        cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
+            cx, cy, cw, chh, qp_c, False, chroma_scale=crs,
+            try_ts=cfg.transform_skip)
+        cbf_v, lev_v, rec_v, mts_v, _ = self._code_tu_component(
             rc, self._org_v[cy:cy + chh, cx:cx + cw], pred_v,
             cx, cy, cw, chh, qp_c, False, chroma_scale=crs,
-            cbf_ctx=("QtCbf2", 1 if cbf_u else 0))
+            cbf_ctx=("QtCbf2", 1 if cbf_u else 0),
+            try_ts=cfg.transform_skip)
+        ts_u, ts_v = mts_u == 1, mts_v == 1
 
         joint = False
         if cfg.joint_cbcr:
@@ -1531,17 +1593,21 @@ class FrameEncoder:
         if cfg.joint_cbcr and cbf_mask:
             enc.encode_bin(1 if joint else 0,
                            ctx("JointCbCrFlag", cbf_mask - 1))
+        if joint:
+            ts_u = ts_v = False
         if cbf_u:
-            rc.code(lev_u, is_luma=False)
+            self._write_resid(rc, lev_u, cw, chh, False, ts=ts_u)
         if cbf_v and not joint:
-            rc.code(lev_v, is_luma=False)
+            self._write_resid(rc, lev_v, cw, chh, False, ts=ts_v)
         if min(cw, chh) >= 4:       # residual_lfnst_mode chroma-tree gate
             comps = []
-            if cbf_u:
+            if cbf_u and not ts_u:
                 comps.append((cw, chh, lev_u))
-            if cbf_v and not joint:
+            if cbf_v and not joint and not ts_v:
                 comps.append((cw, chh, lev_v))
-            self._write_lfnst_idx(enc, cu, 0, comps, True)
+            ts_used = (cbf_u and ts_u) or (cbf_v and ts_v)
+            self._write_lfnst_idx(enc, cu, 0, comps, True,
+                                  ts_used=ts_used)
 
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
@@ -1624,14 +1690,17 @@ class FrameEncoder:
         try_lfnst = cfg.lfnst and (not cu.mip or (w >= 16 and h >= 16))
         cbf_y, lev_y, rec_y, mts_idx, lfnst_idx = self._code_tu_component(
             rc, org, pred_y, x, y, w, h, qp_y, True, try_mts=try_mts,
-            try_lfnst=try_lfnst, intra_mode=cu.mode)
+            try_lfnst=try_lfnst, intra_mode=cu.mode,
+            try_ts=cfg.transform_skip)
+        ts_y = mts_idx == 1
         isp_trial = None
         if cfg.isp and not cu.mip and cu.mrl == 0 \
                 and intra_ops.can_use_isp(w, h):
             err = rec_y.astype(np.int64) - org
             cost_base = float((err * err).sum()) + self.lam * \
                 self._est_tu_bits(lev_y if cbf_y else None,
-                                  ("QtCbf0", 0), True)
+                                  ("QtCbf0", 0), True, ts=ts_y,
+                                  ts_allowed=self._ts_allowed(w, h, True))
             isp_trial = self._maybe_isp(cu, org_y, qp_y, cost_base)
             if isp_trial is not None:
                 lfnst_idx = mts_idx = 0    # no LFNST/MTS with ISP here
@@ -1652,13 +1721,15 @@ class FrameEncoder:
             cu, x, y, w, h, refs_u, refs_v, self.coded,
             cfg.cclm and not cfg.dual_tree, cu.mode, qp_c, crs,
             org_cu, org_cv)
-        cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
+        cbf_u, lev_u, rec_u, mts_u, _ = self._code_tu_component(
             rc, org_cu, pred_u, cx, cy, cw, chh,
-            qp_c, False, chroma_scale=crs)
-        cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
+            qp_c, False, chroma_scale=crs, try_ts=cfg.transform_skip)
+        cbf_v, lev_v, rec_v, mts_v, _ = self._code_tu_component(
             rc, org_cv, pred_v, cx, cy, cw, chh,
             qp_c, False, chroma_scale=crs,
-            cbf_ctx=("QtCbf2", 1 if cbf_u else 0))
+            cbf_ctx=("QtCbf2", 1 if cbf_u else 0),
+            try_ts=cfg.transform_skip)
+        ts_u, ts_v = mts_u == 1, mts_v == 1
 
         if lfnst_idx:
             # single tree: chroma coefficients share the LFNST signalling
@@ -1667,9 +1738,10 @@ class FrameEncoder:
             # with LFNST off (chroma preds depend on luma recon via CCLM,
             # but LFNST off only changes the luma residual, so the chroma
             # TUs stay valid)
-            viol_c = False
-            for lv in ((lev_u if cbf_u else None), (lev_v if cbf_v else None)):
-                if lv is None or cw < 4 or chh < 4:
+            viol_c = (cbf_u and ts_u) or (cbf_v and ts_v)  # isTrSkip
+            for lv, ts_c in ((lev_u if cbf_u else None, ts_u),
+                             (lev_v if cbf_v else None, ts_v)):
+                if lv is None or ts_c or cw < 4 or chh < 4:
                     continue
                 last = self._scan_pos_last(lv, cw, chh)
                 max_pos = 7 if ((cw == 4 and chh == 4)
@@ -1679,7 +1751,9 @@ class FrameEncoder:
                 cbf_y, lev_y, rec_y, mts_idx, lfnst_idx = \
                     self._code_tu_component(
                         rc, org, pred_y, x, y, w, h, qp_y, True,
-                        try_mts=try_mts, intra_mode=cu.mode)
+                        try_mts=try_mts, intra_mode=cu.mode,
+                        try_ts=cfg.transform_skip)
+                ts_y = mts_idx == 1
                 self.recon_y[y:y + h, x:x + w] = rec_y
                 if cu.cclm:
                     # CCLM prediction read the old luma recon: recompute
@@ -1689,12 +1763,17 @@ class FrameEncoder:
                             pred_u = pu_.astype(np.int32)
                             pred_v = pv_.astype(np.int32)
                             break
-                    cbf_u, lev_u, rec_u, _, _ = self._code_tu_component(
-                        rc, org_cu, pred_u, cx, cy, cw, chh, qp_c, False,
-                        chroma_scale=crs)
-                    cbf_v, lev_v, rec_v, _, _ = self._code_tu_component(
-                        rc, org_cv, pred_v, cx, cy, cw, chh, qp_c, False,
-                        chroma_scale=crs)
+                    cbf_u, lev_u, rec_u, mts_u, _ = \
+                        self._code_tu_component(
+                            rc, org_cu, pred_u, cx, cy, cw, chh, qp_c,
+                            False, chroma_scale=crs,
+                            try_ts=cfg.transform_skip)
+                    cbf_v, lev_v, rec_v, mts_v, _ = \
+                        self._code_tu_component(
+                            rc, org_cv, pred_v, cx, cy, cw, chh, qp_c,
+                            False, chroma_scale=crs,
+                            try_ts=cfg.transform_skip)
+                    ts_u, ts_v = mts_u == 1, mts_v == 1
 
         joint = False
         if cfg.joint_cbcr:
@@ -1712,6 +1791,8 @@ class FrameEncoder:
                 if last > max_pos:
                     res = (False, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v)
             (joint, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v) = res
+            if joint:
+                ts_u = ts_v = False    # joint TU coded with the DCT2 path
 
         # ---- syntax: coding_unit ----
         # I-slice, no IBC/PLT -> pred_mode not coded; no bdpcm
@@ -1738,14 +1819,16 @@ class FrameEncoder:
                                         before_last_cbf=_chroma_cbfs,
                                         after_last_cbf=_jccr_flag)
             if cbf_u:
-                rc.code(lev_u, is_luma=False)
+                self._write_resid(rc, lev_u, cw, chh, False, ts=ts_u)
             if cbf_v and not joint:
-                rc.code(lev_v, is_luma=False)
-            if cbf_u:
+                self._write_resid(rc, lev_v, cw, chh, False, ts=ts_v)
+            if cbf_u and not ts_u:
                 comps.append((cw, chh, lev_u))
-            if cbf_v:
+            if cbf_v and not (ts_v or (joint and ts_u)):
                 comps.append((cw, chh, lev_v))
-            self._write_lfnst_idx(enc, cu, 0, comps, False)
+            ts_used = (cbf_u and ts_u) or (cbf_v and ts_v)
+            self._write_lfnst_idx(enc, cu, 0, comps, False,
+                                  ts_used=ts_used)
         else:
             # transform_unit: cbf_cb, cbf_cr, then cbf_luma
             enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
@@ -1757,23 +1840,27 @@ class FrameEncoder:
                                ctx("JointCbCrFlag", cbf_mask - 1))
             last_pos_y, violates_mts = -1, False
             if cbf_y:
-                last_pos_y, violates_mts = rc.code(lev_y, is_luma=True)
+                last_pos_y, violates_mts = self._write_resid(
+                    rc, lev_y, w, h, True, ts=ts_y)
             if cbf_u:
-                rc.code(lev_u, is_luma=False)
+                self._write_resid(rc, lev_u, cw, chh, False, ts=ts_u)
             if cbf_v and not joint:
-                rc.code(lev_v, is_luma=False)
+                self._write_resid(rc, lev_v, cw, chh, False, ts=ts_v)
             # residual_lfnst_mode then mts_idx (cu_residual tail order)
             comps = []
-            if cbf_y:
+            if cbf_y and not ts_y:
                 comps.append((w, h, lev_y))
-            if cbf_u:
+            if cbf_u and not ts_u:
                 comps.append((cw, chh, lev_u))
-            if cbf_v:
+            if cbf_v and not (ts_v or (joint and ts_u)):
                 comps.append((cw, chh, lev_v))
+            ts_used = ((cbf_y and ts_y) or (cbf_u and ts_u)
+                       or (cbf_v and ts_v))
             if lfnst_idx:
                 self.n_lfnst += 1
-            self._write_lfnst_idx(enc, cu, lfnst_idx, comps, False)
-            if lfnst_idx == 0:
+            self._write_lfnst_idx(enc, cu, lfnst_idx, comps, False,
+                                  ts_used=ts_used)
+            if lfnst_idx == 0 and not ts_y:
                 self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
                                     violates_mts)
 

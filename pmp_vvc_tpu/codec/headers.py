@@ -68,6 +68,8 @@ class VVCConfig:
     cclm: bool = False
     joint_cbcr: bool = False
     transform_skip: bool = False
+    ts_max_log2: int = 5           # TransformSkipLog2MaxSize (CTC 5 -> 32)
+    internal_minus_input: int = 0  # sps_internal_bit_depth_minus_input_bit_depth
     dep_quant: bool = False
     sign_hiding: bool = False
     rd_quant: bool = True          # encoder-side RDOQ-lite zeroing
@@ -157,7 +159,11 @@ def write_sps(cfg: VVCConfig) -> bytes:
     if cfg.ctu_size > 32:
         bw.write_flag(cfg.log2_max_tb - 5)  # sps_max_luma_transform_size_64_flag
     bw.write_flag(cfg.transform_skip)
-    assert not cfg.transform_skip
+    if cfg.transform_skip:
+        # log2_transform_skip_max_size_minus2 + sps_bdpcm_enabled_flag
+        # (VLCReader.cpp:1851-1857)
+        bw.write_uvlc(cfg.ts_max_log2 - 2)
+        bw.write_flag(0)
     bw.write_flag(cfg.mts_intra)       # sps_mts_enabled_flag
     if cfg.mts_intra:
         bw.write_flag(1)               # sps_explicit_mts_intra_enabled_flag
@@ -207,6 +213,8 @@ def write_sps(cfg: VVCConfig) -> bytes:
     bw.write_flag(0)                   # sps_chroma_horizontal_collocated_flag
     bw.write_flag(0)                   # sps_chroma_vertical_collocated_flag
     bw.write_flag(0)                   # sps_palette_enabled_flag
+    if cfg.transform_skip:             # TS||PLT (VLCReader.cpp:2142)
+        bw.write_uvlc(cfg.internal_minus_input)
     bw.write_flag(0)                   # sps_ibc_enabled_flag
     bw.write_flag(0)                   # sps_ladf_enabled_flag
     bw.write_flag(0)                   # sps_explicit_scaling_list_enabled_flag
@@ -325,6 +333,8 @@ def write_slice_header(cfg: VVCConfig, poc: int) -> BitWriter:
         bw.write_flag(1)               # sh_dep_quant_used_flag
     if cfg.sign_hiding and not cfg.dep_quant:
         bw.write_flag(1)               # sh_sign_data_hiding_used_flag
+    if cfg.transform_skip and not cfg.dep_quant and not cfg.sign_hiding:
+        bw.write_flag(0)               # slice_ts_residual_coding_disabled
     return bw
 
 

@@ -95,7 +95,10 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
         br.read_uvlc()                  # max BT / max TT size deltas
     if cfg.ctu_size > 32:
         cfg.log2_max_tb = 6 if br.read_flag() else 5
-    _expect(not br.read_flag(), "transform skip")
+    cfg.transform_skip = br.read_flag()
+    if cfg.transform_skip:
+        cfg.ts_max_log2 = br.read_uvlc() + 2
+        _expect(not br.read_flag(), "bdpcm")
     cfg.mts_intra = br.read_flag()
     if cfg.mts_intra:
         _expect(br.read_flag(), "implicit MTS")
@@ -150,7 +153,10 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
     cfg.cclm = br.read_flag()
     br.read_flag()                      # chroma horizontal collocated
     br.read_flag()                      # chroma vertical collocated
-    for what in ("palette", "ibc", "ladf", "explicit scaling lists"):
+    _expect(not br.read_flag(), "palette")
+    if cfg.transform_skip:              # TS||PLT (VLCReader.cpp:2142)
+        cfg.internal_minus_input = br.read_uvlc()
+    for what in ("ibc", "ladf", "explicit scaling lists"):
         _expect(not br.read_flag(), what)
     cfg.dep_quant = br.read_flag()
     cfg.sign_hiding = br.read_flag()
@@ -275,6 +281,8 @@ def parse_slice_header(rbsp: bytes, cfg: VVCConfig) -> SliceInfo:
         si.dep_quant = br.read_flag()
     if cfg.sign_hiding and not si.dep_quant:
         si.sign_hiding = br.read_flag()
+    if cfg.transform_skip and not si.dep_quant and not si.sign_hiding:
+        _expect(not br.read_flag(), "ts residual coding disabled")
     # byte_alignment: one 1-bit then zeros
     assert br.read(1) == 1
     si.slice_data = br.tail_bytes()

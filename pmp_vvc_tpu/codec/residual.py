@@ -397,6 +397,269 @@ class ResidualCoder:
         return state, rem_reg_bins
 
 
+def _ts_mod_coeff(a, pred):
+    """deriveModCoeff (ContextModelling.h:357): level -> coded level via
+    the left/above max predictor (BDPCM off)."""
+    if a == 0:
+        return 0
+    if a == pred:
+        return 1
+    return a + 1 if a < pred else a
+
+
+class TSResidualCoder:
+    """Transform-skip residual coding — byte-exact contract of
+    CABACWriter::residual_codingTS / residual_coding_subblockTS
+    (CABACWriter.cpp:3032-3180) with CoeffCodingContext TS helpers
+    (ContextModelling.h:218-432). Forward subblock scan, left/above
+    neighbour templates, per-TU context-bin budget (7/4 * numCoeff),
+    BDPCM off."""
+
+    def __init__(self, enc: BinEncoder, *, max_log2_dyn_range: int = 15):
+        self.enc = enc
+        self.max_log2_dyn = max_log2_dyn_range
+
+    def code(self, coeff: np.ndarray, *, is_luma: bool):
+        del is_luma    # TS context sets are channel-shared
+        enc = self.enc
+        h, w = coeff.shape
+        log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+        cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
+        log2_cg = cgl2w + cgl2h
+        wig, hig = w >> cgl2w, h >> cgl2h    # TS TUs <= 32: no zero-out
+        scan = _scan_tuples(w, h)
+        cg_scan = diag_scan(wig, hig)
+        c2 = np.asarray(coeff, np.int64)
+        flat = c2.reshape(-1).tolist()
+        ctx_bins = (w * h * 7) >> 2
+        n_sub = ((w * h - 1) >> log2_cg) + 1
+
+        sig_subsets = {p >> log2_cg for p, (idx, _, _) in enumerate(scan)
+                       if flat[idx]}
+        sig_flags = [False] * (wig * hig)
+
+        def neigh(x, y):
+            l = int(c2[y, x - 1]) if x > 0 else 0
+            a = int(c2[y - 1, x]) if y > 0 else 0
+            return l, a
+
+        prev_sig = False
+        for subset in range(n_sub):
+            cg_pos, cg_x, cg_y = (int(v) for v in cg_scan[subset])
+            is_sig = subset in sig_subsets
+            if is_sig:
+                sig_flags[cg_pos] = True
+            is_last = subset == n_sub - 1
+            if not (is_last and not prev_sig):
+                sl = 1 if (cg_x > 0 and sig_flags[cg_pos - 1]) else 0
+                sa = 1 if (cg_y > 0 and sig_flags[cg_pos - wig]) else 0
+                enc.encode_bin(1 if is_sig else 0,
+                               ctx("TsSigCoeffGroup", sl + sa))
+                if not is_sig:
+                    continue
+            else:
+                assert is_sig, "inferred TS sig group on empty TU"
+            prev_sig = True
+
+            min_sub = subset << log2_cg
+            max_sub = min_sub + (1 << log2_cg) - 1
+            infer_pos = max_sub
+            num_nonzero = 0
+            last_p1 = min_sub - 1
+            pos = min_sub
+            # pass 1: sig + sign + gt1 + parity (context-coded)
+            while pos <= max_sub and ctx_bins >= 4:
+                idx, x, y = scan[pos]
+                c = flat[idx]
+                sig = 1 if c else 0
+                l, a = neigh(x, y)
+                if num_nonzero or pos != infer_pos:
+                    npos = (1 if l else 0) + (1 if a else 0)
+                    enc.encode_bin(sig, ctx("TsSigFlag", npos))
+                    ctx_bins -= 1
+                if sig:
+                    rs = (l > 0) - (l < 0)
+                    bs = (a > 0) - (a < 0)
+                    if (rs == 0 and bs == 0) or rs * bs < 0:
+                        sc = 0
+                    elif rs >= 0 and bs >= 0:
+                        sc = 1
+                    else:
+                        sc = 2
+                    enc.encode_bin(1 if c < 0 else 0,
+                                   ctx("TsResidualSign", sc))
+                    ctx_bins -= 1
+                    num_nonzero += 1
+                    rem = _ts_mod_coeff(abs(c), max(abs(l), abs(a))) - 1
+                    gt1 = 1 if rem else 0
+                    npos = (1 if l else 0) + (1 if a else 0)
+                    enc.encode_bin(gt1, ctx("TsLrg1Flag", npos))
+                    ctx_bins -= 1
+                    if gt1:
+                        rem -= 1
+                        enc.encode_bin(rem & 1, ctx("TsParFlag", 0))
+                        ctx_bins -= 1
+                last_p1 = pos
+                pos += 1
+
+            # pass 2: gt2..gt8 flags
+            last_p2 = min_sub - 1
+            pos = min_sub
+            while pos <= max_sub and ctx_bins >= 4:
+                idx, x, y = scan[pos]
+                l, a = neigh(x, y)
+                mod = _ts_mod_coeff(abs(flat[idx]), max(abs(l), abs(a)))
+                cutoff = 2
+                for _ in range(4):
+                    if mod >= cutoff:
+                        enc.encode_bin(1 if mod >= cutoff + 2 else 0,
+                                       ctx("TsGtxFlag", cutoff >> 1))
+                        ctx_bins -= 1
+                    cutoff += 2
+                last_p2 = pos
+                pos += 1
+
+            # bypass pass: golomb remainders (+ EP signs past pass 1)
+            for pos in range(min_sub, max_sub + 1):
+                idx, x, y = scan[pos]
+                av = abs(flat[idx])
+                cutoff = 10 if pos <= last_p2 else \
+                    (2 if pos <= last_p1 else 0)
+                if cutoff:
+                    l, a = neigh(x, y)
+                    mod = _ts_mod_coeff(av, max(abs(l), abs(a)))
+                else:
+                    mod = av
+                if mod >= cutoff:
+                    rem = (mod - cutoff) >> 1 if pos <= last_p1 else mod
+                    enc.encode_rem_abs_ep(rem, 1, COEF_REMAIN_BIN_REDUCTION,
+                                          self.max_log2_dyn)
+                    if mod and pos > last_p1:
+                        enc.encode_bin_ep(1 if flat[idx] < 0 else 0)
+
+
+class TSResidualParser:
+    """Mirror of ``TSResidualCoder`` (CABACReader::residual_codingTS,
+    CABACReader.cpp counterpart): the working level array holds
+    pass-1 signed partials, abs values through passes 2-3, and the
+    decoded signs are applied per subblock."""
+
+    def __init__(self, dec, *, max_log2_dyn_range: int = 15):
+        self.dec = dec
+        self.max_log2_dyn = max_log2_dyn_range
+
+    def parse(self, w, h, *, is_luma: bool):
+        del is_luma
+        dec = self.dec
+        log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+        cgl2w, cgl2h = log2_sbb_size(log2w, log2h)
+        log2_cg = cgl2w + cgl2h
+        wig, hig = w >> cgl2w, h >> cgl2h
+        scan = _scan_tuples(w, h)
+        cg_scan = diag_scan(wig, hig)
+        ctx_bins = (w * h * 7) >> 2
+        n_sub = ((w * h - 1) >> log2_cg) + 1
+
+        val = [[0] * w for _ in range(h)]
+        sig_flags = [False] * (wig * hig)
+        prev_sig = False
+        for subset in range(n_sub):
+            cg_pos, cg_x, cg_y = (int(v) for v in cg_scan[subset])
+            is_last = subset == n_sub - 1
+            if is_last and not prev_sig:
+                sig = 1
+            else:
+                sl = 1 if (cg_x > 0 and sig_flags[cg_pos - 1]) else 0
+                sa = 1 if (cg_y > 0 and sig_flags[cg_pos - wig]) else 0
+                sig = dec.decode_bin(ctx("TsSigCoeffGroup", sl + sa))
+            if not sig:
+                continue
+            sig_flags[cg_pos] = True
+            prev_sig = True
+
+            min_sub = subset << log2_cg
+            max_sub = min_sub + (1 << log2_cg) - 1
+            infer_pos = max_sub
+            signs = []        # (sign, x, y) in parse order
+            last_p1 = min_sub - 1
+            pos = min_sub
+            while pos <= max_sub and ctx_bins >= 4:
+                idx, x, y = scan[pos]
+                l = val[y][x - 1] if x > 0 else 0
+                a = val[y - 1][x] if y > 0 else 0
+                if not signs and pos == infer_pos:
+                    sig = 1
+                else:
+                    npos = (1 if l else 0) + (1 if a else 0)
+                    sig = dec.decode_bin(ctx("TsSigFlag", npos))
+                    ctx_bins -= 1
+                if sig:
+                    rs = (l > 0) - (l < 0)
+                    bs = (a > 0) - (a < 0)
+                    if (rs == 0 and bs == 0) or rs * bs < 0:
+                        sc = 0
+                    elif rs >= 0 and bs >= 0:
+                        sc = 1
+                    else:
+                        sc = 2
+                    sign = dec.decode_bin(ctx("TsResidualSign", sc))
+                    ctx_bins -= 1
+                    signs.append((sign, x, y))
+                    npos = (1 if l else 0) + (1 if a else 0)
+                    gt1 = dec.decode_bin(ctx("TsLrg1Flag", npos))
+                    ctx_bins -= 1
+                    par = 0
+                    if gt1:
+                        par = dec.decode_bin(ctx("TsParFlag", 0))
+                        ctx_bins -= 1
+                    val[y][x] = (-1 if sign else 1) * (1 + par + gt1)
+                last_p1 = pos
+                pos += 1
+
+            last_p2 = min_sub - 1
+            pos = min_sub
+            while pos <= max_sub and ctx_bins >= 4:
+                idx, x, y = scan[pos]
+                t = abs(val[y][x])
+                cutoff = 2
+                for _ in range(4):
+                    if t >= cutoff:
+                        gt = dec.decode_bin(ctx("TsGtxFlag", cutoff >> 1))
+                        ctx_bins -= 1
+                        t += gt << 1
+                    cutoff += 2
+                val[y][x] = t
+                last_p2 = pos
+                pos += 1
+
+            for pos in range(min_sub, max_sub + 1):
+                idx, x, y = scan[pos]
+                t = abs(val[y][x])
+                cutoff = 10 if pos <= last_p2 else \
+                    (2 if pos <= last_p1 else 0)
+                if t >= cutoff:
+                    rem = dec.decode_rem_abs_ep(
+                        1, COEF_REMAIN_BIN_REDUCTION, self.max_log2_dyn)
+                    t += (rem << 1) if pos <= last_p1 else rem
+                    if t and pos > last_p1:
+                        signs.append((dec.decode_bin_ep(), x, y))
+                if cutoff and t > 0:
+                    l = abs(val[y][x - 1]) if x > 0 else 0
+                    a = abs(val[y - 1][x]) if y > 0 else 0
+                    pred = max(l, a)
+                    if t == 1 and pred > 0:
+                        t = pred
+                    else:
+                        t -= 1 if t <= pred else 0
+                val[y][x] = t
+
+            for sign, x, y in signs:
+                if sign:
+                    val[y][x] = -val[y][x]
+
+        return np.array(val, np.int32)
+
+
 def apply_sign_hiding(lev, coef, w, h, qp, bit_depth=10):
     """Sign-bit-hiding level adjustment (Quant::xSignBitHidingHDQ).
 

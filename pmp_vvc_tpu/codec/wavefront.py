@@ -280,7 +280,8 @@ class WavefrontEncoder(FrameEncoder):
     the stock VTM decoder); decisions may differ from the sequential
     path (pure-SATD RMD, order-independent rate proxies)."""
 
-    _UNSUPPORTED = ("dual_tree", "mts_intra", "lfnst", "mip", "mrl",
+    _UNSUPPORTED = ("transform_skip",
+                    "dual_tree", "mts_intra", "lfnst", "mip", "mrl",
                     "isp", "cclm", "joint_cbcr", "lmcs", "dep_quant",
                     "sign_hiding")
 

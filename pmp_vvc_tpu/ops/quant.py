@@ -72,3 +72,37 @@ def dequantize(level: jax.Array, *, w: int, h: int, qp: int,
     else:
         deq = (lvl * scale) << (-right_shift)
     return jnp.clip(deq, COEFF_MIN, COEFF_MAX)
+
+
+def ts_qp(qp: int, internal_minus_input: int = 0) -> int:
+    """Transform-skip QP clamp (QpParam ctor, Quant.cpp:98):
+    baseQpTS = max(baseQp, 4 + 6 * internalMinusInputBitDepth)."""
+    return max(qp, 4 + 6 * internal_minus_input)
+
+
+def quantize_ts(resid: np.ndarray, qp: int, *, is_irap: bool = True):
+    """Transform-skip forward quantisation (Quant::quant with
+    iTransformShift = 0 and no sqrt2 adjustment, Quant.cpp: iQBits =
+    QUANT_SHIFT + per; TU::needsSqrt2Scale returns false for TS,
+    UnitTools.cpp:3900). ``qp`` must already be TS-clamped."""
+    q_bits = QUANT_SHIFT + qp // 6
+    scale = int(QUANT_SCALES[0][qp % 6])
+    add = (171 if is_irap else 85) << (q_bits - 9)
+    r = np.asarray(resid, np.int64)
+    mag = (np.abs(r) * scale + add) >> q_bits
+    mag = np.minimum(mag, COEFF_MAX)
+    return np.where(r < 0, -mag, mag).astype(np.int32)
+
+
+def dequantize_ts(level: np.ndarray, qp: int):
+    """Transform-skip dequantisation (Quant::dequant TS branch:
+    rightShift = IQUANT_SHIFT - QP_per, no transform shift); the
+    inverse transform is the identity copy (TrQuant::xITransformSkip)."""
+    shift = IQUANT_SHIFT - qp // 6
+    scale = int(INV_QUANT_SCALES[0][qp % 6])
+    lvl = np.clip(np.asarray(level, np.int64), COEFF_MIN, COEFF_MAX)
+    if shift > 0:
+        deq = (lvl * scale + (1 << (shift - 1))) >> shift
+    else:
+        deq = (lvl * scale) << (-shift)
+    return np.clip(deq, COEFF_MIN, COEFF_MAX).astype(np.int32)

@@ -113,8 +113,10 @@ def to_encoder_args(opts: dict):
             cfg["chroma_qp_points"] = tuple(
                 (inv[k] - inv[k - 1] - 1, outv[k] - outv[k - 1])
                 for k in range(1, len(inv)))
-    for key, why in (("TransformSkip", "transform-skip residual coding"),
-                     ("IBC", "intra block copy"),
+    if _b(opts, "TransformSkip"):
+        cfg["transform_skip"] = True
+        cfg["ts_max_log2"] = _i(opts, "TransformSkipLog2MaxSize", 5)
+    for key, why in (("IBC", "intra block copy"),
                      ("BDPCM", "BDPCM")):
         if _b(opts, key):
             warn.append(f"{key} requested but not implemented ({why}); "

@@ -301,7 +301,8 @@ int oracle_cabac_decode(const unsigned char* data, int nbytes,
 // ---------------------------------------------------------------------------
 static int residual_code_impl(const int* coeffs, int w, int h,
                               int isLumaFlag, int qp, int initId,
-                              int depQuant, unsigned char* out) {
+                              int depQuant, unsigned char* out,
+                              int tsFlag = 0) {
   static bool romInit = false;
   if (!romInit) { initROM(); romInit = true; }
 
@@ -336,11 +337,15 @@ static int residual_code_impl(const int* coeffs, int w, int h,
   cu.bdpcmMode = cu.bdpcmModeChroma = 0;
   cu.sbtInfo = 0;
   cu.mtsFlag = 0;
+  cu.ispMode = NOT_INTRA_SUBPARTITIONS;
   TransformUnit tu(ua);
   tu.cs = &cs;
   tu.cu = &cu;
   tu.mtsIdx[COMPONENT_Y] = tu.mtsIdx[COMPONENT_Cb] = tu.mtsIdx[COMPONENT_Cr]
       = MTS_DCT2_DCT2;
+  sps.setTransformSkipEnabledFlag(tsFlag != 0);
+  sps.setLog2MaxTransformSkipBlockSize(5);
+  if (tsFlag) tu.mtsIdx[compID] = MTS_SKIP;
   cs.pcv = nullptr;  // not used on this path; avoid garbage reads
   static std::vector<TCoeff> cbuf[3];
   for (int i = 0; i < 3; i++) cbuf[i].assign(w * h, 0);
@@ -369,6 +374,12 @@ static int residual_code_impl(const int* coeffs, int w, int h,
 int oracle_residual_code(const int* coeffs, int w, int h, int isLumaFlag,
                          int qp, int initId, unsigned char* out) {
   return residual_code_impl(coeffs, w, h, isLumaFlag, qp, initId, 0, out);
+}
+
+// transform-skip variant: codes ts_flag(1) + residual_codingTS
+int oracle_residual_code_ts(const int* coeffs, int w, int h, int isLumaFlag,
+                            int qp, int initId, unsigned char* out) {
+  return residual_code_impl(coeffs, w, h, isLumaFlag, qp, initId, 0, out, 1);
 }
 
 int oracle_residual_code_dq(const int* coeffs, int w, int h, int isLumaFlag,

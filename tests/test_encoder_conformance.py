@@ -708,10 +708,11 @@ def test_mdlm_bit_exact(tmp_path):
     syms = {0: 0, 1: 0, 2: 0}
     old_write = E.FrameEncoder._write_intra_chroma_mode
 
-    def patched(self, e, cclm=False, cclm_allowed=None, lm_symbol=0):
+    def patched(self, e, cclm=False, cclm_allowed=None, lm_symbol=0, **kw):
         if cclm:
             syms[lm_symbol] += 1
-        return old_write(self, e, cclm, cclm_allowed, lm_symbol)
+        return old_write(self, e, cclm=cclm, cclm_allowed=cclm_allowed,
+                         lm_symbol=lm_symbol, **kw)
     enc._write_intra_chroma_mode = patched.__get__(enc)
     qt = np.full((h // 8, w // 8), 3, np.int32)
     bs, recon = enc.encode_frame(y, u, v, qt_map=qt, poc=0)

@@ -36,5 +36,6 @@ def test_ctc_cfg_maps_to_vvcconfig(tmp_path):
     # CTC chroma-QP table pivots: 17/27/32/44 -> 17/29/34/41
     assert cfg.chroma_qp_start_minus26 == -9
     assert cfg.chroma_qp_points == ((9, 12), (4, 5), (11, 7))
-    # transform-skip is flagged as unsupported, not silently dropped
-    assert any("TransformSkip" in w for w in warns)
+    # transform-skip is mapped through (CTC TransformSkipLog2MaxSize 5)
+    assert cfg.transform_skip and cfg.ts_max_log2 == 5
+    assert not any("TransformSkip" in w for w in warns)
