@@ -87,8 +87,6 @@ class FrameDecoder(FrameEncoder):
                     break
                 except AssertionError:
                     continue
-        assert si.jccr_sign or not cfg.joint_cbcr, \
-            "only ph_joint_cbcr_sign_flag=1 (Cr = -Cb) is produced/parsed"
 
     # ---- syntax parsing ---------------------------------------------------
 
@@ -348,11 +346,13 @@ class FrameDecoder(FrameEncoder):
                             (1 << cfg.bit_depth) - 1)
             self.recon_y[y + dy:y + dy + sh, x + dx:x + dx + sw] = recon
 
-    def _chroma_qp(self):
+    def _chroma_qp(self, joint=False):
+        """Chroma QP; ``joint``: JOINT_CbCr component QP (same mapping
+        table in this envelope, pps_joint_cbcr_qp_offset)."""
         cfg = self.cfg
         qpi = max(-self.qp_bd_offset, min(63, cfg.qp))
-        qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) \
-            + cfg.chroma_qp_offset
+        off = cfg.jccr_qp_offset if joint else cfg.chroma_qp_offset
+        qp_c = int(self.qp_table[qpi + self.qp_bd_offset]) + off
         return max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
 
     def _pred_chroma(self, cu: CuInfo, coded_map):
@@ -381,19 +381,42 @@ class FrameDecoder(FrameEncoder):
         bd = self.cfg.bit_depth
         mx = (1 << bd) - 1
 
-        def rr(lev, ts):
-            r = self._recon_resid(lev, cw, chh, qp_c, ts=ts)
+        def rr(lev, ts, qp):
+            r = self._recon_resid(lev, cw, chh, qp, ts=ts)
             if crs is not None and lev is not None and lev.any():
                 r = scale_chroma_residual_inv(r, crs, bd)
             return r
 
         if joint:
-            rec_u = np.clip(pred_u + rr(lev_u, ts_u), 0, mx)
-            dec_res = rec_u.astype(np.int64) - pred_u
-            rec_v = np.clip(pred_v - dec_res, 0, mx).astype(rec_u.dtype)
+            # invTransformCbCr (TrQuant.cpp:139) via g_ictModes[sign][mask]
+            # (UnitTools.cpp:3890); CRS scales each derived residual
+            # (sign-magnitude, so it commutes with the negation)
+            sign = self.si.jccr_sign
+            mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
+            if mask == 1:                      # Cr coded, Cb = ±Cr>>1
+                res_cr = self._recon_resid(lev_v, cw, chh, qp_c, ts=ts_v)
+                res_cb = (-res_cr) >> 1 if sign else res_cr >> 1
+                nz = lev_v is not None and lev_v.any()
+            elif mask == 2:                    # Cb coded, Cr = ±Cb>>1
+                res_cb = self._recon_resid(lev_u, cw, chh, qp_c, ts=ts_u)
+                res_cr = (-res_cb) >> 1 if sign else res_cb >> 1
+                nz = lev_u is not None and lev_u.any()
+            else:                              # mask 3, JOINT QP
+                res_cb = self._recon_resid(
+                    lev_u, cw, chh, self._chroma_qp(joint=True), ts=ts_u)
+                res_cr = np.where(res_cb == -32768, 32767,
+                                  -res_cb) if sign else res_cb
+                nz = lev_u is not None and lev_u.any()
+            if crs is not None and nz:
+                res_cb = scale_chroma_residual_inv(res_cb, crs, bd)
+                res_cr = scale_chroma_residual_inv(res_cr, crs, bd)
+            rec_u = np.clip(pred_u + res_cb, 0, mx)
+            rec_v = np.clip(pred_v + res_cr, 0, mx)
             return rec_u, rec_v
-        rec_u = np.clip(pred_u + (rr(lev_u, ts_u) if cbf_u else 0), 0, mx)
-        rec_v = np.clip(pred_v + (rr(lev_v, ts_v) if cbf_v else 0), 0, mx)
+        rec_u = np.clip(pred_u + (rr(lev_u, ts_u, qp_c) if cbf_u else 0),
+                        0, mx)
+        rec_v = np.clip(pred_v + (rr(lev_v, ts_v, qp_c) if cbf_v else 0),
+                        0, mx)
         return rec_u, rec_v
 
     def _mark_luma(self, cu: CuInfo):
@@ -444,7 +467,7 @@ class FrameDecoder(FrameEncoder):
             cbf_u, cbf_v, joint = st["u"], st["v"], st.get("j", False)
             if cbf_u:
                 lev_u, _, _, ts_u = self._parse_resid(cw, chh, False)
-            if cbf_v and not joint:
+            if cbf_v and not (joint and cbf_u):
                 lev_v, _, _, ts_v = self._parse_resid(cw, chh, False)
             comps = [(sw, sh, lv) for (cbf, lv, (_, _, sw, sh)) in subs
                      if cbf]
@@ -472,7 +495,7 @@ class FrameDecoder(FrameEncoder):
                     self._parse_resid(w, h, True)
             if cbf_u:
                 lev_u, _, _, ts_u = self._parse_resid(cw, chh, False)
-            if cbf_v and not joint:
+            if cbf_v and not (joint and cbf_u):
                 lev_v, _, _, ts_v = self._parse_resid(cw, chh, False)
             comps = []
             if cbf_y and not ts_y:
@@ -569,13 +592,13 @@ class FrameDecoder(FrameEncoder):
         ts_u = ts_v = False
         if cbf_u:
             lev_u, _, _, ts_u = self._parse_resid(cw, chh, False)
-        if cbf_v and not joint:
+        if cbf_v and not (joint and cbf_u):
             lev_v, _, _, ts_v = self._parse_resid(cw, chh, False)
         if min(cw, chh) >= 4:
             comps = []
             if cbf_u and not ts_u:
                 comps.append((cw, chh, lev_u))
-            if cbf_v and not joint and not ts_v:
+            if cbf_v and not (joint and cbf_u) and not ts_v:
                 comps.append((cw, chh, lev_v))
             ts_used = (cbf_u and ts_u) or (cbf_v and (ts_v or
                                                       (joint and ts_u)))
@@ -688,8 +711,13 @@ class FrameDecoder(FrameEncoder):
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):
                 if cfg.sao:
+                    idx = cty * n_ctu_x + ctx_i
                     sao_params.append(parse_sao_ctu(
-                        self.dec, ctx_i > 0, cty > 0, cfg.bit_depth))
+                        self.dec, ctx_i > 0, cty > 0, cfg.bit_depth,
+                        left_par=sao_params[idx - 1] if ctx_i > 0
+                        else None,
+                        above_par=sao_params[idx - n_ctu_x] if cty > 0
+                        else None))
                 if alf_flags is not None:
                     from .alf import parse_alf_ctu, parse_ccalf_ctu
                     parse_alf_ctu(self.dec, ctx, cty, ctx_i, alf_flags,

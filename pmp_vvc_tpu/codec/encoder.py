@@ -1383,8 +1383,11 @@ class FrameEncoder:
         rv = org_cv.astype(np.int64) - pred_v
         joint_res = ((ru - rv) / 2.0).round().astype(np.int32)
         synth_org = (pred_u.astype(np.int32) + joint_res)
+        # JOINT_CbCr QP: same mapping table, pps_joint_cbcr_qp_offset
+        # instead of the cb offset (QpParam ctor, Quant.cpp:115)
+        qp_j = qp_c - cfg.chroma_qp_offset + cfg.jccr_qp_offset
         cbf_j, lev_j, rec_ju, _, _ = self._code_tu_component(
-            rc, synth_org, pred_u, cx, cy, cw, chh, qp_c, False,
+            rc, synth_org, pred_u, cx, cy, cw, chh, qp_j, False,
             chroma_scale=chroma_scale)
         if not cbf_j:
             return (False, cbf_u, lev_u, rec_u, cbf_v, lev_v, rec_v)

@@ -78,6 +78,7 @@ class VVCConfig:
     num_reorder_pics: int = 0
     max_dec_pic_buffering: int = 2
     chroma_qp_offset: int = 0
+    jccr_qp_offset: int = 0        # pps_joint_cbcr_qp_offset_value
     # chroma QP mapping table (SPS): start + (delta_in_minus1, delta_out)
     # points; default identity. CTC AI uses ((-9), (9,12),(4,5),(11,7))
     chroma_qp_start_minus26: int = 0

@@ -140,12 +140,35 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
     if not rpl1_same:
         for _ in range(br.read_uvlc()):  # sps_num_ref_pic_lists[1]
             _skip_rpl()
-    for what in ("wraparound", "tmvp", "amvr", "bdof", "smvd", "dmvr",
-                 "mmvd"):
-        _expect(not br.read_flag(), what)
-    br.read_uvlc()                      # six_minus_max_num_merge_cand
-    for what in ("sbt", "affine", "bcw", "ciip", "gpm"):
-        _expect(not br.read_flag(), what)
+    # inter-only tool flags: dead in an all-intra stream (the PH keeps
+    # ph_inter_slice_allowed 0), so accept them and skip their
+    # subfields (VLCReader.cpp sps_temporal_mvp.. block)
+    _expect(not br.read_flag(), "wraparound")
+    if br.read_flag():                  # sps_temporal_mvp_enabled_flag
+        br.read_flag()                  # sps_sbtmvp_enabled_flag
+    amvr = br.read_flag()               # sps_amvr_enabled_flag
+    if br.read_flag():                  # sps_bdof_enabled_flag
+        br.read_flag()                  # sps_bdof_pic_present_flag
+    br.read_flag()                      # sps_smvd_enabled_flag
+    if br.read_flag():                  # sps_dmvr_enabled_flag
+        br.read_flag()                  # sps_dmvr_pic_present_flag
+    if br.read_flag():                  # sps_mmvd_enabled_flag
+        br.read_flag()                  # sps_mmvd_fullpel_only_flag
+    max_merge = 6 - br.read_uvlc()      # six_minus_max_num_merge_cand
+    br.read_flag()                      # sps_sbt_enabled_flag
+    if br.read_flag():                  # sps_affine_enabled_flag
+        br.read_uvlc()                  # five_minus_max_num_subblock_mc
+        br.read_flag()                  # sps_affine_type_flag
+        if amvr:
+            br.read_flag()              # sps_affine_amvr_enabled_flag
+        if br.read_flag():              # sps_affine_prof_enabled_flag
+            br.read_flag()              # sps_prof_pic_present_flag
+    br.read_flag()                      # sps_bcw_enabled_flag
+    br.read_flag()                      # sps_ciip_enabled_flag
+    if max_merge >= 2:
+        if br.read_flag():              # sps_gpm_enabled_flag
+            if max_merge >= 3:
+                br.read_uvlc()          # max_num_merge_cand_minus_gpm
     br.read_uvlc()                      # log2_parallel_merge_level_minus2
     cfg.isp = br.read_flag()
     cfg.mrl = br.read_flag()
@@ -192,7 +215,8 @@ def parse_pps(rbsp: bytes, cfg: VVCConfig):
     if br.read_flag():                  # chroma tool offsets present
         cfg.chroma_qp_offset = br.read_svlc()
         assert br.read_svlc() == cfg.chroma_qp_offset, "cb/cr offset differ"
-        _expect(not br.read_flag(), "jccr qp offsets")
+        if br.read_flag():              # pps_joint_cbcr_qp_offset_present
+            cfg.jccr_qp_offset = br.read_svlc()
         _expect(not br.read_flag(), "slice chroma qp offsets")
         _expect(not br.read_flag(), "cu chroma qp offset list")
     if br.read_flag():                  # deblocking control present

@@ -299,14 +299,19 @@ def _parse_unary_max_eqprob(dec, max_val):
     return v
 
 
-def parse_sao_ctu(dec, left_avail, above_avail, bit_depth=10):
-    """CABACReader::sao — parse mirror of ``write_sao_ctu`` (merge never
-    signalled by this encoder; Cr inherits Cb's mode/type per the spec)."""
+def parse_sao_ctu(dec, left_avail, above_avail, bit_depth=10,
+                  left_par=None, above_par=None):
+    """CABACReader::sao — parse mirror of ``write_sao_ctu`` (our encoder
+    never signals merge, but stock VTM streams do: a set merge flag
+    copies the whole neighbour param; Cr inherits Cb's mode/type)."""
+    import copy
     par = SaoCtuParam()
     if left_avail:
-        assert dec.decode_bin(ctx("SaoMergeFlag", 0)) == 0, "SAO merge"
+        if dec.decode_bin(ctx("SaoMergeFlag", 0)):
+            return copy.deepcopy(left_par)
     if above_avail:
-        assert dec.decode_bin(ctx("SaoMergeFlag", 0)) == 0, "SAO merge"
+        if dec.decode_bin(ctx("SaoMergeFlag", 0)):
+            return copy.deepcopy(above_par)
     max_q = (1 << (min(bit_depth, 10) - 5)) - 1
 
     def offsets4():

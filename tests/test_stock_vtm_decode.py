@@ -82,3 +82,67 @@ Level: 2.1
     dcfg, frames = decode_stream(bit.read_bytes(), verify_hash=True)
     assert len(frames) == 1
     assert frames[0][0].shape == (h, w)
+
+
+@pytest.mark.skipif(not _ENC.exists(), reason="VTM oracle not built")
+def test_decode_stock_vtm_full_ctc_stream(tmp_path):
+    """Full-CTC toolset stock stream (encoder_intra_vtm.cfg: dual tree,
+    MIP/MRL/ISP, CCLM, MTS/LFNST, JCCR, LMCS, SAO, dep-quant, transform
+    skip) — our decoder must reproduce it hash-verified. This was
+    blocked on TS residual parse (STATUS #9). Remaining exclusion: ALF
+    (the stock encoder emits nonlinear/multi-alternative ALF APS
+    syntax the parser does not yet cover)."""
+    from pmp_vvc_tpu.codec.decoder import decode_stream
+    from pmp_vvc_tpu.data.yuv import write_yuv420
+
+    w, h = 192, 128
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # mixed content: smooth gradients + flat/noisy blocks (exercises TS)
+    y8 = np.clip(128 + 60 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+                 + rng.randn(h, w) * 6, 0, 255).astype(np.uint8)
+    y8[16:48, 16:80] = (rng.randint(0, 2, (32, 64)) * 180 + 40).astype(np.uint8)
+    y8[64:96, 96:160] = 200
+    u8 = (128 + 40 * np.sin(xx[::2, ::2] / 31.0)).astype(np.uint8)
+    v8 = (128 + 40 * np.cos(yy[::2, ::2] / 29.0)).astype(np.uint8)
+    seq = tmp_path / "in.yuv"
+    write_yuv420(seq, y8[None], u8[None], v8[None])
+    cfg = tmp_path / "seq.cfg"
+    cfg.write_text(f"""InputFile: {seq}
+InputBitDepth: 8
+InputChromaFormat: 420
+FrameRate: 30
+SourceWidth: {w}
+SourceHeight: {h}
+FramesToBeEncoded: 1
+Level: 2.1
+""")
+    from pmp_vvc_tpu.data.yuv import blocks_for_sequence
+    from pmp_vvc_tpu.pmp.map2partition import (blocks_to_frame_partition,
+                                               write_partition_txt)
+    from pmp_vvc_tpu.pmp.predict import CompPredictor
+    pm = tmp_path / "PartitionMat"
+    pm.mkdir()
+    lin, cin = blocks_for_sequence(y8[None], u8[None], v8[None])
+    for comp, blocks in (("Luma", lin), ("Chroma", cin)):
+        pred = CompPredictor.from_reference_checkpoints(
+            comp == "Luma",
+            f"/root/reference/trained_models/{comp}_Q_32.pkl")
+        qt, bt, dire = pred.predict(blocks)
+        maps = blocks_to_frame_partition(qt, bt, dire, w, h,
+                                         comp == "Luma")
+        write_partition_txt(pm / f"in_{comp}_QP32_PartitionMat.txt",
+                            [maps])
+    bit = tmp_path / "out.bin"
+    r = subprocess.run(
+        [str(_ENC), "-c", str(cfg), "-c",
+         "/root/reference/codec/demo/cfg/encoder_intra_vtm.cfg",
+         "-q", "32", "-ts", "1", "--SEIDecodedPictureHash=1",
+         "--ALF=0", "--CCALF=0",
+         "-b", str(bit), "-o", "/dev/null"],
+        capture_output=True, text=True, timeout=600, cwd=tmp_path)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    dcfg, frames = decode_stream(bit.read_bytes(), verify_hash=True)
+    assert dcfg.transform_skip and dcfg.dep_quant and dcfg.dual_tree
+    assert len(frames) == 1
+    assert frames[0][0].shape == (h, w)
