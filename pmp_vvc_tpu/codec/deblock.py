@@ -289,20 +289,24 @@ def _filter_luma_edge(buf, e, r0, n, q_size, p_sizes, qp, bit_depth, ctu,
                                      len_p, len_q)
 
 
-def _filter_chroma_edge(buf, e, r0, n, q_size, p_sizes, qp, bit_depth,
+def _filter_chroma_edge(buf, e, r0, n, q_size, p_sizes, qps, bit_depth,
                         ctb_boundary):
     """xEdgeFilterChroma (:1177-1402) for one chroma CU edge.
 
     ``n`` lines (chroma samples), 2-line segments; ``q_size``/``p_sizes``
-    in chroma samples along the perpendicular direction.
+    in chroma samples along the perpendicular direction; ``qps[seg]``
+    the per-segment averaged chroma QP ((baseQp_P + baseQp_Q + 1) >> 1,
+    :1322-1330 — per-TU because JCCR mode-2 TUs map through the
+    JOINT_CbCr offset, QpParam Quant.cpp:105-126).
     """
-    tc_idx = _clip3(0, 65, qp + 2 + 0)
-    tc_tab = int(TC_TABLE[tc_idx])
-    tc = (tc_tab << (bit_depth - 10)) if bit_depth >= 10 else \
-        ((tc_tab + (1 << (9 - bit_depth))) >> (10 - bit_depth))
-    beta = int(BETA_TABLE[_clip3(0, 63, qp)]) << (bit_depth - 8)
     max_pel = (1 << bit_depth) - 1
     for seg in range(n // 2):
+        qp = qps[seg]
+        tc_idx = _clip3(0, 65, qp + 2 + 0)
+        tc_tab = int(TC_TABLE[tc_idx])
+        tc = (tc_tab << (bit_depth - 10)) if bit_depth >= 10 else \
+            ((tc_tab + (1 << (9 - bit_depth))) >> (10 - bit_depth))
+        beta = int(BETA_TABLE[_clip3(0, 63, qp)]) << (bit_depth - 8)
         r = r0 + 2 * seg
         p_size = p_sizes[seg]
         large = p_size >= 8 and q_size >= 8
@@ -332,13 +336,17 @@ def _filter_chroma_edge(buf, e, r0, n, q_size, p_sizes, qp, bit_depth,
 
 
 def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
-                  qp, qp_c, bit_depth=10, ctu_size=128):
+                  qp, qp_c, bit_depth=10, ctu_size=128,
+                  qp_c_joint=None, joint2=None):
     """In-place deblocking of one all-intra picture.
 
     ``luma_cus``: leaf CUs (x, y, w, h) in luma samples; ``chroma_cus``:
     leaf CUs in chroma samples (single tree: luma CUs halved).  ``qp``:
     slice luma QP; ``qp_c``: chroma deblock QP (mapped table value
     without the bit-depth offset, QpParam usage at :1322-1330).
+    ``qp_c_joint``/``joint2``: JCCR-mode-2 chroma QP and the per-2x2-
+    chroma-unit bool grid of TUs coded in that mode — those TUs deblock
+    with the JOINT_CbCr offset (QpParam Quant.cpp:112 useJQP).
     """
     hl, wl = recon_y.shape
     hc, wc = recon_u.shape
@@ -353,6 +361,11 @@ def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
     for (x, y, w, h) in chroma_cus:
         cw[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = w
         ch[y // 2:(y + h) // 2, x // 2:(x + w) // 2] = h
+    # per-2x2-chroma-unit base QP (JCCR mode 2 -> joint offset)
+    if joint2 is not None and qp_c_joint is not None:
+        cqp = np.where(joint2, qp_c_joint, qp_c).astype(np.int32)
+    else:
+        cqp = np.full((hc // 2, wc // 2), qp_c, np.int32)
 
     for hor in (False, True):                    # ver pass, then hor pass
         yb = recon_y.T if hor else recon_y
@@ -376,6 +389,9 @@ def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
                 e, r0, n, q_size = y, x, w, h
                 p_sizes = [int(ch[(y - 1) // 2, (x + 2 * s) // 2])
                            for s in range(n // 2)]
+                qps = [(int(cqp[(y - 1) // 2, (x + 2 * s) // 2])
+                        + int(cqp[y // 2, (x + 2 * s) // 2]) + 1) >> 1
+                       for s in range(n // 2)]
                 ctb = (y % ctu_c == 0)
             else:
                 if x == 0 or x % 8 != 0:
@@ -383,10 +399,13 @@ def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
                 e, r0, n, q_size = x, y, h, w
                 p_sizes = [int(cw[(y + 2 * s) // 2, (x - 1) // 2])
                            for s in range(n // 2)]
+                qps = [(int(cqp[(y + 2 * s) // 2, (x - 1) // 2])
+                        + int(cqp[(y + 2 * s) // 2, x // 2]) + 1) >> 1
+                       for s in range(n // 2)]
                 ctb = False
             buf_u = recon_u.T if hor else recon_u
             buf_v = recon_v.T if hor else recon_v
-            _filter_chroma_edge(buf_u, e, r0, n, q_size, p_sizes, qp_c,
+            _filter_chroma_edge(buf_u, e, r0, n, q_size, p_sizes, qps,
                                 bit_depth, ctb)
-            _filter_chroma_edge(buf_v, e, r0, n, q_size, p_sizes, qp_c,
+            _filter_chroma_edge(buf_v, e, r0, n, q_size, p_sizes, qps,
                                 bit_depth, ctb)

@@ -533,6 +533,9 @@ class FrameDecoder(FrameEncoder):
             cw, chh, qp_c, crs, ts_u=ts_u, ts_v=ts_v)
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
+        self.unit_joint2[cy // 2:(cy + chh) // 2,
+                         cx // 2:(cx + cw) // 2] = \
+            bool(joint and cbf_u and cbf_v)
         self._mark_luma(cu)
         self.leaf_c.append((cx, cy, cw, chh))
 
@@ -612,6 +615,9 @@ class FrameDecoder(FrameEncoder):
             cw, chh, self._chroma_qp(), crs, ts_u=ts_u, ts_v=ts_v)
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
+        self.unit_joint2[cy // 2:(cy + chh) // 2,
+                         cx // 2:(cx + cw) // 2] = \
+            bool(joint and cbf_u and cbf_v)
         r, c = y // 4, x // 4
         self.coded_c[r:r + h // 4, c:c + w // 4] = True
         self.unit_w_c[r:r + h // 4, c:c + w // 4] = w
@@ -752,9 +758,14 @@ class FrameDecoder(FrameEncoder):
                           min(63,
                               int(self.qp_table[qpi + self.qp_bd_offset])
                               + cfg.chroma_qp_offset))
+            qp_j_db = max(-self.qp_bd_offset,
+                          min(63,
+                              int(self.qp_table[qpi + self.qp_bd_offset])
+                              + cfg.jccr_qp_offset))
             deblock_frame(self.recon_y, self.recon_u, self.recon_v,
                           self.leaf_l, self.leaf_c, cfg.qp, qp_c_db,
-                          bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size)
+                          bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size,
+                          qp_c_joint=qp_j_db, joint2=self.unit_joint2)
         if cfg.sao:
             apply_sao_frame([self.recon_y, self.recon_u, self.recon_v],
                             sao_params, 128, bit_depth=cfg.bit_depth)

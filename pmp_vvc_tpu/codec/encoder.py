@@ -251,6 +251,11 @@ class FrameEncoder:
             self.unit_qt_c = np.zeros((r4, c4), np.int32)
         self.leaf_l = []                  # leaf CUs, luma coords
         self.leaf_c = []                  # leaf CUs, chroma coords
+        # chroma TUs coded in JCCR mode 2 (cbf_cb & cbf_cr joint), per
+        # 2x2-chroma-sample unit — deblock maps their QP through the
+        # JOINT_CbCr offset (QpParam Quant.cpp:112)
+        self.unit_joint2 = np.zeros((cfg.height // 4, cfg.width // 4),
+                                    bool)
         self.unit_mip = np.zeros((r4, c4), bool)
         self.unit_isp = np.zeros((r4, c4), bool)
         self.n_cclm = 0                   # CUs that chose CCLM
@@ -793,7 +798,7 @@ class FrameEncoder:
             for mri in (1, 2):
                 mtop, mleft = self._mrl_refs(cu.x, cu.y, w, h, mri)
                 for m in mpm[1:]:
-                    if m <= DC:
+                    if m == PLANAR:
                         continue
                     pr = intra_ops.predict_mrl(mtop, mleft, w=w, h=h,
                                                mode=m, mri=mri,
@@ -1614,6 +1619,9 @@ class FrameEncoder:
 
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
+        self.unit_joint2[cy // 2:(cy + chh) // 2,
+                         cx // 2:(cx + cw) // 2] = \
+            bool(joint and cbf_u and cbf_v)
         r, c = y // 4, x // 4
         self.coded_c[r:r + h // 4, c:c + w // 4] = True
         self.unit_w_c[r:r + h // 4, c:c + w // 4] = w
@@ -1870,6 +1878,9 @@ class FrameEncoder:
         # ---- state update ----
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
+        self.unit_joint2[cy // 2:(cy + chh) // 2,
+                         cx // 2:(cx + cw) // 2] = \
+            bool(joint and cbf_u and cbf_v)
         r, c = y // 4, x // 4
         self.coded[r:r + h // 4, c:c + w // 4] = True
         self.unit_mode[r:r + h // 4, c:c + w // 4] = cu.mode
@@ -1887,7 +1898,7 @@ class FrameEncoder:
     # ---- RDO split search (EncCu::xCompressCU / xCheckModeSplit) ---------
 
     _SNAP_L = ("coded", "unit_mode", "unit_w", "unit_h", "unit_qt",
-               "unit_mip", "unit_isp")
+               "unit_mip", "unit_isp", "unit_joint2")
     _SNAP_C = ("coded_c", "unit_w_c", "unit_h_c", "unit_qt_c")
 
     def _state_snapshot(self, x, y, w, h):
@@ -2280,9 +2291,13 @@ class FrameEncoder:
             qp_c_db = max(-self.qp_bd_offset,
                           min(63, int(self.qp_table[qpi + self.qp_bd_offset])
                               + cfg.chroma_qp_offset))
+            qp_j_db = max(-self.qp_bd_offset,
+                          min(63, int(self.qp_table[qpi + self.qp_bd_offset])
+                              + cfg.jccr_qp_offset))
             deblock_frame(self.recon_y, self.recon_u, self.recon_v,
                           self.leaf_l, self.leaf_c, cfg.qp, qp_c_db,
-                          bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size)
+                          bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size,
+                          qp_c_joint=qp_j_db, joint2=self.unit_joint2)
 
         self.bin_stats = None
         if collect_bin_stats:

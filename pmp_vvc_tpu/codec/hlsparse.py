@@ -225,6 +225,11 @@ def parse_pps(rbsp: bytes, cfg: VVCConfig):
         if not cfg.deblocking_disabled:
             for _ in range(6):
                 assert br.read_svlc() == 0, "deblock beta/tc offsets"
+    else:
+        # control-present absent => deblocking ENABLED with zero
+        # offsets (VVC 7.4.3.4 inference; stock VTM omits the block
+        # when no override and all offsets are 0)
+        cfg.deblocking_disabled = False
     br.read_flag()                      # ph extension
     br.read_flag()                      # sh extension
     _expect(not br.read_flag(), "pps extension")

@@ -5,18 +5,20 @@ Replaces the reference's sequential CTU raster + CU recursion
 schedule.  The PMP partition map fixes the whole CU tree before coding
 starts, so every leaf CU of the frame is known up front.
 
-Round-3 design (v2): the device work compiles to exactly ONE program
-per *tile class* (pad 32 / pad 64), independent of frame content —
-CU width/height and prediction mode are per-CU tensor data
-(ops/intra_generic.py, ops/tq_generic.py).  The host<->device traffic
-is a handful of bulk transfers:
+Round-4 design (v3): the ENTIRE wave loop is ONE compiled program — a
+``lax.scan`` over the packed schedule, one step per wave segment, with
+per-tile-class bodies guarded by ``lax.cond`` (a step runs exactly one
+class; the other class's row is all-invalid and skipped).  CU
+width/height and prediction mode are per-CU tensor data
+(ops/intra_generic.py, ops/tq_generic.py), so the program is
+content-independent per (geometry, tile classes).  Host<->device
+traffic per frame batch:
 
   up:   originals (F, H, W), the coding-order grid, and one packed
-        schedule array set per tile class (all segments at once);
-  loop: zero transfers — each wave step reads its segment row via a
-        device-resident counter (donated, incremented on device) and
-        scatters reconstruction + quantized levels + chosen modes into
-        device-resident frame planes;
+        (S, B, 7) schedule array per tile class;
+  loop: nothing — the scan is device-resident (round 3 dispatched one
+        device call per segment; over a tunneled chip the ~55 dispatch
+        round-trips per frame dominated wall-clock 10:1);
   down: ONE fetch of the packed result planes (recon as uint16, levels
         as int16, modes as uint8).
 
@@ -148,18 +150,16 @@ def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside):
     return lev, rec
 
 
-@functools.cache
-def _wave_step(P, bsz, F, H, W, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-               mesh=None):
-    """One jitted wave step for the P-pad tile class: luma 67-mode RMD +
+def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
+    """Wave-segment body for the P-pad tile class: luma 67-mode RMD +
     TQ + chroma DM + TQ + scatter into device-resident result planes.
-    All per-CU geometry comes from one packed schedule array, indexed by
-    a donated device counter — the wave loop transfers nothing."""
+    Pure function of (state planes, schedule row, originals, order
+    grid); traced once inside the fused scan program."""
     Pc = P // 2
     modes67 = np.broadcast_to(np.arange(67, dtype=np.int32), (bsz, 67))
 
-    def f(ry, ru, rv, cY, cU, cV, mg, cnt, oy, ou, ov, og4, sched):
-        row = jax.lax.dynamic_index_in_dim(sched, cnt, 0, keepdims=False)
+    def f(state, row, oy, ou, ov, og4):
+        ry, ru, rv, cY, cU, cV, mg = state
         fi, xs, ys, ws, hs, oi, okv = [row[:, k] for k in range(7)]
         ok = okv > 0
         # ---- luma ----
@@ -217,23 +217,44 @@ def _wave_step(P, bsz, F, H, W, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                                                   mode="drop")
             out.append((plane, lv_p))
         (ru, cU), (rv, cV) = out
-        return ry, ru, rv, cY, cU, cV, mg, cnt + 1
+        return ry, ru, rv, cY, cU, cV, mg
 
-    donate = tuple(range(8))   # state planes + counter
-    if mesh is not None:
-        from ..parallel.wavefront_dp import wave_step_shardings
-        ins, outs = wave_step_shardings(mesh)
-        return jax.jit(f, donate_argnums=donate, in_shardings=ins,
-                       out_shardings=outs)
-    return jax.jit(f, donate_argnums=donate)
+    return f
 
 
 @functools.cache
-def _pack_fn(mesh=None):
-    def pack(ry, ru, rv, cY, cU, cV, mg):
+def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
+               mesh=None):
+    """ONE jitted program running every wave segment of a frame batch:
+    ``lax.scan`` over the packed per-class schedules.  Each scan step
+    carries one (B, 7) row per tile class; at most one row is active
+    (ok flags set) and the others are skipped via ``lax.cond``.  Result
+    planes are packed for the single down-transfer."""
+    applies = [_make_class_apply(p, b, qp_y, qp_c, bd, lam, dw_c,
+                                 rd_quant) for p, b in zip(classes, bszs)]
+
+    def f(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, *scheds):
+        def step(state, rows):
+            for app, row in zip(applies, rows):
+                state = jax.lax.cond(
+                    jnp.any(row[:, 6] > 0),
+                    lambda s, r, a=app: a(s, r, oy, ou, ov, og4),
+                    lambda s, r: s,
+                    state, row)
+            return state, None
+        state, _ = jax.lax.scan(step, (ry, ru, rv, cY, cU, cV, mg),
+                                tuple(scheds))
+        ry, ru, rv, cY, cU, cV, mg = state
         return (ry.astype(jnp.uint16), ru.astype(jnp.uint16),
                 rv.astype(jnp.uint16), cY, cU, cV, mg)
-    return jax.jit(pack)
+
+    donate = tuple(range(7))   # state planes
+    if mesh is not None:
+        from ..parallel.wavefront_dp import wave_scan_shardings
+        ins, outs = wave_scan_shardings(mesh, len(classes))
+        return jax.jit(f, donate_argnums=donate, in_shardings=ins,
+                       out_shardings=outs)
+    return jax.jit(f, donate_argnums=donate)
 
 
 # ---------------------------------------------------------------------------
@@ -386,14 +407,17 @@ class WavefrontEncoder(FrameEncoder):
                 key = (lvl, p)
             seg_rows[p][-1].append(e)
 
-        scheds = {}
-        for p, rows in seg_rows.items():
-            B = self.batch[p]
-            arr = np.zeros((max(len(rows), 1), B, 7), np.int32)
-            for s, row in enumerate(rows):
-                for k, (_l, _p, f, x, y, w, h, i) in enumerate(row):
-                    arr[s, k] = (f, x, y, w, h, i, 1)
-            scheds[p] = jnp.asarray(arr)
+        # one (S, B, 7) schedule per ACTIVE class, aligned on the global
+        # step axis: step t has its row filled only for seq[t]'s class
+        active = tuple(p for p in TILE_CLASSES if seg_rows[p])
+        S = max(len(seq), 1)
+        step_arr = {p: np.zeros((S, self.batch[p], 7), np.int32)
+                    for p in active}
+        for t, (p, ridx) in enumerate(seq):
+            for k, (_l, _p, f, x, y, w, h, i) in enumerate(
+                    seg_rows[p][ridx]):
+                step_arr[p][t, k] = (f, x, y, w, h, i, 1)
+        scheds = [jnp.asarray(step_arr[p]) for p in active]
 
         oy = jnp.asarray(np.stack([np.asarray(fr[1], np.int32)
                                    for fr in frames]))
@@ -409,17 +433,11 @@ class WavefrontEncoder(FrameEncoder):
         cU = jnp.zeros((F, H // 2, W // 2), jnp.int16)
         cV = jnp.zeros_like(cU)
         mg = jnp.zeros((F, H // 4, W // 4), jnp.uint8)
-        state = (ry, ru, rv, cY, cU, cV, mg)
-        cnts = {p: jnp.zeros((), jnp.int32) for p in TILE_CLASSES}
 
-        steps = {p: _wave_step(p, self.batch[p], F, H, W, qp_y, qp_c, bd,
-                               float(self.lam), float(self.dw_c),
-                               bool(cfg.rd_quant), mesh=self.mesh)
-                 for p in TILE_CLASSES}
-        for p, _row in seq:
-            *state, cnts[p] = steps[p](*state, cnts[p], oy, ou, ov, og4,
-                                       scheds[p])
-        packed = _pack_fn(self.mesh)(*state)
+        fn = _wave_scan(active, tuple(self.batch[p] for p in active),
+                        qp_y, qp_c, bd, float(self.lam), float(self.dw_c),
+                        bool(cfg.rd_quant), mesh=self.mesh)
+        packed = fn(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, *scheds)
         return jax.device_get(packed)
 
     # ---- phase C: CABAC replay ------------------------------------------

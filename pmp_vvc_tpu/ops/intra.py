@@ -562,10 +562,23 @@ def predict_mrl(top, left, *, w, h, mode, mri, bit_depth=10):
     2h+1+mri.  Contract: xPredIntraAng (:476-660) with refMain/refSide
     += multiRefIdx and deltaPos starting at intraPredAngle*(1+mri); PDPC
     and reference smoothing are off for mri != 0 (initPredIntraParams
-    :388-431).  Angular modes only (MRL implies a non-planar MPM mode).
+    :388-431).  Modes: DC or angular (MRL implies an MPM mode, which
+    excludes planar but NOT DC — xGetPredValDc :152-181 sums line
+    ``mri`` at offset mri+1, i.e. the samples aligned with the block).
     """
-    p = mode_params(w, h, mode, is_luma=True, mrl=mri)
     pel_max = (1 << bit_depth) - 1
+    if mode == DC_IDX:
+        t = np.asarray(top, np.int64)
+        l = np.asarray(left, np.int64)
+        s = 0
+        if w >= h:
+            s += int(t[mri + 1: mri + 1 + w].sum())
+        if w <= h:
+            s += int(l[mri + 1: mri + 1 + h].sum())
+        denom = (w << 1) if w == h else max(w, h)
+        dc = (s + (denom >> 1)) >> _flog2(denom)
+        return np.full((h, w), dc, np.int64)
+    p = mode_params(w, h, mode, is_luma=True, mrl=mri)
     main = np.asarray(top if p.is_ver else left, np.int64)
     side = np.asarray(left if p.is_ver else top, np.int64)
     wp, hp = (w, h) if p.is_ver else (h, w)

@@ -16,6 +16,6 @@ TPU-native equivalents here:
   process pool (--jobs) and frames can also be round-robined across
   meshes by the caller.
 """
-from .wavefront_dp import wave_step_shardings, make_mesh
+from .wavefront_dp import wave_scan_shardings, make_mesh
 
-__all__ = ["wave_step_shardings", "make_mesh"]
+__all__ = ["wave_scan_shardings", "make_mesh"]

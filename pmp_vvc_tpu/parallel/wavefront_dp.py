@@ -30,18 +30,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(devs, (axis,))
 
 
-def wave_step_shardings(mesh: Mesh, axis: str = "dp"):
-    """(in_shardings, out_shardings) for wavefront._wave_step's v2
-    signature ``f(ry, ru, rv, cY, cU, cV, mg, cnt, oy, ou, ov, og4,
-    sched)``: every frame plane and the counter replicated, the packed
-    schedule sharded on its per-CU batch axis — XLA partitions the
-    whole wave step (reference gather, substitution, 67-mode intra
-    prediction, SATD argmin, transform/quant roundtrip) over the CU
-    axis and all-gathers only the tiny recon/level scatters, riding
-    ICI.  Integer math keeps sharded and single-device bitstreams
-    identical."""
+def wave_scan_shardings(mesh: Mesh, n_classes: int, axis: str = "dp"):
+    """(in_shardings, out_shardings) for wavefront._wave_scan's fused
+    signature ``f(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4,
+    *scheds)``: every frame plane replicated, each packed (S, B, 7)
+    schedule sharded on its per-CU batch axis — XLA partitions every
+    step of the device-resident scan (reference gather, substitution,
+    67-mode intra prediction, SATD argmin, transform/quant roundtrip)
+    over the CU axis and all-gathers only the tiny recon/level
+    scatters, riding ICI.  Integer math keeps sharded and
+    single-device bitstreams identical."""
     rep = NamedSharding(mesh, P())
     shard_b = NamedSharding(mesh, P(None, axis))   # sched (S, B, 7)
-    ins = (rep,) * 8 + (rep, rep, rep, rep, shard_b)
-    outs = (rep,) * 8
+    ins = (rep,) * 7 + (rep, rep, rep, rep) + (shard_b,) * n_classes
+    outs = (rep,) * 7
     return ins, outs
