@@ -156,7 +156,13 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
     Pure function of (state planes, schedule row, originals, order
     grid); traced once inside the fused scan program."""
     Pc = P // 2
-    modes67 = np.broadcast_to(np.arange(67, dtype=np.int32), (bsz, 67))
+    # RMD mode subsampling (IntraSearch.cpp:370 does the same): SATD
+    # over planar/DC + the 33 even angulars, then refine the best
+    # angular's two odd neighbours.  Decisions are free (any mode is
+    # conformant); only the CHOSEN mode's prediction feeds recon, and
+    # every candidate here is computed by the exact predictor.
+    rmd_modes = np.array([0, 1] + list(range(2, 67, 2)), np.int32)
+    modes_rmd = np.broadcast_to(rmd_modes, (bsz, rmd_modes.size))
 
     def f(state, row, oy, ou, ov, og4):
         ry, ru, rv, cY, cU, cV, mg = state
@@ -164,15 +170,33 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
         ok = okv > 0
         # ---- luma ----
         refs = _refs_generic(ry, og4, fi, oi, xs, ys, ws, hs, P, 1, bd)
-        preds = predict_generic(*refs, modes67,
+        preds = predict_generic(*refs, modes_rmd,
                                 ws, hs, pad=P, is_luma=True, bit_depth=bd)
         dy = np.arange(P)
         o_rows = ys[:, None, None] + dy[None, :, None]
         o_cols = xs[:, None, None] + dy[None, None, :]
         orgs = _gather_plane(oy, fi[:, None, None], o_rows, o_cols)
         costs = satd_generic(orgs[:, None], preds, ws, hs)
-        best = jnp.argmin(costs, axis=1).astype(jnp.int32)
-        pred = jnp.take_along_axis(preds, best[:, None, None, None],
+        bi = jnp.argmin(costs, axis=1)
+        m_a = jnp.take(jnp.asarray(rmd_modes), bi)
+        ang = m_a >= 2
+        modes_ref = jnp.stack(
+            [jnp.where(ang, jnp.clip(m_a - 1, 2, 66), m_a),
+             jnp.where(ang, jnp.clip(m_a + 1, 2, 66), m_a)], axis=1)
+        preds_r = predict_generic(*refs, modes_ref, ws, hs, pad=P,
+                                  is_luma=True, bit_depth=bd)
+        costs_r = satd_generic(orgs[:, None], preds_r, ws, hs)
+        cand_c = jnp.concatenate(
+            [jnp.take_along_axis(costs, bi[:, None], axis=1), costs_r],
+            axis=1)
+        cand_p = jnp.concatenate(
+            [jnp.take_along_axis(preds, bi[:, None, None, None],
+                                 axis=1), preds_r], axis=1)
+        cand_m = jnp.concatenate([m_a[:, None], modes_ref], axis=1)
+        k = jnp.argmin(cand_c, axis=1)
+        best = jnp.take_along_axis(cand_m, k[:, None],
+                                   axis=1)[:, 0].astype(jnp.int32)
+        pred = jnp.take_along_axis(cand_p, k[:, None, None, None],
                                    axis=1)[:, 0]
         inside = ((dy[None, :, None] < hs[:, None, None])
                   & (dy[None, None, :] < ws[:, None, None]))
@@ -236,11 +260,15 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     def f(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, *scheds):
         def step(state, rows):
             for app, row in zip(applies, rows):
-                state = jax.lax.cond(
-                    jnp.any(row[:, 6] > 0),
-                    lambda s, r, a=app: a(s, r, oy, ou, ov, og4),
-                    lambda s, r: s,
-                    state, row)
+                if len(applies) == 1:
+                    # single tile class: every step's row is live
+                    state = app(state, row, oy, ou, ov, og4)
+                else:
+                    state = jax.lax.cond(
+                        jnp.any(row[:, 6] > 0),
+                        lambda s, r, a=app: a(s, r, oy, ou, ov, og4),
+                        lambda s, r: s,
+                        state, row)
             return state, None
         state, _ = jax.lax.scan(step, (ry, ru, rv, cY, cU, cV, mg),
                                 tuple(scheds))
@@ -385,38 +413,53 @@ class WavefrontEncoder(FrameEncoder):
         F = len(frames)
         H, W = cfg.height, cfg.width
 
-        ogs, entries = [], []
+        import collections
+        ogs, per_frame = [], []
         for f, (leaves, *_d) in enumerate(frames):
             order = _order_grid(leaves, W, H)
             wave = _schedule_waves(leaves, order, W, H)
             ogs.append(order)
+            by_lvl = collections.defaultdict(list)
             for i, (x, y, w, h, _) in enumerate(leaves):
                 p = 32 if max(w, h) <= 32 else 64
-                entries.append((int(wave[i]), p, f, x, y, w, h, i))
+                by_lvl[int(wave[i])].append((p, f, x, y, w, h, i))
+            per_frame.append(collections.deque(
+                collections.deque(by_lvl[lv]) for lv in sorted(by_lvl)))
 
-        # segment packing: per (level, class), chunks of the class batch
-        entries.sort(key=lambda e: (e[0], e[1]))
-        seg_rows = {p: [] for p in TILE_CLASSES}
-        seq = []                    # (class, row index) in execution order
-        key = None
-        for e in entries:
-            lvl, p = e[0], e[1]
-            if key != (lvl, p) or len(seg_rows[p][-1]) >= self.batch[p]:
-                seg_rows[p].append([])
-                seq.append((p, len(seg_rows[p]) - 1))
-                key = (lvl, p)
-            seg_rows[p][-1].append(e)
+        # greedy cross-frame packing: CUs only depend on earlier wave
+        # levels of their OWN frame, so different frames' levels
+        # interleave freely — a step mixes frame A's level 3 with frame
+        # B's level 7, filling the batch slots that a per-(level, class)
+        # segmentation left mostly empty (~2 of 16 at 416x240).  A
+        # frame's next level becomes schedulable the step after its
+        # current level finishes.
+        ready = [0] * F
+        steps = []
+        while any(per_frame):
+            t = len(steps)
+            step = {p: [] for p in TILE_CLASSES}
+            for f in range(F):
+                q = per_frame[f]
+                while q and ready[f] <= t:
+                    ents = q[0]
+                    while ents and \
+                            len(step[ents[0][0]]) < self.batch[ents[0][0]]:
+                        step[ents[0][0]].append(ents.popleft())
+                    if ents:
+                        break              # class slots full this step
+                    q.popleft()
+                    ready[f] = t + 1       # next level waits a step
+            steps.append(step)
 
-        # one (S, B, 7) schedule per ACTIVE class, aligned on the global
-        # step axis: step t has its row filled only for seq[t]'s class
-        active = tuple(p for p in TILE_CLASSES if seg_rows[p])
-        S = max(len(seq), 1)
+        active = tuple(p for p in TILE_CLASSES
+                       if any(st[p] for st in steps))
+        S = max(len(steps), 1)
         step_arr = {p: np.zeros((S, self.batch[p], 7), np.int32)
                     for p in active}
-        for t, (p, ridx) in enumerate(seq):
-            for k, (_l, _p, f, x, y, w, h, i) in enumerate(
-                    seg_rows[p][ridx]):
-                step_arr[p][t, k] = (f, x, y, w, h, i, 1)
+        for t, st in enumerate(steps):
+            for p in active:
+                for k, (_p, f, x, y, w, h, i) in enumerate(st[p]):
+                    step_arr[p][t, k] = (f, x, y, w, h, i, 1)
         scheds = [jnp.asarray(step_arr[p]) for p in active]
 
         oy = jnp.asarray(np.stack([np.asarray(fr[1], np.int32)

@@ -205,14 +205,29 @@ def predict_generic(top_u, left_u, top_f, left_f, modes, w, h, *,
         fs = jnp.stack([zf, 64 - 2 * delta_frac, 2 * delta_frac, zf],
                        axis=-1)
 
+    # Gather-free 4-tap interpolation: correlate the reference with the
+    # per-row taps via STATIC shifted slices (G[b,m,y,j] = sum_k
+    # fs[y,k] * ref[j+k]), then read each output row as ONE contiguous
+    # window (vmapped dynamic_slice -> a slice-sized gather, which the
+    # TPU handles far better than the per-element take_along_axis this
+    # replaces).  Edge semantics: ref's tail replicates the last
+    # sample, so right-padding ref by 3 and G by P reproduces the
+    # original per-tap index clamp exactly (all-clamped taps sum to
+    # 64 * last because every filter's taps sum to 64).
     xs = ps
-    base = off + delta_int[:, :, :, None] + xs[None, None, None, :]
-    acc = jnp.zeros((B, M, P, P), jnp.int32)
+    refp = jnp.concatenate([ref, jnp.repeat(ref[:, :, -1:], 3, axis=2)],
+                           axis=2)
+    G = jnp.zeros((B, M, P, ltot), jnp.int32)
     for k in range(4):
-        idx = jnp.clip(base + k, 0, ltot - 1).reshape(B, M, P * P)
-        vals = jnp.take_along_axis(ref, idx, axis=2).reshape(B, M, P, P)
-        acc = acc + fs[:, :, :, k, None] * vals
-    pred = jnp.clip((acc + 32) >> 6, 0, pel_max)
+        G = G + fs[:, :, :, k, None] * refp[:, :, None, k:ltot + k]
+    Gp = jnp.concatenate(
+        [G, jnp.repeat(G[:, :, :, -1:], P, axis=3)], axis=3)
+    starts = jnp.clip(off + delta_int, 0, ltot + P - P)   # (B, M, P)
+    flat = Gp.reshape(B * M * P, ltot + P)
+    win = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (P,)))(
+            flat, starts.reshape(B * M * P))
+    pred = jnp.clip((win.reshape(B, M, P, P) + 32) >> 6, 0, pel_max)
 
     # ---- PDPC, angular ----
     zero = angle == 0
