@@ -686,50 +686,67 @@ def ccalf_aps_payload(bw, coeff_cb, coeff_cr):
 # ---------------------------------------------------------------------------
 
 def parse_alf_aps(rbsp: bytes):
-    """Parse mirror of ``alf_aps_nal`` -> dict(luma (25,12)|None,
-    luma_delta_idx, chroma (6,)|None, cc_cb (7,)|None, cc_cr (7,)|None)."""
+    """Full alf_data parse (VLCReader.cpp parseAlfAps/alfFilter):
+    nonlinear clipping indices, multiple luma filters, multiple chroma
+    alternatives, multiple CC-ALF filters per component.
+
+    Returns dict(luma (nf,12)|None, luma_clip (nf,12), luma_nonlinear,
+    luma_delta_idx (25,), chroma (nalts,6)|None, chroma_clip (nalts,6),
+    chroma_nonlinear, cc_cb (ncb,7)|None, cc_cr (ncr,7)|None)."""
     from .bitstream import BitReader
     br = BitReader(rbsp)
     assert br.read(3) == 0, "not an ALF APS"
     br.read(5)                          # aps id
-    assert br.read_flag(), "chroma-absent ALF APS unsupported"
+    chroma_present = br.read_flag()
     has_luma = br.read_flag()
-    has_chroma = br.read_flag()
-    has_cc_cb = br.read_flag()
-    has_cc_cr = br.read_flag()
-    out = {"luma": None, "luma_delta_idx": None, "chroma": None,
-           "cc_cb": None, "cc_cr": None}
+    has_chroma = br.read_flag() if chroma_present else False
+    has_cc_cb = br.read_flag() if chroma_present else False
+    has_cc_cr = br.read_flag() if chroma_present else False
+    out = {"luma": None, "luma_clip": None, "luma_nonlinear": False,
+           "luma_delta_idx": None, "chroma": None, "chroma_clip": None,
+           "chroma_nonlinear": False, "cc_cb": None, "cc_cr": None}
     if has_luma:
-        assert not br.read_flag(), "nonlinear luma ALF unsupported"
+        out["luma_nonlinear"] = bool(br.read_flag())
         nf = br.read_uvlc() + 1
         if nf > 1:
+            length = max((nf - 1).bit_length(), 1)
             out["luma_delta_idx"] = np.array(
-                [br.read(5) for _ in range(NUM_CLASSES)], np.int32)
+                [br.read(length) for _ in range(NUM_CLASSES)], np.int32)
         else:
             out["luma_delta_idx"] = np.zeros(NUM_CLASSES, np.int32)
         coeff = np.zeros((nf, 12), np.int32)
         for f in range(nf):
             for i in range(12):
-                c = br.read_uvlc()
-                if c and br.read_flag():
-                    c = -c
-                coeff[f, i] = c
-        out["luma"] = coeff
+                coeff[f, i] = _read_svlc_coeff(br)
+        clip = np.zeros((nf, 12), np.int32)
+        if out["luma_nonlinear"]:
+            for f in range(nf):
+                for i in range(12):
+                    clip[f, i] = br.read(2)
+        out["luma"], out["luma_clip"] = coeff, clip
     if has_chroma:
-        assert not br.read_flag(), "nonlinear chroma ALF unsupported"
-        assert br.read_uvlc() == 0, "multiple chroma alternatives"
-        out["chroma"] = np.array([_read_svlc_coeff(br) for _ in range(6)],
-                                 np.int32)
+        out["chroma_nonlinear"] = bool(br.read_flag())
+        nalts = br.read_uvlc() + 1
+        coeff = np.zeros((nalts, 6), np.int32)
+        clip = np.zeros((nalts, 6), np.int32)
+        for a in range(nalts):
+            for i in range(6):
+                coeff[a, i] = _read_svlc_coeff(br)
+            if out["chroma_nonlinear"]:
+                for i in range(6):
+                    clip[a, i] = br.read(2)
+        out["chroma"], out["chroma_clip"] = coeff, clip
     for key, has in (("cc_cb", has_cc_cb), ("cc_cr", has_cc_cr)):
         if not has:
             continue
-        assert br.read_uvlc() == 0, "multiple CC-ALF filters"
-        coeff = np.zeros(7, np.int32)
-        for i in range(7):
-            k = br.read(3)
-            if k:
-                sign = br.read_flag()
-                coeff[i] = (-1 if sign else 1) * (1 << (k - 1))
+        nfilt = br.read_uvlc() + 1
+        coeff = np.zeros((nfilt, 7), np.int32)
+        for f in range(nfilt):
+            for i in range(7):
+                k = br.read(3)
+                if k:
+                    sign = br.read_flag()
+                    coeff[f, i] = (-1 if sign else 1) * (1 << (k - 1))
         out[key] = coeff
     return out
 
@@ -741,32 +758,59 @@ def _read_svlc_coeff(br):
     return c
 
 
+def _trunc_bin_dec(dec, max_symbol):
+    """xReadTruncBinCode (CABACReader.cpp readAlfCtuFilterIndex)."""
+    thresh = 0
+    while (1 << (thresh + 1)) <= max_symbol:
+        thresh += 1
+    val = 1 << thresh
+    b = max_symbol - val
+    sym = dec.decode_bins_ep(thresh) if thresh else 0
+    if sym >= val - b:
+        sym = (sym << 1) | dec.decode_bin_ep()
+        sym -= val - b
+    return sym
+
+
 def parse_alf_ctu(dec, ctx, cy, cx, flags_y, sets, num_aps=0,
-                  flags_cb=None, flags_cr=None):
-    """Parse mirror of ``write_alf_ctu`` (fills the decision arrays)."""
+                  flags_cb=None, flags_cr=None, alt_cb=None, alt_cr=None,
+                  num_alts=1):
+    """Parse mirror of ``write_alf_ctu`` + CABACReader
+    readAlfCtuFilterIndex / ctbAlfAlternative (fills decision arrays).
+    ``sets``: fixed-set index 0..15, or NUM_FIXED_SETS + k for the
+    k-th slice luma APS; ``alt_cb``/``alt_cr``: per-CTU chroma filter
+    alternative when the chroma APS signals several."""
     c = (1 if cx > 0 and flags_y[cy, cx - 1] else 0) \
         + (1 if cy > 0 and flags_y[cy - 1, cx] else 0)
     fl = bool(dec.decode_bin(ctx("ctbAlfFlag", 0 * 3 + c)))
     flags_y[cy, cx] = fl
     if fl:
-        if num_aps > 0:
-            if dec.decode_bin(ctx("AlfUseTemporalFilt")):
-                sets[cy, cx] = NUM_FIXED_SETS      # single APS set
-            else:
-                sets[cy, cx] = dec.decode_bins_ep(4)
+        if num_aps > 0 and dec.decode_bin(ctx("AlfUseTemporalFilt")):
+            idx = _trunc_bin_dec(dec, num_aps) if num_aps > 1 else 0
+            sets[cy, cx] = NUM_FIXED_SETS + idx
         else:
-            sets[cy, cx] = dec.decode_bins_ep(4)
-    for comp, fc in ((1, flags_cb), (2, flags_cr)):
+            sets[cy, cx] = _trunc_bin_dec(dec, NUM_FIXED_SETS)
+    for comp, fc, alt in ((1, flags_cb, alt_cb), (2, flags_cr, alt_cr)):
         if fc is None:
             continue
         c = (1 if cx > 0 and fc[cy, cx - 1] else 0) \
             + (1 if cy > 0 and fc[cy - 1, cx] else 0)
-        fc[cy, cx] = bool(dec.decode_bin(ctx("ctbAlfFlag", comp * 3 + c)))
+        on = bool(dec.decode_bin(ctx("ctbAlfFlag", comp * 3 + c)))
+        fc[cy, cx] = on
+        if on and alt is not None and num_alts > 1:
+            v = 0
+            while v < num_alts - 1 and dec.decode_bin(
+                    ctx("ctbAlfAlternative", comp - 1)):
+                v += 1
+            alt[cy, cx] = v
 
 
-def parse_ccalf_ctu(dec, ctx, cy, cx, idc_cb, idc_cr, filter_count=1):
-    """Parse mirror of ``write_ccalf_ctu``."""
-    for comp, idc in ((1, idc_cb), (2, idc_cr)):
+def parse_ccalf_ctu(dec, ctx, cy, cx, idc_cb, idc_cr,
+                    filter_counts=(1, 1)):
+    """Parse mirror of ``write_ccalf_ctu`` (per-component filter
+    counts; the idc beyond 1 is truncated-unary EP-coded)."""
+    for comp, idc, n in ((1, idc_cb, filter_counts[0]),
+                         (2, idc_cr, filter_counts[1])):
         if idc is None:
             continue
         c = (1 if cx > 0 and idc[cy, cx - 1] else 0) \
@@ -774,20 +818,23 @@ def parse_ccalf_ctu(dec, ctx, cy, cx, idc_cb, idc_cr, filter_count=1):
             + (3 if comp == 2 else 0)
         v = dec.decode_bin(ctx("CcAlfFilterControlFlag", c))
         if v:
-            while v < filter_count and dec.decode_bin_ep():
+            while v < n and dec.decode_bin_ep():
                 v += 1
         idc[cy, cx] = v
 
 
-def apply_alf_frame(recon_y, recon_u, recon_v, flags_y, sets, aps,
-                    flags_cb, flags_cr, idc_cb, idc_cr,
-                    bit_depth=10, ctu_size=128):
+def apply_alf_frame(recon_y, recon_u, recon_v, flags_y, sets, luma_apss,
+                    chroma_aps, flags_cb, flags_cr, idc_cb, idc_cr,
+                    alt_cb=None, alt_cr=None, cc_cb_aps=None,
+                    cc_cr_aps=None, bit_depth=10, ctu_size=128):
     """Decoder-side ALF + CC-ALF application over post-SAO planes.
 
-    Mirrors the encoder's application order in encode_frame: luma ALF
-    (fixed sets + the APS set at index NUM_FIXED_SETS) on the pre-ALF
-    luma; chroma ALF per component; CC-ALF on the post-ALF chroma using
-    the PRE-ALF padded luma. Returns (y, u, v).
+    Mirrors AdaptiveLoopFilter::ALFProcess: luma ALF (16 fixed sets +
+    one candidate per slice luma APS, selected per CTU by ``sets``) on
+    the pre-ALF luma; chroma ALF with the per-CTU alternative
+    (``alt_cb``/``alt_cr``) from the slice chroma APS; CC-ALF on the
+    post-ALF chroma using the PRE-ALF padded luma, filter ``idc - 1``
+    of the per-component CC APS. Returns (y, u, v).
     """
     y = np.asarray(recon_y, np.int64)
     h, w = y.shape
@@ -795,10 +842,11 @@ def apply_alf_frame(recon_y, recon_u, recon_v, flags_y, sets, aps,
     P = pad4(y)                          # pre-ALF luma (CC-ALF input too)
     out_y = y.copy()
     cand = [fixed_filter_set(s, bit_depth) for s in range(NUM_FIXED_SETS)]
-    if aps is not None and aps["luma"] is not None:
-        cand.append(reconstruct_coeff(aps["luma"], None, bit_depth,
-                                      NUM_CLASSES,
-                                      delta_idx=aps["luma_delta_idx"]))
+    for aps in (luma_apss or []):
+        cand.append(reconstruct_coeff(
+            aps["luma"], aps["luma_clip"], bit_depth, NUM_CLASSES,
+            delta_idx=aps["luma_delta_idx"],
+            nonlinear=aps["luma_nonlinear"]))
     n_cx = (w + ctu_size - 1) // ctu_size
     n_cy = (h + ctu_size - 1) // ctu_size
     for cy in range(n_cy):
@@ -814,13 +862,16 @@ def apply_alf_frame(recon_y, recon_u, recon_v, flags_y, sets, aps,
                 ctu_size)
 
     outs_c = []
-    for plane, fc in ((recon_u, flags_cb), (recon_v, flags_cr)):
+    for plane, fc, alt in ((recon_u, flags_cb, alt_cb),
+                           (recon_v, flags_cr, alt_cr)):
         pc = np.asarray(plane, np.int64)
         out_c = pc.copy()
-        if fc is not None and aps is not None and \
-                aps["chroma"] is not None and fc.any():
+        if fc is not None and chroma_aps is not None and \
+                chroma_aps["chroma"] is not None and fc.any():
             ccoeff, cclip = reconstruct_coeff(
-                aps["chroma"][None, :], None, bit_depth, 1)
+                chroma_aps["chroma"], chroma_aps["chroma_clip"],
+                bit_depth, chroma_aps["chroma"].shape[0],
+                nonlinear=chroma_aps["chroma_nonlinear"])
             Pc = pad4(pc)
             csz = ctu_size // 2
             hc, wc = pc.shape
@@ -828,31 +879,35 @@ def apply_alf_frame(recon_y, recon_u, recon_v, flags_y, sets, aps,
                 for cx in range((wc + csz - 1) // csz):
                     if not fc[cy, cx]:
                         continue
+                    a = int(alt[cy, cx]) if alt is not None else 0
                     x0, y0 = cx * csz, cy * csz
                     cw = min(csz, wc - x0)
                     ch = min(csz, hc - y0)
                     out_c[y0:y0 + ch, x0:x0 + cw] = apply_chroma_ctu(
-                        Pc, x0, y0, cw, ch, ccoeff[0], cclip[0],
+                        Pc, x0, y0, cw, ch, ccoeff[a], cclip[a],
                         bit_depth, ctu_size)
         outs_c.append(out_c)
 
-    for ci, (idc, key) in enumerate(((idc_cb, "cc_cb"),
-                                     (idc_cr, "cc_cr"))):
-        if idc is None or aps is None or aps[key] is None \
-                or not aps[key].any() or not idc.any():
+    for ci, (idc, cc_aps) in enumerate(((idc_cb, cc_cb_aps),
+                                        (idc_cr, cc_cr_aps))):
+        key = "cc_cb" if ci == 0 else "cc_cr"
+        if idc is None or cc_aps is None or cc_aps[key] is None \
+                or not idc.any():
             continue
+        filt = cc_aps[key]               # (nfilt, 7)
         out_c = outs_c[ci]
         hc, wc = out_c.shape
         csz = ctu_size // 2
         for cy in range((hc + csz - 1) // csz):
             for cx in range((wc + csz - 1) // csz):
-                if not idc[cy, cx]:
+                v = int(idc[cy, cx])
+                if not v:
                     continue
                 x0, y0 = cx * csz, cy * csz
                 cw = min(csz, wc - x0)
                 ch = min(csz, hc - y0)
                 out_c[y0:y0 + ch, x0:x0 + cw] = apply_ccalf_ctu(
                     P, out_c[y0:y0 + ch, x0:x0 + cw], x0, y0, cw, ch,
-                    aps[key], bit_depth, ctu_size)
+                    filt[v - 1], bit_depth, ctu_size)
     return (out_y.astype(np.int32), outs_c[0].astype(np.int32),
             outs_c[1].astype(np.int32))

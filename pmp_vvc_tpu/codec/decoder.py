@@ -78,15 +78,28 @@ class FrameDecoder(FrameEncoder):
                     continue
         elif not si.lmcs_enabled:
             self.reshaper = None
-        self.alf_aps = None
+        self.alf_luma_apss = []
+        self.alf_chroma_aps = None
+        self.ccalf_cb_aps = self.ccalf_cr_aps = None
         if cfg.alf:
             from .alf import parse_alf_aps
-            for rbsp in getattr(si, "aps", []) or []:
-                try:
-                    self.alf_aps = parse_alf_aps(rbsp)
-                    break
-                except AssertionError:
-                    continue
+            by_id = getattr(si, "aps_by_id", None) or {}
+            cache = {}
+
+            def _alf(aid):
+                key = (0 << 5) | aid     # aps_params_type ALF_APS = 0
+                if key not in cache and key in by_id:
+                    cache[key] = parse_alf_aps(by_id[key])
+                return cache.get(key)
+
+            self.alf_luma_apss = [_alf(a)
+                                  for a in getattr(si, "alf_aps_ids", ())]
+            if si.alf_cb or si.alf_cr:
+                self.alf_chroma_aps = _alf(si.alf_aps_id_chroma)
+            if si.ccalf_cb:
+                self.ccalf_cb_aps = _alf(si.ccalf_cb_aps_id)
+            if si.ccalf_cr:
+                self.ccalf_cr_aps = _alf(si.ccalf_cr_aps_id)
 
     # ---- syntax parsing ---------------------------------------------------
 
@@ -703,13 +716,20 @@ class FrameDecoder(FrameEncoder):
         n_ctu_x = (cfg.width + 127) // 128
         n_ctu_y = (cfg.height + 127) // 128
         alf_flags = alf_sets = alf_cb = alf_cr = cc_cb = cc_cr = None
+        alt_cb = alt_cr = None
+        n_alts = 1
+        if self.alf_chroma_aps is not None and \
+                self.alf_chroma_aps["chroma"] is not None:
+            n_alts = self.alf_chroma_aps["chroma"].shape[0]
         if cfg.alf and si.alf_enabled:
             alf_flags = np.zeros((n_ctu_y, n_ctu_x), bool)
             alf_sets = np.zeros((n_ctu_y, n_ctu_x), np.int32)
             if si.alf_cb:
                 alf_cb = np.zeros((n_ctu_y, n_ctu_x), bool)
+                alt_cb = np.zeros((n_ctu_y, n_ctu_x), np.int32)
             if si.alf_cr:
                 alf_cr = np.zeros((n_ctu_y, n_ctu_x), bool)
+                alt_cr = np.zeros((n_ctu_y, n_ctu_x), np.int32)
         if si.ccalf_cb:
             cc_cb = np.zeros((n_ctu_y, n_ctu_x), np.int32)
         if si.ccalf_cr:
@@ -728,11 +748,22 @@ class FrameDecoder(FrameEncoder):
                     from .alf import parse_alf_ctu, parse_ccalf_ctu
                     parse_alf_ctu(self.dec, ctx, cty, ctx_i, alf_flags,
                                   alf_sets,
-                                  num_aps=1 if si.alf_aps_luma else 0,
-                                  flags_cb=alf_cb, flags_cr=alf_cr)
+                                  num_aps=len(si.alf_aps_ids),
+                                  flags_cb=alf_cb, flags_cr=alf_cr,
+                                  alt_cb=alt_cb, alt_cr=alt_cr,
+                                  num_alts=n_alts)
                     if cc_cb is not None or cc_cr is not None:
+                        ncb = (self.ccalf_cb_aps["cc_cb"].shape[0]
+                               if self.ccalf_cb_aps is not None and
+                               self.ccalf_cb_aps["cc_cb"] is not None
+                               else 1)
+                        ncr = (self.ccalf_cr_aps["cc_cr"].shape[0]
+                               if self.ccalf_cr_aps is not None and
+                               self.ccalf_cr_aps["cc_cr"] is not None
+                               else 1)
                         parse_ccalf_ctu(self.dec, ctx, cty, ctx_i,
-                                        cc_cb, cc_cr)
+                                        cc_cb, cc_cr,
+                                        filter_counts=(ncb, ncr))
                 bx, by = ctx_i * 128, cty * 128
                 if not cfg.dual_tree:
                     self._decode_tree(bx, by, 128, 128, SplitState())
@@ -773,9 +804,11 @@ class FrameDecoder(FrameEncoder):
             from .alf import apply_alf_frame
             self.recon_y, self.recon_u, self.recon_v = apply_alf_frame(
                 self.recon_y, self.recon_u, self.recon_v,
-                alf_flags, alf_sets, self.alf_aps, alf_cb, alf_cr,
-                cc_cb, cc_cr, bit_depth=cfg.bit_depth,
-                ctu_size=cfg.ctu_size)
+                alf_flags, alf_sets, self.alf_luma_apss,
+                self.alf_chroma_aps, alf_cb, alf_cr,
+                cc_cb, cc_cr, alt_cb=alt_cb, alt_cr=alt_cr,
+                cc_cb_aps=self.ccalf_cb_aps, cc_cr_aps=self.ccalf_cr_aps,
+                bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size)
         return (self.recon_y.copy(), self.recon_u.copy(),
                 self.recon_v.copy())
 

@@ -243,11 +243,14 @@ class SliceInfo:
     chroma_residual_scale: bool = False
     jccr_sign: bool = False
     alf_enabled: bool = False
-    alf_aps_luma: bool = False          # one APS luma filter set
+    alf_aps_ids: tuple = ()             # slice luma ALF APS ids, in order
+    alf_aps_id_chroma: int = -1
     alf_cb: bool = False
     alf_cr: bool = False
     ccalf_cb: bool = False
     ccalf_cr: bool = False
+    ccalf_cb_aps_id: int = -1
+    ccalf_cr_aps_id: int = -1
     sao_luma: bool = False
     sao_chroma: bool = False
     dep_quant: bool = False
@@ -286,22 +289,19 @@ def parse_slice_header(rbsp: bytes, cfg: VVCConfig) -> SliceInfo:
     if cfg.alf:
         si.alf_enabled = br.read_flag()
         if si.alf_enabled:
-            n_aps = br.read(3)
-            _expect(n_aps <= 1, "multiple ALF APS")
-            si.alf_aps_luma = n_aps == 1
-            if si.alf_aps_luma:
-                _expect(br.read(3) == 0, "alf aps id")
+            n_aps = br.read(3)          # slice_num_alf_aps_ids_luma
+            si.alf_aps_ids = tuple(br.read(3) for _ in range(n_aps))
             si.alf_cb = bool(br.read(1))
             si.alf_cr = bool(br.read(1))
             if si.alf_cb or si.alf_cr:
-                _expect(br.read(3) == 0, "alf chroma aps id")
-        if cfg.ccalf:
+                si.alf_aps_id_chroma = br.read(3)
+        if cfg.ccalf and si.alf_enabled:
             si.ccalf_cb = br.read_flag()
             if si.ccalf_cb:
-                _expect(br.read(3) == 0, "ccalf cb aps id")
+                si.ccalf_cb_aps_id = br.read(3)
             si.ccalf_cr = br.read_flag()
             if si.ccalf_cr:
-                _expect(br.read(3) == 0, "ccalf cr aps id")
+                si.ccalf_cr_aps_id = br.read(3)
     assert br.read_svlc() == 0, "sh_qp_delta"
     if cfg.sao:
         si.sao_luma = br.read_flag()
@@ -357,6 +357,7 @@ def parse_bitstream(data: bytes) -> Bitstream:
         elif nal_type == NAL_IDR_N_LP:
             si = parse_slice_header(rbsp, out.cfg)
             si.aps = list(aps_table.values())
+            si.aps_by_id = dict(aps_table)
             out.slices.append(si)
             out.hashes.append(None)
         elif nal_type == NAL_SUFFIX_SEI:

@@ -88,10 +88,10 @@ Level: 2.1
 def test_decode_stock_vtm_full_ctc_stream(tmp_path):
     """Full-CTC toolset stock stream (encoder_intra_vtm.cfg: dual tree,
     MIP/MRL/ISP, CCLM, MTS/LFNST, JCCR, LMCS, SAO, dep-quant, transform
-    skip) — our decoder must reproduce it hash-verified. This was
-    blocked on TS residual parse (STATUS #9). Remaining exclusion: ALF
-    (the stock encoder emits nonlinear/multi-alternative ALF APS
-    syntax the parser does not yet cover)."""
+    skip, ALF/CC-ALF with the full multi-APS/nonlinear/multi-alt
+    syntax, deblocking) — our decoder must reproduce it
+    hash-verified.  No tool exclusions: this is the reference demo
+    command line verbatim."""
     from pmp_vvc_tpu.codec.decoder import decode_stream
     from pmp_vvc_tpu.data.yuv import write_yuv420
 
@@ -138,7 +138,6 @@ Level: 2.1
         [str(_ENC), "-c", str(cfg), "-c",
          "/root/reference/codec/demo/cfg/encoder_intra_vtm.cfg",
          "-q", "32", "-ts", "1", "--SEIDecodedPictureHash=1",
-         "--ALF=0", "--CCALF=0",
          "-b", str(bit), "-o", "/dev/null"],
         capture_output=True, text=True, timeout=600, cwd=tmp_path)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
