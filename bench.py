@@ -162,7 +162,7 @@ def bench_encoder(frames=8):
     enc = WavefrontEncoder(VVCConfig(width=w, height=h, qp=32, sao=True,
                                      deblocking_disabled=False))
     t0 = time.perf_counter()
-    enc.encode_frames(fr[:1])            # compile
+    enc.encode_frames(fr)                # compile at the MEASURED batch
     print(f"encoder compile+first: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()

@@ -150,11 +150,20 @@ def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside):
     return lev, rec
 
 
-def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
-    """Wave-segment body for the P-pad tile class: luma 67-mode RMD +
-    TQ + chroma DM + TQ + scatter into device-resident result planes.
+def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
+                      kind="st"):
+    """Wave-segment body for the P-pad tile class.  ``kind``:
+
+    - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
+               co-located half-res block (one CU covers both channels);
+    - "luma"   dual-tree luma pass only;
+    - "chroma" dual-tree chroma pass: DM mode read from the mode grid
+               at the CU centre (PU::getCoLocatedIntraLumaMode), its
+               own availability grid (the chroma tree has its own
+               coding order).
+
     Pure function of (state planes, schedule row, originals, order
-    grid); traced once inside the fused scan program."""
+    grids); traced once inside the fused scan program."""
     Pc = P // 2
     # RMD mode subsampling (IntraSearch.cpp:370 does the same): SATD
     # over planar/DC + the 33 even angulars, then refine the best
@@ -164,10 +173,18 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
     rmd_modes = np.array([0, 1] + list(range(2, 67, 2)), np.int32)
     modes_rmd = np.broadcast_to(rmd_modes, (bsz, rmd_modes.size))
 
-    def f(state, row, oy, ou, ov, og4):
+    def f(state, row, oy, ou, ov, og4, og4c):
         ry, ru, rv, cY, cU, cV, mg = state
         fi, xs, ys, ws, hs, oi, okv = [row[:, k] for k in range(7)]
         ok = okv > 0
+        if kind == "chroma":
+            best = mg[fi, jnp.clip((ys + hs // 2) // 4, 0,
+                                   mg.shape[1] - 1),
+                      jnp.clip((xs + ws // 2) // 4, 0,
+                               mg.shape[2] - 1)].astype(jnp.int32)
+            return _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best,
+                                ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
+                                rd_quant)
         # ---- luma ----
         refs = _refs_generic(ry, og4, fi, oi, xs, ys, ws, hs, P, 1, bd)
         preds = predict_generic(*refs, modes_rmd,
@@ -217,56 +234,74 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant):
             jnp.broadcast_to(best[:, None, None].astype(jnp.uint8),
                              m_rows.shape), mode="drop")
 
-        # ---- chroma: DM mode at half res ----
-        cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
-        dc_ = np.arange(Pc)
-        co_rows = cys[:, None, None] + dc_[None, :, None]
-        co_cols = cxs[:, None, None] + dc_[None, None, :]
-        c_in = ((dc_[None, :, None] < chs[:, None, None])
-                & (dc_[None, None, :] < cws[:, None, None]))
-        c_ok = ok[:, None, None] & c_in
-        csr = jnp.where(c_ok, co_rows, _OOB)
-        out = []
-        for plane, org_p, lv_p in ((ru, ou, cU), (rv, ov, cV)):
-            crefs = _refs_generic(plane, og4, fi, oi, cxs, cys, cws, chs,
-                                  Pc, 2, bd)
-            cpred = predict_generic(*crefs, best[:, None], cws, chs,
-                                    pad=Pc, is_luma=False,
-                                    bit_depth=bd)[:, 0]
-            corgs = _gather_plane(org_p, fi[:, None, None], co_rows, co_cols)
-            lev_c, rec_c = _tq_generic(corgs, cpred, cws, chs, qp_c, bd,
-                                       lam, dw_c, rd_quant, c_in)
-            plane = plane.at[fi3, csr, co_cols].set(rec_c, mode="drop")
-            lv_p = lv_p.at[fi3, csr, co_cols].set(lev_c.astype(jnp.int16),
-                                                  mode="drop")
-            out.append((plane, lv_p))
-        (ru, cU), (rv, cV) = out
-        return ry, ru, rv, cY, cU, cV, mg
+        state = (ry, ru, rv, cY, cU, cV, mg)
+        if kind == "luma":
+            return state
+        # ---- single tree: chroma DM at half res, same coding order ----
+        return _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best,
+                            ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
+                            rd_quant)
 
     return f
+
+
+def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
+                 Pc, qp_c, bd, lam, dw_c, rd_quant):
+    """Chroma half of a wave segment: DM prediction + TQ + scatter.
+    Coordinates are LUMA-unit (x, y, w, h); ``best`` the DM luma mode;
+    ``og4c`` the availability order grid of the CHROMA coding order
+    (the luma grid for single tree)."""
+    ry, ru, rv, cY, cU, cV, mg = state
+    cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
+    dc_ = np.arange(Pc)
+    co_rows = cys[:, None, None] + dc_[None, :, None]
+    co_cols = cxs[:, None, None] + dc_[None, None, :]
+    c_in = ((dc_[None, :, None] < chs[:, None, None])
+            & (dc_[None, None, :] < cws[:, None, None]))
+    c_ok = ok[:, None, None] & c_in
+    csr = jnp.where(c_ok, co_rows, _OOB)
+    fi3 = fi[:, None, None]
+    out = []
+    for plane, org_p, lv_p in ((ru, ou, cU), (rv, ov, cV)):
+        crefs = _refs_generic(plane, og4c, fi, oi, cxs, cys, cws, chs,
+                              Pc, 2, bd)
+        cpred = predict_generic(*crefs, best[:, None], cws, chs,
+                                pad=Pc, is_luma=False,
+                                bit_depth=bd)[:, 0]
+        corgs = _gather_plane(org_p, fi[:, None, None], co_rows, co_cols)
+        lev_c, rec_c = _tq_generic(corgs, cpred, cws, chs, qp_c, bd,
+                                   lam, dw_c, rd_quant, c_in)
+        plane = plane.at[fi3, csr, co_cols].set(rec_c, mode="drop")
+        lv_p = lv_p.at[fi3, csr, co_cols].set(lev_c.astype(jnp.int16),
+                                              mode="drop")
+        out.append((plane, lv_p))
+    (ru, cU), (rv, cV) = out
+    return ry, ru, rv, cY, cU, cV, mg
 
 
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
-    ``lax.scan`` over the packed per-class schedules.  Each scan step
-    carries one (B, 7) row per tile class; at most one row is active
-    (ok flags set) and the others are skipped via ``lax.cond``.  Result
-    planes are packed for the single down-transfer."""
+    ``lax.scan`` over the packed per-class schedules.  ``classes``:
+    (kind, pad) tuples.  Each scan step carries one (B, 7) row per
+    class; inactive rows (ok flags clear) are skipped via ``lax.cond``.
+    Result planes are packed for the single down-transfer."""
     applies = [_make_class_apply(p, b, qp_y, qp_c, bd, lam, dw_c,
-                                 rd_quant) for p, b in zip(classes, bszs)]
+                                 rd_quant, kind=k)
+               for (k, p), b in zip(classes, bszs)]
 
-    def f(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, *scheds):
+    def f(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, og4c, *scheds):
         def step(state, rows):
             for app, row in zip(applies, rows):
                 if len(applies) == 1:
                     # single tile class: every step's row is live
-                    state = app(state, row, oy, ou, ov, og4)
+                    state = app(state, row, oy, ou, ov, og4, og4c)
                 else:
                     state = jax.lax.cond(
                         jnp.any(row[:, 6] > 0),
-                        lambda s, r, a=app: a(s, r, oy, ou, ov, og4),
+                        lambda s, r, a=app: a(s, r, oy, ou, ov, og4,
+                                              og4c),
                         lambda s, r: s,
                         state, row)
             return state, None
@@ -283,6 +318,56 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
         return jax.jit(f, donate_argnums=donate, in_shardings=ins,
                        out_shardings=outs)
     return jax.jit(f, donate_argnums=donate)
+
+
+def _collect_leaves_chroma(enc, decide):
+    """Dual-tree CHROMA leaf collection (luma-unit coords) — mirrors
+    FrameEncoder._encode_tree_ch's chroma walk incl. the implicit-BV
+    chroma-width-4 ban."""
+    cfg = enc.cfg
+    leaves = []
+
+    def walk(x, y, w, h, state):
+        if x >= cfg.width or y >= cfg.height:
+            return
+        implicit = get_implicit_split(x, y, w, h, state, cfg, True)
+        if implicit != Split.NONE:
+            split = implicit
+            if split == Split.BT_V and w // 2 == 4:
+                split = Split.QT
+        else:
+            split = decide(x, y, w, h, state)
+        if split is RDO:
+            raise NotImplementedError(
+                "RDO fallback inside the wavefront path")
+        if split != Split.NONE:
+            imp_bt = state.implicit_bt_depth + (
+                1 if split == implicit
+                and split in (Split.BT_H, Split.BT_V) else 0)
+            for i, (cx, cy, cw, chh) in enumerate(
+                    enc._children(x, y, w, h, split)):
+                cstate = SplitState(
+                    last_split=split, part_idx=i,
+                    qt_depth=state.qt_depth
+                    + (1 if split == Split.QT else 0),
+                    mtt_depth=state.mtt_depth
+                    + (0 if split == Split.QT else 1),
+                    implicit_bt_depth=imp_bt)
+                walk(cx, cy, cw, chh, cstate)
+            return
+        leaves.append((x, y, w, h, state.qt_depth))
+
+    n_ctu_x = (cfg.width + 127) // 128
+    n_ctu_y = (cfg.height + 127) // 128
+    for cty in range(n_ctu_y):
+        for ctx_i in range(n_ctu_x):
+            for (qx, qy, qw, qh) in enc._children(
+                    ctx_i * 128, cty * 128, 128, 128, Split.QT):
+                if qx >= cfg.width or qy >= cfg.height:
+                    continue
+                walk(qx, qy, qw, qh,
+                     SplitState(last_split=Split.QT, qt_depth=1))
+    return leaves
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +415,7 @@ class WavefrontEncoder(FrameEncoder):
     path (pure-SATD RMD, order-independent rate proxies)."""
 
     _UNSUPPORTED = ("transform_skip",
-                    "dual_tree", "mts_intra", "lfnst", "mip", "mrl",
+                    "mts_intra", "lfnst", "mip", "mrl",
                     "isp", "cclm", "joint_cbcr", "lmcs", "dep_quant",
                     "sign_hiding")
 
@@ -405,8 +490,10 @@ class WavefrontEncoder(FrameEncoder):
         return qp_y, qp_c
 
     def _batched_pass(self, frames):
-        """frames: list of (leaves, y, u, v).  Encodes all frames' waves
-        together; returns per-frame packed result planes."""
+        """frames: list of (leaves_luma, leaves_chroma_or_None, y, u, v).
+        Encodes all frames' waves together; returns per-frame packed
+        result planes.  Dual tree appends the chroma tree's wave levels
+        after the frame's luma levels (DM reads the luma mode grid)."""
         cfg = self.cfg
         bd = cfg.bit_depth
         qp_y, qp_c = self._qps()
@@ -414,17 +501,32 @@ class WavefrontEncoder(FrameEncoder):
         H, W = cfg.height, cfg.width
 
         import collections
-        ogs, per_frame = [], []
-        for f, (leaves, *_d) in enumerate(frames):
+        ogs, ogcs, per_frame = [], [], []
+        for f, (leaves, cleaves, *_d) in enumerate(frames):
             order = _order_grid(leaves, W, H)
             wave = _schedule_waves(leaves, order, W, H)
             ogs.append(order)
             by_lvl = collections.defaultdict(list)
+            kind = "st" if cleaves is None else "luma"
             for i, (x, y, w, h, _) in enumerate(leaves):
                 p = 32 if max(w, h) <= 32 else 64
-                by_lvl[int(wave[i])].append((p, f, x, y, w, h, i))
-            per_frame.append(collections.deque(
-                collections.deque(by_lvl[lv]) for lv in sorted(by_lvl)))
+                by_lvl[int(wave[i])].append(((kind, p), f, x, y, w, h, i))
+            q = collections.deque(
+                collections.deque(by_lvl[lv]) for lv in sorted(by_lvl))
+            if cleaves is None:
+                ogcs.append(order)       # single tree: shared order
+            else:
+                orderc = _order_grid(cleaves, W, H)
+                wavec = _schedule_waves(cleaves, orderc, W, H)
+                ogcs.append(orderc)
+                by_lvl_c = collections.defaultdict(list)
+                for i, (x, y, w, h, _) in enumerate(cleaves):
+                    p = 32 if max(w, h) <= 32 else 64
+                    by_lvl_c[int(wavec[i])].append(
+                        (("chroma", p), f, x, y, w, h, i))
+                q.extend(collections.deque(by_lvl_c[lv])
+                         for lv in sorted(by_lvl_c))
+            per_frame.append(q)
 
         # greedy cross-frame packing: CUs only depend on earlier wave
         # levels of their OWN frame, so different frames' levels
@@ -437,13 +539,13 @@ class WavefrontEncoder(FrameEncoder):
         steps = []
         while any(per_frame):
             t = len(steps)
-            step = {p: [] for p in TILE_CLASSES}
+            step = collections.defaultdict(list)
             for f in range(F):
                 q = per_frame[f]
                 while q and ready[f] <= t:
                     ents = q[0]
-                    while ents and \
-                            len(step[ents[0][0]]) < self.batch[ents[0][0]]:
+                    while ents and len(step[ents[0][0]]) \
+                            < self.batch[ents[0][0][1]]:
                         step[ents[0][0]].append(ents.popleft())
                     if ents:
                         break              # class slots full this step
@@ -451,24 +553,25 @@ class WavefrontEncoder(FrameEncoder):
                     ready[f] = t + 1       # next level waits a step
             steps.append(step)
 
-        active = tuple(p for p in TILE_CLASSES
-                       if any(st[p] for st in steps))
+        active = tuple(sorted({k2 for st in steps for k2 in st
+                               if st[k2]}))
         S = max(len(steps), 1)
-        step_arr = {p: np.zeros((S, self.batch[p], 7), np.int32)
-                    for p in active}
+        step_arr = {k2: np.zeros((S, self.batch[k2[1]], 7), np.int32)
+                    for k2 in active}
         for t, st in enumerate(steps):
-            for p in active:
-                for k, (_p, f, x, y, w, h, i) in enumerate(st[p]):
-                    step_arr[p][t, k] = (f, x, y, w, h, i, 1)
-        scheds = [jnp.asarray(step_arr[p]) for p in active]
+            for k2, ents in st.items():
+                for k, (_c, f, x, y, w, h, i) in enumerate(ents):
+                    step_arr[k2][t, k] = (f, x, y, w, h, i, 1)
+        scheds = [jnp.asarray(step_arr[k2]) for k2 in active]
 
-        oy = jnp.asarray(np.stack([np.asarray(fr[1], np.int32)
+        oy = jnp.asarray(np.stack([np.asarray(fr[2], np.int32)
                                    for fr in frames]))
-        ou = jnp.asarray(np.stack([np.asarray(fr[2], np.int32)
+        ou = jnp.asarray(np.stack([np.asarray(fr[3], np.int32)
                                    for fr in frames]))
-        ov = jnp.asarray(np.stack([np.asarray(fr[3], np.int32)
+        ov = jnp.asarray(np.stack([np.asarray(fr[4], np.int32)
                                    for fr in frames]))
         og4 = jnp.asarray(np.stack(ogs))
+        og4c = jnp.asarray(np.stack(ogcs))
         ry = jnp.zeros((F, H, W), jnp.int32)
         ru = jnp.zeros((F, H // 2, W // 2), jnp.int32)
         rv = jnp.zeros_like(ru)
@@ -477,10 +580,11 @@ class WavefrontEncoder(FrameEncoder):
         cV = jnp.zeros_like(cU)
         mg = jnp.zeros((F, H // 4, W // 4), jnp.uint8)
 
-        fn = _wave_scan(active, tuple(self.batch[p] for p in active),
+        fn = _wave_scan(active, tuple(self.batch[k2[1]] for k2 in active),
                         qp_y, qp_c, bd, float(self.lam), float(self.dw_c),
                         bool(cfg.rd_quant), mesh=self.mesh)
-        packed = fn(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, *scheds)
+        packed = fn(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, og4c,
+                    *scheds)
         return jax.device_get(packed)
 
     # ---- phase C: CABAC replay ------------------------------------------
@@ -525,6 +629,58 @@ class WavefrontEncoder(FrameEncoder):
         self.leaf_l.append((x, y, w, h))
         self.leaf_c.append((cx, cy, cw, chh))
 
+    def _encode_luma_cu(self, enc, rc, org_y, cu: CuInfo):
+        """Dual-tree luma CU replay from device results."""
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        f = self._cur_frame
+        ry, ru, rv, cY, cU, cV, mg = self._dev_result
+        cu.mode = int(mg[f, y // 4, x // 4])
+        lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
+        cbf_y = bool(lev_y.any())
+        self._write_intra_luma_mode(enc, cu)
+        enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+        if cbf_y:
+            rc.code(lev_y, is_luma=True)
+        self.recon_y[y:y + h, x:x + w] = ry[f, y:y + h, x:x + w]
+        r, c = y // 4, x // 4
+        self.coded[r:r + h // 4, c:c + w // 4] = True
+        self.unit_mode[r:r + h // 4, c:c + w // 4] = cu.mode
+        self.unit_w[r:r + h // 4, c:c + w // 4] = w
+        self.unit_h[r:r + h // 4, c:c + w // 4] = h
+        self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.leaf_l.append((x, y, w, h))
+
+    def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo,
+                          split_path=(None, None)):
+        """Dual-tree chroma CU replay from device results (DM mode)."""
+        x, y, w, h = cu.x, cu.y, cu.w, cu.h
+        cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
+        f = self._cur_frame
+        ry, ru, rv, cY, cU, cV, mg = self._dev_result
+        cu.mode = int(self.unit_mode[(y + h // 2) // 4,
+                                     (x + w // 2) // 4])
+        lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
+        lev_v = cV[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
+        cbf_u = bool(lev_u.any())
+        cbf_v = bool(lev_v.any())
+        self._write_intra_chroma_mode(enc, luma_mode=cu.mode)
+        enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
+        enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
+        if cbf_u:
+            rc.code(lev_u, is_luma=False)
+        if cbf_v:
+            rc.code(lev_v, is_luma=False)
+        self.recon_u[cy:cy + chh, cx:cx + cw] = ru[f, cy:cy + chh,
+                                                   cx:cx + cw]
+        self.recon_v[cy:cy + chh, cx:cx + cw] = rv[f, cy:cy + chh,
+                                                   cx:cx + cw]
+        r, c = y // 4, x // 4
+        self.coded_c[r:r + h // 4, c:c + w // 4] = True
+        self.unit_w_c[r:r + h // 4, c:c + w // 4] = w
+        self.unit_h_c[r:r + h // 4, c:c + w // 4] = h
+        self.unit_qt_c[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.leaf_c.append((cx, cy, cw, chh))
+
     # ---- driver ----------------------------------------------------------
 
     def _decider(self, qt_map, maps):
@@ -534,15 +690,45 @@ class WavefrontEncoder(FrameEncoder):
             np.ones((self.cfg.height // 8, self.cfg.width // 8), np.int32)
         return self._qt_map_decider(qm)
 
+    def _decider_chroma(self, qt_map, maps, chroma_maps):
+        """Chroma-tree decider (mirror of FrameEncoder.encode_frame's
+        decide_c construction)."""
+        cfg = self.cfg
+        cmaps = chroma_maps or maps
+        if cmaps is not None:
+            return self._map_decider(*cmaps, chroma=True)
+        cqt = qt_map if qt_map is not None else \
+            np.ones((cfg.height // 8, cfg.width // 8), np.int32)
+
+        def decide_c(x, yy, w, h, state, _q=cqt):
+            if w > 64:
+                return Split.QT
+            if state.mtt_depth == 0 and w == h \
+                    and w > cfg.chroma_min_qt:
+                pred = int(_q[min(yy, cfg.height - 1) // 8,
+                              min(x, cfg.width - 1) // 8]) + 1
+                if state.qt_depth < pred:
+                    return Split.QT
+            return Split.NONE
+        return decide_c
+
+    def _collect_all(self, qt_map, maps, chroma_maps):
+        decide = self._decider(qt_map, maps)
+        leaves = self._collect_leaves(decide)
+        cleaves = None
+        if self.cfg.dual_tree:
+            cleaves = _collect_leaves_chroma(
+                self, self._decider_chroma(qt_map, maps, chroma_maps))
+        return leaves, cleaves
+
     def encode_frames(self, frames, qt_map=None, maps=None,
                       chroma_maps=None, poc0: int = 0):
         """Encode a batch of (y, u, v) frames in one device pass.
 
         Returns a list of (bitstream_bytes, recon) — one per frame; the
         caller concatenates payloads after the parameter sets."""
-        decide = self._decider(qt_map, maps)
-        packed = [(self._collect_leaves(decide), y, u, v)
-                  for (y, u, v) in frames]
+        leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps)
+        packed = [(leaves, cleaves, y, u, v) for (y, u, v) in frames]
         self._dev_result = self._batched_pass(packed)
         out = []
         for f, (y, u, v) in enumerate(frames):
@@ -557,9 +743,8 @@ class WavefrontEncoder(FrameEncoder):
                      collect_bin_stats: bool = False, rdo: bool = False):
         if rdo:
             raise NotImplementedError("wavefront path is map-driven only")
-        decide = self._decider(qt_map, maps)
-        leaves = self._collect_leaves(decide)
-        self._dev_result = self._batched_pass([(leaves, y, u, v)])
+        leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps)
+        self._dev_result = self._batched_pass([(leaves, cleaves, y, u, v)])
         self._cur_frame = 0
         return super().encode_frame(
             y, u, v, qt_map=qt_map, maps=maps, chroma_maps=chroma_maps,

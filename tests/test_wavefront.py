@@ -102,11 +102,39 @@ def test_wavefront_matches_sequential_decisions_shape():
     assert sorted(wf.leaf_l) == sorted(seq.leaf_l)
 
 
+def test_wavefront_dual_tree_bit_exact():
+    """Dual-tree wavefront: separate chroma-tree wave schedule (DM from
+    the luma mode grid), decode bit-exact + sane fidelity (guards
+    against encoding the wrong plane data, which a pure round-trip
+    check cannot see)."""
+    cfg = VVCConfig(width=192, height=128, qp=32, dual_tree=True,
+                    sao=True, deblocking_disabled=False)
+    bs, recons = _roundtrip(cfg)
+    y, _, _ = _synth(192, 128)
+    err = (recons[0][0].astype(np.int64) - y) ** 2
+    psnr = 10 * np.log10(1023 * 1023 / err.mean())
+    assert psnr > 30, psnr
+
+
+def test_wavefront_dual_tree_mtt_maps():
+    cfg = VVCConfig(width=192, height=128, qp=27, dual_tree=True)
+    maps = _mtt_maps(192, 128)
+    cmaps = _mtt_maps(192, 128, chroma_factor=2, seed0=5)
+    from pmp_vvc_tpu.codec.decoder import decode_stream
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+    enc = WavefrontEncoder(cfg)
+    y, u, v = _synth(192, 128)
+    bs, recon = enc.encode_frame(y, u, v, maps=maps, chroma_maps=cmaps)
+    dcfg, got = decode_stream(bs, verify_hash=True)
+    for plane, (a, b) in enumerate(zip(got[0], recon)):
+        assert np.array_equal(a, b), plane
+
+
 def test_wavefront_unsupported_cfg_raises():
     from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
     with pytest.raises(NotImplementedError):
         WavefrontEncoder(VVCConfig(width=64, height=64, qp=32,
-                                   dual_tree=True))
+                                   isp=True))
 
 
 @pytest.mark.skipif(not _DEC.exists(), reason="VTM oracle not built")
