@@ -34,10 +34,11 @@ The host then replays the precomputed decisions through the CABAC
 writer (record/replay; BinEncoder semantics unchanged) and the standard
 loop-filter / NAL tail of FrameEncoder.
 
-Supported envelope: single tree, map- or QT-driven partitioning,
-tools-off TU coding (DCT2, scalar quant + RDOQ-lite zeroing), SAO/ALF/
-deblocking allowed (frame-level post passes).  Everything else falls
-back to the sequential FrameEncoder.
+Supported envelope: single or dual tree, map- or QT-driven
+partitioning, DCT2 or MTS (DST7/DCT8 candidate batching) TU coding
+with scalar quant + RDOQ-lite zeroing, SAO/ALF/deblocking (frame-level
+post passes).  Everything else falls back to the sequential
+FrameEncoder.
 """
 from __future__ import annotations
 
@@ -150,8 +151,65 @@ def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside):
     return lev, rec
 
 
+# mtsIdx -> (trTypeHor, trTypeVer) in transforms.py kind order
+# (0 DCT2, 1 DCT8, 2 DST7); TypeDef MtsType / EncModeCtrl trial set
+_MTS_COMBOS = ((0, (0, 0), 1.0), (2, (2, 2), 2.0), (3, (1, 2), 3.0),
+               (4, (2, 1), 4.0), (5, (1, 1), 4.0))
+
+
+def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
+                 mts):
+    """Luma TQ with MTS candidate batching (TrQuant.cpp:826 trial set):
+    DCT2 plus the four DST7/DCT8 combinations compete under
+    cost = SSE + lam * (residual-bits proxy + mts_idx bins); a non-DCT2
+    winner must have a non-DC coefficient (mts_idx is only signalled
+    when lastScanPos >= 1, CABACWriter mts_idx:2721 — otherwise the
+    decoder would infer DCT2).  The zero-TU candidate competes last.
+    Returns (lev, rec, mts_idx)."""
+    resid = (orgs - pred) * inside
+    combos = _MTS_COMBOS if mts else _MTS_COMBOS[:1]
+    levs, rrs, costs, idxs = [], [], [], []
+    for mts_idx, (kw, kh), bins in combos:
+        coef = forward_transform_generic(resid, ws, hs, bit_depth=bd,
+                                         kind_w=kw, kind_h=kh)
+        lev = quantize_generic(coef, ws, hs, qp, bit_depth=bd)
+        if rd_quant:
+            lev = rd_cleanup_generic(lev, coef, ws, hs, qp, lam,
+                                     bit_depth=bd)
+        deq = dequantize_generic(lev, ws, hs, qp, bit_depth=bd)
+        rr = inverse_transform_generic(deq, ws, hs, bit_depth=bd,
+                                       kind_w=kw, kind_h=kh)
+        err = ((rr - resid) * inside).astype(jnp.float32)
+        cost = (err * err).sum(axis=(-1, -2)) \
+            + lam * (_bits_proxy(lev) + bins)
+        if mts_idx != 0:
+            n_nz = (lev != 0).sum(axis=(-1, -2))
+            beyond_dc = n_nz - (lev[..., 0, 0] != 0).astype(n_nz.dtype)
+            cost = jnp.where(beyond_dc > 0, cost, jnp.inf)
+        levs.append(lev)
+        rrs.append(rr)
+        costs.append(cost)
+        idxs.append(mts_idx)
+    costs = jnp.stack(costs, axis=1)                      # (B, C)
+    k = jnp.argmin(costs, axis=1)
+    lev = jnp.take_along_axis(jnp.stack(levs, 1),
+                              k[:, None, None, None], axis=1)[:, 0]
+    rr = jnp.take_along_axis(jnp.stack(rrs, 1),
+                             k[:, None, None, None], axis=1)[:, 0]
+    tr = jnp.take(jnp.asarray(idxs, jnp.int32), k)
+    cost_code = jnp.take_along_axis(costs, k[:, None], axis=1)[:, 0]
+    rz = resid.astype(jnp.float32)
+    cost_zero = (rz * rz).sum(axis=(-1, -2)) + lam * 2.0
+    zero = cost_zero <= cost_code
+    lev = jnp.where(zero[:, None, None], 0, lev)
+    rr = jnp.where(zero[:, None, None], 0, rr)
+    tr = jnp.where(zero, 0, tr)
+    rec = jnp.clip(pred + rr, 0, (1 << bd) - 1)
+    return lev, rec, tr
+
+
 def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-                      kind="st"):
+                      kind="st", mts=False):
     """Wave-segment body for the P-pad tile class.  ``kind``:
 
     - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
@@ -174,7 +232,7 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     modes_rmd = np.broadcast_to(rmd_modes, (bsz, rmd_modes.size))
 
     def f(state, row, oy, ou, ov, og4, og4c):
-        ry, ru, rv, cY, cU, cV, mg = state
+        ry, ru, rv, cY, cU, cV, mg, tg = state
         fi, xs, ys, ws, hs, oi, okv = [row[:, k] for k in range(7)]
         ok = okv > 0
         if kind == "chroma":
@@ -217,8 +275,8 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                                    axis=1)[:, 0]
         inside = ((dy[None, :, None] < hs[:, None, None])
                   & (dy[None, None, :] < ws[:, None, None]))
-        lev_y, rec_y = _tq_generic(orgs, pred, ws, hs, qp_y, bd, lam, 1.0,
-                                   rd_quant, inside)
+        lev_y, rec_y, tr_y = _tq_luma_mts(orgs, pred, ws, hs, qp_y, bd,
+                                          lam, rd_quant, inside, mts)
         okm = ok[:, None, None] & inside
         srows = jnp.where(okm, o_rows, _OOB)
         fi3 = fi[:, None, None]
@@ -230,11 +288,15 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
         m_cols = xs[:, None, None] // 4 + d4[None, None, :]
         m_ok = ok[:, None, None] & (d4[None, :, None] < hs[:, None, None] // 4) \
             & (d4[None, None, :] < ws[:, None, None] // 4)
-        mg = mg.at[fi3, jnp.where(m_ok, m_rows, _OOB), m_cols].set(
+        msafe = jnp.where(m_ok, m_rows, _OOB)
+        mg = mg.at[fi3, msafe, m_cols].set(
             jnp.broadcast_to(best[:, None, None].astype(jnp.uint8),
                              m_rows.shape), mode="drop")
+        tg = tg.at[fi3, msafe, m_cols].set(
+            jnp.broadcast_to(tr_y[:, None, None].astype(jnp.uint8),
+                             m_rows.shape), mode="drop")
 
-        state = (ry, ru, rv, cY, cU, cV, mg)
+        state = (ry, ru, rv, cY, cU, cV, mg, tg)
         if kind == "luma":
             return state
         # ---- single tree: chroma DM at half res, same coding order ----
@@ -251,7 +313,7 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
     Coordinates are LUMA-unit (x, y, w, h); ``best`` the DM luma mode;
     ``og4c`` the availability order grid of the CHROMA coding order
     (the luma grid for single tree)."""
-    ry, ru, rv, cY, cU, cV, mg = state
+    ry, ru, rv, cY, cU, cV, mg, tg = state
     cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
     dc_ = np.arange(Pc)
     co_rows = cys[:, None, None] + dc_[None, :, None]
@@ -276,22 +338,24 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
                                               mode="drop")
         out.append((plane, lv_p))
     (ru, cU), (rv, cV) = out
-    return ry, ru, rv, cY, cU, cV, mg
+    return ry, ru, rv, cY, cU, cV, mg, tg
 
 
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-               mesh=None):
+               mts=False, mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
     ``lax.scan`` over the packed per-class schedules.  ``classes``:
     (kind, pad) tuples.  Each scan step carries one (B, 7) row per
     class; inactive rows (ok flags clear) are skipped via ``lax.cond``.
     Result planes are packed for the single down-transfer."""
     applies = [_make_class_apply(p, b, qp_y, qp_c, bd, lam, dw_c,
-                                 rd_quant, kind=k)
+                                 rd_quant, kind=k,
+                                 mts=mts and p <= 32)
                for (k, p), b in zip(classes, bszs)]
 
-    def f(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, og4c, *scheds):
+    def f(ry, ru, rv, cY, cU, cV, mg, tg, oy, ou, ov, og4, og4c,
+          *scheds):
         def step(state, rows):
             for app, row in zip(applies, rows):
                 if len(applies) == 1:
@@ -305,13 +369,13 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                         lambda s, r: s,
                         state, row)
             return state, None
-        state, _ = jax.lax.scan(step, (ry, ru, rv, cY, cU, cV, mg),
+        state, _ = jax.lax.scan(step, (ry, ru, rv, cY, cU, cV, mg, tg),
                                 tuple(scheds))
-        ry, ru, rv, cY, cU, cV, mg = state
+        ry, ru, rv, cY, cU, cV, mg, tg = state
         return (ry.astype(jnp.uint16), ru.astype(jnp.uint16),
-                rv.astype(jnp.uint16), cY, cU, cV, mg)
+                rv.astype(jnp.uint16), cY, cU, cV, mg, tg)
 
-    donate = tuple(range(7))   # state planes
+    donate = tuple(range(8))   # state planes
     if mesh is not None:
         from ..parallel.wavefront_dp import wave_scan_shardings
         ins, outs = wave_scan_shardings(mesh, len(classes))
@@ -414,8 +478,7 @@ class WavefrontEncoder(FrameEncoder):
     the stock VTM decoder); decisions may differ from the sequential
     path (pure-SATD RMD, order-independent rate proxies)."""
 
-    _UNSUPPORTED = ("transform_skip",
-                    "mts_intra", "lfnst", "mip", "mrl",
+    _UNSUPPORTED = ("transform_skip", "lfnst", "mip", "mrl",
                     "isp", "cclm", "joint_cbcr", "lmcs", "dep_quant",
                     "sign_hiding")
 
@@ -579,12 +642,14 @@ class WavefrontEncoder(FrameEncoder):
         cU = jnp.zeros((F, H // 2, W // 2), jnp.int16)
         cV = jnp.zeros_like(cU)
         mg = jnp.zeros((F, H // 4, W // 4), jnp.uint8)
+        tg = jnp.zeros_like(mg)
 
         fn = _wave_scan(active, tuple(self.batch[k2[1]] for k2 in active),
                         qp_y, qp_c, bd, float(self.lam), float(self.dw_c),
-                        bool(cfg.rd_quant), mesh=self.mesh)
-        packed = fn(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4, og4c,
-                    *scheds)
+                        bool(cfg.rd_quant), mts=bool(cfg.mts_intra),
+                        mesh=self.mesh)
+        packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, oy, ou, ov, og4,
+                    og4c, *scheds)
         return jax.device_get(packed)
 
     # ---- phase C: CABAC replay ------------------------------------------
@@ -592,8 +657,9 @@ class WavefrontEncoder(FrameEncoder):
     def _encode_cu(self, enc, rc, org_y, org_u, org_v, cu: CuInfo):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg = self._dev_result
         cu.mode = int(mg[f, y // 4, x // 4])
+        mts_idx = int(tg[f, y // 4, x // 4])
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
@@ -608,12 +674,20 @@ class WavefrontEncoder(FrameEncoder):
         enc.encode_bin(1 if cbf_v else 0,
                        ctx("QtCbf2", 1 if cbf_u else 0))
         enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+        last_pos_y, violates = -1, False
         if cbf_y:
-            rc.code(lev_y, is_luma=True)
+            last_pos_y, violates = self._write_resid(rc, lev_y, w, h,
+                                                     True)
         if cbf_u:
-            rc.code(lev_u, is_luma=False)
+            self._write_resid(rc, lev_u, cw, chh, False)
         if cbf_v:
-            rc.code(lev_v, is_luma=False)
+            self._write_resid(rc, lev_v, cw, chh, False)
+        comps = [(w, h, lev_y)] if cbf_y else []
+        comps += ([(cw, chh, lev_u)] if cbf_u else [])
+        comps += ([(cw, chh, lev_v)] if cbf_v else [])
+        self._write_lfnst_idx(enc, cu, 0, comps, False)
+        self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                            violates)
 
         self.recon_y[y:y + h, x:x + w] = ry[f, y:y + h, x:x + w]
         self.recon_u[cy:cy + chh, cx:cx + cw] = ru[f, cy:cy + chh,
@@ -633,14 +707,21 @@ class WavefrontEncoder(FrameEncoder):
         """Dual-tree luma CU replay from device results."""
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg = self._dev_result
         cu.mode = int(mg[f, y // 4, x // 4])
+        mts_idx = int(tg[f, y // 4, x // 4])
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
         cbf_y = bool(lev_y.any())
         self._write_intra_luma_mode(enc, cu)
         enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+        last_pos_y, violates = -1, False
         if cbf_y:
-            rc.code(lev_y, is_luma=True)
+            last_pos_y, violates = self._write_resid(rc, lev_y, w, h,
+                                                     True)
+        self._write_lfnst_idx(enc, cu, 0,
+                              [(w, h, lev_y)] if cbf_y else [], True)
+        self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                            violates)
         self.recon_y[y:y + h, x:x + w] = ry[f, y:y + h, x:x + w]
         r, c = y // 4, x // 4
         self.coded[r:r + h // 4, c:c + w // 4] = True
@@ -656,7 +737,7 @@ class WavefrontEncoder(FrameEncoder):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg = self._dev_result
         cu.mode = int(self.unit_mode[(y + h // 2) // 4,
                                      (x + w // 2) // 4])
         lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
@@ -667,9 +748,13 @@ class WavefrontEncoder(FrameEncoder):
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
         if cbf_u:
-            rc.code(lev_u, is_luma=False)
+            self._write_resid(rc, lev_u, cw, chh, False)
         if cbf_v:
-            rc.code(lev_v, is_luma=False)
+            self._write_resid(rc, lev_v, cw, chh, False)
+        if min(cw, chh) >= 4:
+            comps = ([(cw, chh, lev_u)] if cbf_u else []) \
+                + ([(cw, chh, lev_v)] if cbf_v else [])
+            self._write_lfnst_idx(enc, cu, 0, comps, True)
         self.recon_u[cy:cy + chh, cx:cx + cw] = ru[f, cy:cy + chh,
                                                    cx:cx + cw]
         self.recon_v[cy:cy + chh, cx:cx + cw] = rv[f, cy:cy + chh,

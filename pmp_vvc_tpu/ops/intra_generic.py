@@ -222,26 +222,36 @@ def predict_generic(top_u, left_u, top_f, left_f, modes, w, h, *,
         G = G + fs[:, :, :, k, None] * refp[:, :, None, k:ltot + k]
     Gp = jnp.concatenate(
         [G, jnp.repeat(G[:, :, :, -1:], P, axis=3)], axis=3)
-    starts = jnp.clip(off + delta_int, 0, ltot + P - P)   # (B, M, P)
-    flat = Gp.reshape(B * M * P, ltot + P)
-    win = jax.vmap(
-        lambda row, s: jax.lax.dynamic_slice(row, (s,), (P,)))(
-            flat, starts.reshape(B * M * P))
-    pred = jnp.clip((win.reshape(B, M, P, P) + 32) >> 6, 0, pel_max)
+    starts = jnp.clip(off + delta_int, 0, ltot)           # (B, M, P)
+    # one fused XLA gather (NOT a vmapped dynamic_slice — XLA lowers
+    # that to a serial while loop of B*M*P scalar slices on TPU)
+    idx = starts[:, :, :, None] + xs[None, None, None, :]
+    win = jnp.take_along_axis(Gp, idx, axis=3)
+    pred = jnp.clip((win + 32) >> 6, 0, pel_max)
 
     # ---- PDPC, angular ----
     zero = angle == 0
-    # variant A (angle > 0): side-projected gather
-    inv_sum = 256 + (xs[None, None, :] + 1) * inv_angle[:, :, None]
+    # variant A (angle > 0): side-projected gather.  PDPC reaches at
+    # most 3 << scale <= 12 columns (scale is clipped to 2 in
+    # initPredIntraParams; asserted over the whole param table in
+    # tests), so only the first 16 columns are gathered — beyond that
+    # the adjustment is identically zero.
+    PD = min(16, P)
+    xsd = np.arange(PD)
+    inv_sum = 256 + (xsd[None, None, :] + 1) * inv_angle[:, :, None]
     side_idx = ys[None, None, :, None] + (inv_sum >> 9)[:, :, None, :] + 1
     side_idx = jnp.clip(side_idx, 0, L - 1)
-    sv = jnp.take_along_axis(side, side_idx.reshape(B, M, P * P),
-                             axis=2).reshape(B, M, P, P)
-    w_l = 32 >> jnp.minimum(31, (2 * xs[None, None, :]) >> scale[:, :, None])
-    adj_pos = (w_l[:, :, None, :] * (sv - pred) + 32) >> 6
+    sv = jnp.take_along_axis(side, side_idx.reshape(B, M, P * PD),
+                             axis=2).reshape(B, M, P, PD)
+    w_l = 32 >> jnp.minimum(31,
+                            (2 * xsd[None, None, :]) >> scale[:, :, None])
+    adj_pos = (w_l[:, :, None, :] * (sv - pred[..., :PD]) + 32) >> 6
     lim = jnp.minimum(3 << scale, wp)
-    adj_pos = jnp.where(xs[None, None, None, :] < lim[:, :, None, None],
+    adj_pos = jnp.where(xsd[None, None, None, :] < lim[:, :, None, None],
                         adj_pos, 0)
+    if PD < P:
+        adj_pos = jnp.pad(adj_pos,
+                          ((0, 0), (0, 0), (0, 0), (0, P - PD)))
     pred_pos = pred + adj_pos
     # variant B (angle == 0): pure hor/ver top-left form
     scale0 = (lwp + lhp - 2) >> 2

@@ -63,11 +63,41 @@ def dct2_matrices(n, pad):
     return jnp.where(mask, t, 0)
 
 
-def forward_transform_generic(x, w, h, *, bit_depth: int = 10):
+@functools.cache
+def _mts_table(kind):
+    """(4, 32, 32) int32 padded DST-7 / DCT-8 cores for sizes 4..32
+    (no nesting property, unlike DCT-2 — four gathered size slots)."""
+    out = np.zeros((4, 32, 32), np.int32)
+    for i, n in enumerate((4, 8, 16, 32)):
+        out[i, :n, :n] = core_matrix(kind, n)
+    return out
+
+
+def tr_matrices(kind, n, pad):
+    """(B, pad, pad) transform matrices of static ``kind``
+    (transforms.py order: 0 DCT2, 1 DCT8, 2 DST7) for per-CU sizes
+    ``n``; MTS zero-out keeps 16 coefficients (nonzero_out_size,
+    TrQuant.cpp:777)."""
+    if kind == 0:
+        return dct2_matrices(n, pad)
+    ln = _log2(n)
+    t = jnp.take(jnp.asarray(_mts_table(kind)),
+                 jnp.clip(ln - 2, 0, 3), axis=0)      # (B, 32, 32)
+    if pad > 32:
+        t = jnp.pad(t, ((0, 0), (0, pad - 32), (0, pad - 32)))
+    i = np.arange(pad)
+    mask = (i[None, :, None] < jnp.minimum(n, 16)[:, None, None]) & \
+        (i[None, None, :] < n[:, None, None])
+    return jnp.where(mask, t, 0)
+
+
+def forward_transform_generic(x, w, h, *, bit_depth: int = 10,
+                              kind_w: int = 0, kind_h: int = 0):
     """(B, P, P) int32 residual -> coeffs; w/h: (B,) data.  Input columns
-    >= w and rows >= h may hold garbage (masked by the matrices)."""
-    tw = dct2_matrices(w, x.shape[-1])
-    th_ = dct2_matrices(h, x.shape[-1])
+    >= w and rows >= h may hold garbage (masked by the matrices).
+    ``kind_w``/``kind_h``: static horizontal/vertical cores (MTS)."""
+    tw = tr_matrices(kind_w, w, x.shape[-1])
+    th_ = tr_matrices(kind_h, h, x.shape[-1])
     lw, lh = _log2(w), _log2(h)
     s1 = (lw + bit_depth + MATRIX_SHIFT - MAX_LOG2_DYN_RANGE)[:, None, None]
     s2 = (lh + MATRIX_SHIFT)[:, None, None]
@@ -78,10 +108,11 @@ def forward_transform_generic(x, w, h, *, bit_depth: int = 10):
     return t2
 
 
-def inverse_transform_generic(c, w, h, *, bit_depth: int = 10):
+def inverse_transform_generic(c, w, h, *, bit_depth: int = 10,
+                              kind_w: int = 0, kind_h: int = 0):
     """(B, P, P) coeffs -> residual (clipped to the 16-bit range)."""
-    tw = dct2_matrices(w, c.shape[-1])
-    th_ = dct2_matrices(h, c.shape[-1])
+    tw = tr_matrices(kind_w, w, c.shape[-1])
+    th_ = tr_matrices(kind_h, h, c.shape[-1])
     s1 = MATRIX_SHIFT + 1
     s2 = MATRIX_SHIFT + MAX_LOG2_DYN_RANGE - 1 - bit_depth
     e = jnp.einsum("bky,bki->byi", th_, c.astype(jnp.int32),

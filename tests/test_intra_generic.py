@@ -107,3 +107,11 @@ def test_generic_mixed_batch():
         for k in range(picks.shape[1]):
             assert np.array_equal(gen[i, k, :h, :w], exact[i][0, k]), \
                 (i, k, cus[i], picks[i, k])
+
+
+def test_pdpc_scale_bound():
+    """predict_generic's PDPC gather covers only the first 16 columns;
+    exactness relies on 3 << scale <= 12 for every (size, mode)."""
+    from pmp_vvc_tpu.ops.intra_generic import param_tables
+    for luma in (True, False):
+        assert param_tables(luma)["scale"].max() <= 2

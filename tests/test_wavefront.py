@@ -130,6 +130,20 @@ def test_wavefront_dual_tree_mtt_maps():
         assert np.array_equal(a, b), plane
 
 
+def test_wavefront_mts_bit_exact():
+    """Device-batched MTS trials: the chosen mts_idx must survive the
+    signalling constraints (non-DC coefficient present) so the decoder
+    reproduces the transform choice; stream must also be SMALLER than
+    DCT2-only on this content (the point of the tool)."""
+    y, u, v = _synth(192, 128)
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+    cfg0 = VVCConfig(width=192, height=128, qp=32)
+    bs0, _ = WavefrontEncoder(cfg0).encode_frame(y, u, v)
+    cfg = VVCConfig(width=192, height=128, qp=32, mts_intra=True)
+    bs, recons = _roundtrip(cfg)
+    assert len(bs) < len(bs0), (len(bs), len(bs0))
+
+
 def test_wavefront_unsupported_cfg_raises():
     from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
     with pytest.raises(NotImplementedError):
