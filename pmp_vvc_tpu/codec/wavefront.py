@@ -52,6 +52,7 @@ import jax.numpy as jnp
 from ..ops.intra import fill_reference_samples
 from ..ops.intra_generic import (filter_reference_samples_generic,
                                  predict_generic)
+from ..ops.mip_generic import MAX_MODES as MIP_MAX, predict_mip_generic
 from ..ops.tq_generic import (dequantize_generic, forward_transform_generic,
                               inverse_transform_generic, quantize_generic,
                               rd_cleanup_generic, satd_generic)
@@ -209,7 +210,7 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
 
 
 def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-                      kind="st", mts=False):
+                      kind="st", mts=False, mip=False):
     """Wave-segment body for the P-pad tile class.  ``kind``:
 
     - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
@@ -232,7 +233,7 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     modes_rmd = np.broadcast_to(rmd_modes, (bsz, rmd_modes.size))
 
     def f(state, row, oy, ou, ov, og4, og4c):
-        ry, ru, rv, cY, cU, cV, mg, tg = state
+        ry, ru, rv, cY, cU, cV, mg, tg, pg = state
         fi, xs, ys, ws, hs, oi, okv = [row[:, k] for k in range(7)]
         ok = okv > 0
         if kind == "chroma":
@@ -273,6 +274,30 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                                    axis=1)[:, 0].astype(jnp.int32)
         pred = jnp.take_along_axis(cand_p, k[:, None, None, None],
                                    axis=1)[:, 0]
+        if mip:
+            # MIP candidates compete by SATD (the sequential
+            # _choose_luma contract); winner coded as mip flag +
+            # transpose + trunc-bin mode, mode grid shows PLANAR
+            # (neighbour MPM / chroma DM view)
+            cost_ang = jnp.take_along_axis(cand_c, k[:, None],
+                                           axis=1)[:, 0]
+            mip_preds, n_m = predict_mip_generic(
+                refs[0], refs[1], ws, hs, pad=P, bit_depth=bd)
+            mip_costs = satd_generic(orgs[:, None], mip_preds, ws, hs)
+            mi = np.arange(2 * MIP_MAX)
+            valid = (mi[None, :] % MIP_MAX) < n_m[:, None]
+            mip_costs = jnp.where(valid, mip_costs, jnp.inf)
+            mb = jnp.argmin(mip_costs, axis=1)
+            mip_c = jnp.take_along_axis(mip_costs, mb[:, None],
+                                        axis=1)[:, 0]
+            use_mip = mip_c < cost_ang
+            mpred = jnp.take_along_axis(
+                mip_preds, mb[:, None, None, None], axis=1)[:, 0]
+            pred = jnp.where(use_mip[:, None, None], mpred, pred)
+            best = jnp.where(use_mip, 0, best)
+            mip_code = jnp.where(use_mip, 1 + mb, 0).astype(jnp.int32)
+        else:
+            mip_code = jnp.zeros_like(best)
         inside = ((dy[None, :, None] < hs[:, None, None])
                   & (dy[None, None, :] < ws[:, None, None]))
         lev_y, rec_y, tr_y = _tq_luma_mts(orgs, pred, ws, hs, qp_y, bd,
@@ -295,8 +320,11 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
         tg = tg.at[fi3, msafe, m_cols].set(
             jnp.broadcast_to(tr_y[:, None, None].astype(jnp.uint8),
                              m_rows.shape), mode="drop")
+        pg = pg.at[fi3, msafe, m_cols].set(
+            jnp.broadcast_to(mip_code[:, None, None].astype(jnp.uint8),
+                             m_rows.shape), mode="drop")
 
-        state = (ry, ru, rv, cY, cU, cV, mg, tg)
+        state = (ry, ru, rv, cY, cU, cV, mg, tg, pg)
         if kind == "luma":
             return state
         # ---- single tree: chroma DM at half res, same coding order ----
@@ -313,7 +341,7 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
     Coordinates are LUMA-unit (x, y, w, h); ``best`` the DM luma mode;
     ``og4c`` the availability order grid of the CHROMA coding order
     (the luma grid for single tree)."""
-    ry, ru, rv, cY, cU, cV, mg, tg = state
+    ry, ru, rv, cY, cU, cV, mg, tg, pg = state
     cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
     dc_ = np.arange(Pc)
     co_rows = cys[:, None, None] + dc_[None, :, None]
@@ -338,12 +366,12 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
                                               mode="drop")
         out.append((plane, lv_p))
     (ru, cU), (rv, cV) = out
-    return ry, ru, rv, cY, cU, cV, mg, tg
+    return ry, ru, rv, cY, cU, cV, mg, tg, pg
 
 
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-               mts=False, mesh=None):
+               mts=False, mip=False, mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
     ``lax.scan`` over the packed per-class schedules.  ``classes``:
     (kind, pad) tuples.  Each scan step carries one (B, 7) row per
@@ -351,10 +379,10 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     Result planes are packed for the single down-transfer."""
     applies = [_make_class_apply(p, b, qp_y, qp_c, bd, lam, dw_c,
                                  rd_quant, kind=k,
-                                 mts=mts and p <= 32)
+                                 mts=mts and p <= 32, mip=mip)
                for (k, p), b in zip(classes, bszs)]
 
-    def f(ry, ru, rv, cY, cU, cV, mg, tg, oy, ou, ov, og4, og4c,
+    def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, oy, ou, ov, og4, og4c,
           *scheds):
         def step(state, rows):
             for app, row in zip(applies, rows):
@@ -369,13 +397,14 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                         lambda s, r: s,
                         state, row)
             return state, None
-        state, _ = jax.lax.scan(step, (ry, ru, rv, cY, cU, cV, mg, tg),
+        state, _ = jax.lax.scan(step,
+                                (ry, ru, rv, cY, cU, cV, mg, tg, pg),
                                 tuple(scheds))
-        ry, ru, rv, cY, cU, cV, mg, tg = state
+        ry, ru, rv, cY, cU, cV, mg, tg, pg = state
         return (ry.astype(jnp.uint16), ru.astype(jnp.uint16),
-                rv.astype(jnp.uint16), cY, cU, cV, mg, tg)
+                rv.astype(jnp.uint16), cY, cU, cV, mg, tg, pg)
 
-    donate = tuple(range(8))   # state planes
+    donate = tuple(range(9))   # state planes
     if mesh is not None:
         from ..parallel.wavefront_dp import wave_scan_shardings
         ins, outs = wave_scan_shardings(mesh, len(classes))
@@ -478,9 +507,18 @@ class WavefrontEncoder(FrameEncoder):
     the stock VTM decoder); decisions may differ from the sequential
     path (pure-SATD RMD, order-independent rate proxies)."""
 
-    _UNSUPPORTED = ("transform_skip", "lfnst", "mip", "mrl",
+    _UNSUPPORTED = ("transform_skip", "lfnst", "mrl",
                     "isp", "cclm", "joint_cbcr", "lmcs", "dep_quant",
                     "sign_hiding")
+
+    def _set_mip_fields(self, cu, code):
+        """Decode the device mip plane value (0 = angular, else
+        1 + t*MAX_MODES + mode)."""
+        if code:
+            idx = code - 1
+            cu.mip = True
+            cu.mip_transpose = idx >= 16
+            cu.mip_mode = idx % 16
 
     def __init__(self, cfg, *, mesh=None, batch=None, **kw):
         kw.setdefault("mode_select", "satd")
@@ -643,12 +681,13 @@ class WavefrontEncoder(FrameEncoder):
         cV = jnp.zeros_like(cU)
         mg = jnp.zeros((F, H // 4, W // 4), jnp.uint8)
         tg = jnp.zeros_like(mg)
+        pg = jnp.zeros_like(mg)
 
         fn = _wave_scan(active, tuple(self.batch[k2[1]] for k2 in active),
                         qp_y, qp_c, bd, float(self.lam), float(self.dw_c),
                         bool(cfg.rd_quant), mts=bool(cfg.mts_intra),
-                        mesh=self.mesh)
-        packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, oy, ou, ov, og4,
+                        mip=bool(cfg.mip), mesh=self.mesh)
+        packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, oy, ou, ov, og4,
                     og4c, *scheds)
         return jax.device_get(packed)
 
@@ -657,9 +696,10 @@ class WavefrontEncoder(FrameEncoder):
     def _encode_cu(self, enc, rc, org_y, org_u, org_v, cu: CuInfo):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg = self._dev_result
         cu.mode = int(mg[f, y // 4, x // 4])
         mts_idx = int(tg[f, y // 4, x // 4])
+        self._set_mip_fields(cu, int(pg[f, y // 4, x // 4]))
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
@@ -700,6 +740,7 @@ class WavefrontEncoder(FrameEncoder):
         self.unit_w[r:r + h // 4, c:c + w // 4] = w
         self.unit_h[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
         self.leaf_l.append((x, y, w, h))
         self.leaf_c.append((cx, cy, cw, chh))
 
@@ -707,9 +748,10 @@ class WavefrontEncoder(FrameEncoder):
         """Dual-tree luma CU replay from device results."""
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg = self._dev_result
         cu.mode = int(mg[f, y // 4, x // 4])
         mts_idx = int(tg[f, y // 4, x // 4])
+        self._set_mip_fields(cu, int(pg[f, y // 4, x // 4]))
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
         cbf_y = bool(lev_y.any())
         self._write_intra_luma_mode(enc, cu)
@@ -729,6 +771,7 @@ class WavefrontEncoder(FrameEncoder):
         self.unit_w[r:r + h // 4, c:c + w // 4] = w
         self.unit_h[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
+        self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
         self.leaf_l.append((x, y, w, h))
 
     def _encode_chroma_cu(self, enc, rc, org_u, org_v, cu: CuInfo,
@@ -737,7 +780,7 @@ class WavefrontEncoder(FrameEncoder):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg = self._dev_result
         cu.mode = int(self.unit_mode[(y + h // 2) // 4,
                                      (x + w // 2) // 4])
         lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
