@@ -210,7 +210,7 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
 
 
 def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-                      kind="st", mts=False, mip=False):
+                      kind="st", mts=False, mip=False, cclm=False):
     """Wave-segment body for the P-pad tile class.  ``kind``:
 
     - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
@@ -233,8 +233,8 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     modes_rmd = np.broadcast_to(rmd_modes, (bsz, rmd_modes.size))
 
     def f(state, row, oy, ou, ov, og4, og4c):
-        ry, ru, rv, cY, cU, cV, mg, tg, pg = state
-        fi, xs, ys, ws, hs, oi, okv = [row[:, k] for k in range(7)]
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = state
+        fi, xs, ys, ws, hs, oi, okv, flg = [row[:, k] for k in range(8)]
         ok = okv > 0
         if kind == "chroma":
             best = mg[fi, jnp.clip((ys + hs // 2) // 4, 0,
@@ -243,7 +243,8 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                                mg.shape[2] - 1)].astype(jnp.int32)
             return _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best,
                                 ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
-                                rd_quant)
+                                rd_quant, cclm=cclm,
+                                cclm_ok=(flg & 1) > 0)
         # ---- luma ----
         refs = _refs_generic(ry, og4, fi, oi, xs, ys, ws, hs, P, 1, bd)
         preds = predict_generic(*refs, modes_rmd,
@@ -324,24 +325,28 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
             jnp.broadcast_to(mip_code[:, None, None].astype(jnp.uint8),
                              m_rows.shape), mode="drop")
 
-        state = (ry, ru, rv, cY, cU, cV, mg, tg, pg)
+        state = (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg)
         if kind == "luma":
             return state
-        # ---- single tree: chroma DM at half res, same coding order ----
+        # ---- single tree: chroma DM/CCLM at half res, same order ----
         return _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best,
                             ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
-                            rd_quant)
+                            rd_quant, cclm=cclm,
+                            cclm_ok=(flg & 1) > 0)
 
     return f
 
 
 def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
-                 Pc, qp_c, bd, lam, dw_c, rd_quant):
-    """Chroma half of a wave segment: DM prediction + TQ + scatter.
-    Coordinates are LUMA-unit (x, y, w, h); ``best`` the DM luma mode;
-    ``og4c`` the availability order grid of the CHROMA coding order
-    (the luma grid for single tree)."""
-    ry, ru, rv, cY, cU, cV, mg, tg, pg = state
+                 Pc, qp_c, bd, lam, dw_c, rd_quant, cclm=False,
+                 cclm_ok=None):
+    """Chroma half of a wave segment: DM vs CCLM (LM_CHROMA) prediction
+    by joint U+V SATD, TQ + scatter.  Coordinates are LUMA-unit
+    (x, y, w, h); ``best`` the DM luma mode; ``og4c`` the availability
+    order grid of the CHROMA coding order (the luma grid for single
+    tree); ``cclm_ok``: (B,) per-CU bool gate (checkCCLMAllowed for
+    the dual chroma tree)."""
+    ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = state
     cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
     dc_ = np.arange(Pc)
     co_rows = cys[:, None, None] + dc_[None, :, None]
@@ -351,27 +356,63 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
     c_ok = ok[:, None, None] & c_in
     csr = jnp.where(c_ok, co_rows, _OOB)
     fi3 = fi[:, None, None]
+
+    crefs_u = _refs_generic(ru, og4c, fi, oi, cxs, cys, cws, chs,
+                            Pc, 2, bd)
+    crefs_v = _refs_generic(rv, og4c, fi, oi, cxs, cys, cws, chs,
+                            Pc, 2, bd)
+    pred_u = predict_generic(*crefs_u, best[:, None], cws, chs,
+                             pad=Pc, is_luma=False, bit_depth=bd)[:, 0]
+    pred_v = predict_generic(*crefs_v, best[:, None], cws, chs,
+                             pad=Pc, is_luma=False, bit_depth=bd)[:, 0]
+    corg_u = _gather_plane(ou, fi[:, None, None], co_rows, co_cols)
+    corg_v = _gather_plane(ov, fi[:, None, None], co_rows, co_cols)
+    use_lm = jnp.zeros(fi.shape, bool)
+    if cclm:
+        from ..ops.cclm_generic import cclm_predict_generic
+        lm_u, lm_v = cclm_predict_generic(
+            ry, fi, cxs, cys, cws, chs, pad_c=Pc,
+            top_u=crefs_u[0], left_u=crefs_u[1],
+            top_v=crefs_v[0], left_v=crefs_v[1], bit_depth=bd)
+        cost_dm = satd_generic(corg_u[:, None], pred_u[:, None], cws,
+                               chs)[:, 0] \
+            + satd_generic(corg_v[:, None], pred_v[:, None], cws,
+                           chs)[:, 0]
+        cost_lm = satd_generic(corg_u[:, None], lm_u[:, None], cws,
+                               chs)[:, 0] \
+            + satd_generic(corg_v[:, None], lm_v[:, None], cws,
+                           chs)[:, 0]
+        use_lm = (cost_lm < cost_dm)
+        if cclm_ok is not None:
+            use_lm = use_lm & cclm_ok
+        pred_u = jnp.where(use_lm[:, None, None], lm_u, pred_u)
+        pred_v = jnp.where(use_lm[:, None, None], lm_v, pred_v)
+
     out = []
-    for plane, org_p, lv_p in ((ru, ou, cU), (rv, ov, cV)):
-        crefs = _refs_generic(plane, og4c, fi, oi, cxs, cys, cws, chs,
-                              Pc, 2, bd)
-        cpred = predict_generic(*crefs, best[:, None], cws, chs,
-                                pad=Pc, is_luma=False,
-                                bit_depth=bd)[:, 0]
-        corgs = _gather_plane(org_p, fi[:, None, None], co_rows, co_cols)
-        lev_c, rec_c = _tq_generic(corgs, cpred, cws, chs, qp_c, bd,
+    for pred_c, org_c, plane, lv_p in ((pred_u, corg_u, ru, cU),
+                                       (pred_v, corg_v, rv, cV)):
+        lev_c, rec_c = _tq_generic(org_c, pred_c, cws, chs, qp_c, bd,
                                    lam, dw_c, rd_quant, c_in)
         plane = plane.at[fi3, csr, co_cols].set(rec_c, mode="drop")
         lv_p = lv_p.at[fi3, csr, co_cols].set(lev_c.astype(jnp.int16),
                                               mode="drop")
         out.append((plane, lv_p))
     (ru, cU), (rv, cV) = out
-    return ry, ru, rv, cY, cU, cV, mg, tg, pg
+    # record the chroma-mode choice on the luma-unit grid
+    d4 = np.arange(Pc // 2)
+    g_rows = ys[:, None, None] // 4 + d4[None, :, None]
+    g_cols = xs[:, None, None] // 4 + d4[None, None, :]
+    g_ok = ok[:, None, None] & (d4[None, :, None] < hs[:, None, None] // 4) \
+        & (d4[None, None, :] < ws[:, None, None] // 4)
+    cg = cg.at[fi3, jnp.where(g_ok, g_rows, _OOB), g_cols].set(
+        jnp.broadcast_to(use_lm[:, None, None].astype(jnp.uint8),
+                         g_rows.shape), mode="drop")
+    return ry, ru, rv, cY, cU, cV, mg, tg, pg, cg
 
 
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-               mts=False, mip=False, mesh=None):
+               mts=False, mip=False, cclm=False, mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
     ``lax.scan`` over the packed per-class schedules.  ``classes``:
     (kind, pad) tuples.  Each scan step carries one (B, 7) row per
@@ -379,11 +420,12 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     Result planes are packed for the single down-transfer."""
     applies = [_make_class_apply(p, b, qp_y, qp_c, bd, lam, dw_c,
                                  rd_quant, kind=k,
-                                 mts=mts and p <= 32, mip=mip)
+                                 mts=mts and p <= 32, mip=mip,
+                                 cclm=cclm)
                for (k, p), b in zip(classes, bszs)]
 
-    def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, oy, ou, ov, og4, og4c,
-          *scheds):
+    def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, oy, ou, ov, og4,
+          og4c, *scheds):
         def step(state, rows):
             for app, row in zip(applies, rows):
                 if len(applies) == 1:
@@ -397,14 +439,14 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                         lambda s, r: s,
                         state, row)
             return state, None
-        state, _ = jax.lax.scan(step,
-                                (ry, ru, rv, cY, cU, cV, mg, tg, pg),
-                                tuple(scheds))
-        ry, ru, rv, cY, cU, cV, mg, tg, pg = state
+        state, _ = jax.lax.scan(
+            step, (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg),
+            tuple(scheds))
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = state
         return (ry.astype(jnp.uint16), ru.astype(jnp.uint16),
-                rv.astype(jnp.uint16), cY, cU, cV, mg, tg, pg)
+                rv.astype(jnp.uint16), cY, cU, cV, mg, tg, pg, cg)
 
-    donate = tuple(range(9))   # state planes
+    donate = tuple(range(10))   # state planes
     if mesh is not None:
         from ..parallel.wavefront_dp import wave_scan_shardings
         ins, outs = wave_scan_shardings(mesh, len(classes))
@@ -413,14 +455,19 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     return jax.jit(f, donate_argnums=donate)
 
 
-def _collect_leaves_chroma(enc, decide):
+def _collect_leaves_chroma(enc, decide, decide_luma=None):
     """Dual-tree CHROMA leaf collection (luma-unit coords) — mirrors
     FrameEncoder._encode_tree_ch's chroma walk incl. the implicit-BV
-    chroma-width-4 ban."""
+    chroma-width-4 ban.  Each leaf carries its checkCCLMAllowed flag
+    (Unit.cpp:378-443), derived from the chroma split path and the
+    co-located 64x64 luma node's split (re-derived from the luma
+    decider — the wavefront path has no ISP, so the ISP clause is
+    moot)."""
     cfg = enc.cfg
     leaves = []
+    luma_root = {"split": Split.NONE}
 
-    def walk(x, y, w, h, state):
+    def walk(x, y, w, h, state, depth64=0, path=(None, None)):
         if x >= cfg.width or y >= cfg.height:
             return
         implicit = get_implicit_split(x, y, w, h, state, cfg, True)
@@ -434,6 +481,8 @@ def _collect_leaves_chroma(enc, decide):
             raise NotImplementedError(
                 "RDO fallback inside the wavefront path")
         if split != Split.NONE:
+            npath = (split if depth64 == 0 else path[0],
+                     split if depth64 == 1 else path[1])
             imp_bt = state.implicit_bt_depth + (
                 1 if split == implicit
                 and split in (Split.BT_H, Split.BT_V) else 0)
@@ -446,9 +495,14 @@ def _collect_leaves_chroma(enc, decide):
                     mtt_depth=state.mtt_depth
                     + (0 if split == Split.QT else 1),
                     implicit_bt_depth=imp_bt)
-                walk(cx, cy, cw, chh, cstate)
+                walk(cx, cy, cw, chh, cstate, depth64 + 1, npath)
             return
-        leaves.append((x, y, w, h, state.qt_depth))
+        npath = (path[0] if depth64 > 0 else None,
+                 path[1] if depth64 > 1 else None)
+        enc._luma_root_split = luma_root["split"]
+        enc._luma_root_isp = False
+        cok = 1 if (cfg.cclm and enc._cclm_allowed_dual(npath)) else 0
+        leaves.append((x, y, w, h, state.qt_depth, cok))
 
     n_ctu_x = (cfg.width + 127) // 128
     n_ctu_y = (cfg.height + 127) // 128
@@ -458,8 +512,12 @@ def _collect_leaves_chroma(enc, decide):
                     ctx_i * 128, cty * 128, 128, 128, Split.QT):
                 if qx >= cfg.width or qy >= cfg.height:
                     continue
-                walk(qx, qy, qw, qh,
-                     SplitState(last_split=Split.QT, qt_depth=1))
+                st = SplitState(last_split=Split.QT, qt_depth=1)
+                if decide_luma is not None:
+                    imp = get_implicit_split(qx, qy, qw, qh, st, cfg)
+                    luma_root["split"] = imp if imp != Split.NONE \
+                        else decide_luma(qx, qy, qw, qh, st)
+                walk(qx, qy, qw, qh, st)
     return leaves
 
 
@@ -470,7 +528,8 @@ def _collect_leaves_chroma(enc, decide):
 def _order_grid(leaves, width, height):
     """(H/4, W/4) grid of each unit's leaf index in coding order."""
     g = np.full((height // 4, width // 4), -1, np.int32)
-    for i, (x, y, w, h, _) in enumerate(leaves):
+    for i, leaf in enumerate(leaves):
+        x, y, w, h = leaf[:4]
         g[y // 4:(y + h) // 4, x // 4:(x + w) // 4] = i
     return g
 
@@ -481,7 +540,8 @@ def _schedule_waves(leaves, order, width, height):
     x-1..x+2w-1, left column y..y+2h-1)."""
     r4, c4 = order.shape
     wave = np.zeros(len(leaves), np.int32)
-    for i, (x, y, w, h, _) in enumerate(leaves):
+    for i, leaf in enumerate(leaves):
+        x, y, w, h = leaf[:4]
         lvl = 0
         if y > 0:
             c0 = max(0, (x - 4) // 4)
@@ -508,7 +568,7 @@ class WavefrontEncoder(FrameEncoder):
     path (pure-SATD RMD, order-independent rate proxies)."""
 
     _UNSUPPORTED = ("transform_skip", "lfnst", "mrl",
-                    "isp", "cclm", "joint_cbcr", "lmcs", "dep_quant",
+                    "isp", "joint_cbcr", "lmcs", "dep_quant",
                     "sign_hiding")
 
     def _set_mip_fields(self, cu, code):
@@ -609,9 +669,11 @@ class WavefrontEncoder(FrameEncoder):
             ogs.append(order)
             by_lvl = collections.defaultdict(list)
             kind = "st" if cleaves is None else "luma"
+            st_cclm = 1 if (cleaves is None and cfg.cclm) else 0
             for i, (x, y, w, h, _) in enumerate(leaves):
                 p = 32 if max(w, h) <= 32 else 64
-                by_lvl[int(wave[i])].append(((kind, p), f, x, y, w, h, i))
+                by_lvl[int(wave[i])].append(
+                    ((kind, p), f, x, y, w, h, i, st_cclm))
             q = collections.deque(
                 collections.deque(by_lvl[lv]) for lv in sorted(by_lvl))
             if cleaves is None:
@@ -621,10 +683,10 @@ class WavefrontEncoder(FrameEncoder):
                 wavec = _schedule_waves(cleaves, orderc, W, H)
                 ogcs.append(orderc)
                 by_lvl_c = collections.defaultdict(list)
-                for i, (x, y, w, h, _) in enumerate(cleaves):
+                for i, (x, y, w, h, _, cok) in enumerate(cleaves):
                     p = 32 if max(w, h) <= 32 else 64
                     by_lvl_c[int(wavec[i])].append(
-                        (("chroma", p), f, x, y, w, h, i))
+                        (("chroma", p), f, x, y, w, h, i, cok))
                 q.extend(collections.deque(by_lvl_c[lv])
                          for lv in sorted(by_lvl_c))
             per_frame.append(q)
@@ -657,12 +719,12 @@ class WavefrontEncoder(FrameEncoder):
         active = tuple(sorted({k2 for st in steps for k2 in st
                                if st[k2]}))
         S = max(len(steps), 1)
-        step_arr = {k2: np.zeros((S, self.batch[k2[1]], 7), np.int32)
+        step_arr = {k2: np.zeros((S, self.batch[k2[1]], 8), np.int32)
                     for k2 in active}
         for t, st in enumerate(steps):
             for k2, ents in st.items():
-                for k, (_c, f, x, y, w, h, i) in enumerate(ents):
-                    step_arr[k2][t, k] = (f, x, y, w, h, i, 1)
+                for k, (_c, f, x, y, w, h, i, flg) in enumerate(ents):
+                    step_arr[k2][t, k] = (f, x, y, w, h, i, 1, flg)
         scheds = [jnp.asarray(step_arr[k2]) for k2 in active]
 
         oy = jnp.asarray(np.stack([np.asarray(fr[2], np.int32)
@@ -682,13 +744,15 @@ class WavefrontEncoder(FrameEncoder):
         mg = jnp.zeros((F, H // 4, W // 4), jnp.uint8)
         tg = jnp.zeros_like(mg)
         pg = jnp.zeros_like(mg)
+        cg = jnp.zeros_like(mg)
 
         fn = _wave_scan(active, tuple(self.batch[k2[1]] for k2 in active),
                         qp_y, qp_c, bd, float(self.lam), float(self.dw_c),
                         bool(cfg.rd_quant), mts=bool(cfg.mts_intra),
-                        mip=bool(cfg.mip), mesh=self.mesh)
-        packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, oy, ou, ov, og4,
-                    og4c, *scheds)
+                        mip=bool(cfg.mip), cclm=bool(cfg.cclm),
+                        mesh=self.mesh)
+        packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, oy, ou, ov,
+                    og4, og4c, *scheds)
         return jax.device_get(packed)
 
     # ---- phase C: CABAC replay ------------------------------------------
@@ -696,10 +760,11 @@ class WavefrontEncoder(FrameEncoder):
     def _encode_cu(self, enc, rc, org_y, org_u, org_v, cu: CuInfo):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg, pg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = self._dev_result
         cu.mode = int(mg[f, y // 4, x // 4])
         mts_idx = int(tg[f, y // 4, x // 4])
         self._set_mip_fields(cu, int(pg[f, y // 4, x // 4]))
+        cclm_flag = bool(cg[f, y // 4, x // 4])
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
@@ -709,7 +774,7 @@ class WavefrontEncoder(FrameEncoder):
         cbf_v = bool(lev_v.any())
 
         self._write_intra_luma_mode(enc, cu)
-        self._write_intra_chroma_mode(enc, cclm=False)
+        self._write_intra_chroma_mode(enc, cclm=cclm_flag, lm_symbol=0)
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0,
                        ctx("QtCbf2", 1 if cbf_u else 0))
@@ -748,7 +813,7 @@ class WavefrontEncoder(FrameEncoder):
         """Dual-tree luma CU replay from device results."""
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg, pg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = self._dev_result
         cu.mode = int(mg[f, y // 4, x // 4])
         mts_idx = int(tg[f, y // 4, x // 4])
         self._set_mip_fields(cu, int(pg[f, y // 4, x // 4]))
@@ -780,14 +845,19 @@ class WavefrontEncoder(FrameEncoder):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg, pg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = self._dev_result
         cu.mode = int(self.unit_mode[(y + h // 2) // 4,
                                      (x + w // 2) // 4])
         lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
         lev_v = cV[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
         cbf_u = bool(lev_u.any())
         cbf_v = bool(lev_v.any())
-        self._write_intra_chroma_mode(enc, luma_mode=cu.mode)
+        cclm_flag = bool(cg[f, y // 4, x // 4])
+        self._write_intra_chroma_mode(
+            enc, cclm=cclm_flag,
+            cclm_allowed=self.cfg.cclm
+            and self._cclm_allowed_dual(split_path),
+            lm_symbol=0, luma_mode=cu.mode)
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
         if cbf_u:
@@ -846,7 +916,8 @@ class WavefrontEncoder(FrameEncoder):
         cleaves = None
         if self.cfg.dual_tree:
             cleaves = _collect_leaves_chroma(
-                self, self._decider_chroma(qt_map, maps, chroma_maps))
+                self, self._decider_chroma(qt_map, maps, chroma_maps),
+                decide_luma=decide)
         return leaves, cleaves
 
     def encode_frames(self, frames, qt_map=None, maps=None,

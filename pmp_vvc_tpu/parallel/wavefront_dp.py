@@ -42,6 +42,6 @@ def wave_scan_shardings(mesh: Mesh, n_classes: int, axis: str = "dp"):
     single-device bitstreams identical."""
     rep = NamedSharding(mesh, P())
     shard_b = NamedSharding(mesh, P(None, axis))   # sched (S, B, 7)
-    ins = (rep,) * 9 + (rep,) * 5 + (shard_b,) * n_classes
-    outs = (rep,) * 9
+    ins = (rep,) * 10 + (rep,) * 5 + (shard_b,) * n_classes
+    outs = (rep,) * 10
     return ins, outs

@@ -163,3 +163,20 @@ def test_wavefront_stock_vtm_decode(tmp_path):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "(OK)" in r.stdout
+
+
+def test_wavefront_ctc_tools_rate_parity():
+    """VERDICT r3 item 3 criterion: dual tree + MTS + MIP + CCLM on the
+    device path, hash-OK, within 1.3x the sequential encoder's rate on
+    the same toolset/maps."""
+    import numpy as np
+    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+    y, u, v = _synth(192, 128)
+    kw = dict(width=192, height=128, qp=32, dual_tree=True,
+              mts_intra=True, mip=True, cclm=True)
+    cfg = VVCConfig(**kw)
+    bs_w, recons = _roundtrip(cfg)
+    seq = FrameEncoder(VVCConfig(**kw), mode_select="satd")
+    bs_s, _ = seq.encode_frame(y, u, v)
+    assert len(bs_w) <= 1.3 * len(bs_s), (len(bs_w), len(bs_s))
