@@ -2186,7 +2186,8 @@ class FrameEncoder:
 
     def encode_frame(self, y, u, v, qt_map=None, maps=None,
                      chroma_maps=None, poc: int = 0,
-                     collect_bin_stats: bool = False, rdo: bool = False):
+                     collect_bin_stats: bool = False, rdo: bool = False,
+                     decide_fn=None):
         """Encode one frame. Returns (bitstream_bytes, recon (y,u,v)).
 
         ``maps``: optional (hor, ver, qt, dire) frame partition maps for
@@ -2195,6 +2196,9 @@ class FrameEncoder:
         (defaults to ``maps``).
         ``rdo``: with no maps, run the stock full RDO split search
         instead of QT-only coding (EncCu::xCompressCU equivalent).
+        ``decide_fn``: explicit split decider (overrides maps/rdo) —
+        used by the device-batched RDO to feed its chosen tree through
+        the standard coding pass.
         """
         cfg = self.cfg
         assert y.shape == (cfg.height, cfg.width)
@@ -2204,7 +2208,9 @@ class FrameEncoder:
         self._init_state()
         self._org_u = u.astype(np.int32)
         self._org_v = v.astype(np.int32)
-        if maps is not None:
+        if decide_fn is not None:
+            decide = decide_fn
+        elif maps is not None:
             decide = self._map_decider(*maps)
         elif rdo:
             decide = self._rdo_decider()

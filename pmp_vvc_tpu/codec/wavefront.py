@@ -941,7 +941,19 @@ class WavefrontEncoder(FrameEncoder):
                      chroma_maps=None, poc: int = 0,
                      collect_bin_stats: bool = False, rdo: bool = False):
         if rdo:
-            raise NotImplementedError("wavefront path is map-driven only")
+            # device-batched open-loop QTMT search, then the standard
+            # closed-loop wavefront coding of the chosen tree
+            if self.cfg.dual_tree:
+                raise NotImplementedError("device RDO is single-tree")
+            from .rdo_device import DeviceRDO
+            decide = DeviceRDO(self).search(y, u, v)
+            leaves = self._collect_leaves(decide)
+            self._dev_result = self._batched_pass(
+                [(leaves, None, y, u, v)])
+            self._cur_frame = 0
+            return super().encode_frame(
+                y, u, v, poc=poc, collect_bin_stats=collect_bin_stats,
+                decide_fn=decide)
         leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps)
         self._dev_result = self._batched_pass([(leaves, cleaves, y, u, v)])
         self._cur_frame = 0

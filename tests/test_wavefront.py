@@ -180,3 +180,23 @@ def test_wavefront_ctc_tools_rate_parity():
     seq = FrameEncoder(VVCConfig(**kw), mode_select="satd")
     bs_s, _ = seq.encode_frame(y, u, v)
     assert len(bs_w) <= 1.3 * len(bs_s), (len(bs_w), len(bs_s))
+
+
+def test_device_rdo_split_search():
+    """VERDICT r3 item 4: device-batched QTMT split search — decodes
+    hash-verified and beats QT-only coding by a wide rate margin at
+    matched quality (the point of RDO partitioning); warm runtime is
+    seconds, not the host recursion's minutes."""
+    from pmp_vvc_tpu.codec.decoder import decode_stream
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+    y, u, v = _synth(192, 128)
+    enc = WavefrontEncoder(VVCConfig(width=192, height=128, qp=32))
+    bs, recon = enc.encode_frame(y, u, v, rdo=True)
+    dcfg, got = decode_stream(bs, verify_hash=True)
+    for plane, (a, b) in enumerate(zip(got[0], recon)):
+        assert np.array_equal(a, b), plane
+    bs_qt, recon_qt = enc.encode_frame(y, u, v)
+    err = (recon[0].astype(np.int64) - y) ** 2
+    err_qt = (recon_qt[0].astype(np.int64) - y) ** 2
+    assert len(bs) < 0.8 * len(bs_qt), (len(bs), len(bs_qt))
+    assert err.mean() <= err_qt.mean() * 1.05

@@ -9,8 +9,9 @@ and write the reference .npy layout that cli/train.py consumes.
   python tools/gen_dataset.py --out data/ --frames 8 --size 128 \\
       --qp 32 [--input seq.yuv --width W --height H] [--mtt]
 
-QT-only RDO (--mtt off, MaxMTT=0) is fast; --mtt runs the full
-QTMT search (slow in the host-python RD path — use few frames).
+The QTMT search runs on the device-batched open-loop RDO
+(codec/rdo_device.py, seconds per frame); --host-rdo selects the exact
+sequential host recursion instead (minutes per frame).
 """
 import argparse
 import pathlib
@@ -43,7 +44,9 @@ def main():
                     help="synthetic frame size (square)")
     ap.add_argument("--qp", type=int, default=32)
     ap.add_argument("--mtt", action="store_true",
-                    help="full QTMT RDO (slow) instead of QT-only")
+                    help="full QTMT RDO instead of QT-only")
+    ap.add_argument("--host-rdo", action="store_true",
+                    help="exact sequential host RDO (slow)")
     ap.add_argument("--input", default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
@@ -75,9 +78,14 @@ def main():
         if args.mtt:
             kw.update(log2_min_cb=3, max_mtt_depth_intra=3,
                       max_bt_intra=32, max_tt_intra=32)
-        enc = FrameEncoder(VVCConfig(**kw), mode_select="rd")
         t0 = time.time()
-        enc.encode_frame(y, u, v, rdo=True)
+        if args.host_rdo:
+            enc = FrameEncoder(VVCConfig(**kw), mode_select="rd")
+            enc.encode_frame(y, u, v, rdo=True)
+        else:
+            from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+            enc = WavefrontEncoder(VVCConfig(**kw))
+            enc.encode_frame(y, u, v, rdo=True)
         print(f"frame {f}: RDO encode {time.time()-t0:.0f}s, "
               f"{len(enc.leaf_l)} CUs", file=sys.stderr)
         # input blocks (68x68 luma with 4-px TL halo) + per-block labels
