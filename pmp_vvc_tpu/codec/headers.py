@@ -36,6 +36,10 @@ class VVCConfig:
     # from the parsed SPS; our writer always writes 0)
     partition_override: bool = False
     bit_depth: int = 10
+    # CTU 128 only: the encoder/decoder hard-code the 128 CTU raster
+    # and the dual-tree 64-quadrant structure (the CTC configuration,
+    # encoder_intra_vtm.cfg CTUSize 128); __post_init__ rejects other
+    # values rather than letting the field silently lie
     ctu_size: int = 128
     log2_min_cb: int = 2
     # partition
@@ -83,6 +87,13 @@ class VVCConfig:
     # points; default identity. CTC AI uses ((-9), (9,12),(4,5),(11,7))
     chroma_qp_start_minus26: int = 0
     chroma_qp_points: tuple = ((0, 0),)
+
+    def __post_init__(self):
+        if self.ctu_size != 128:
+            raise NotImplementedError(
+                "CTU-128 only: the CTU raster, dual-tree 64-quadrant "
+                "structure and SAO/ALF grids hard-code 128 "
+                "(encoder_intra_vtm.cfg CTUSize)")
 
     @property
     def min_qt_log2(self):

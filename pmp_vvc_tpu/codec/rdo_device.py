@@ -136,6 +136,10 @@ class DeviceRDO:
                 cands = [s for s in (Split.NONE, Split.QT, Split.BT_H,
                                      Split.BT_V, Split.TT_H, Split.TT_V)
                          if can[s]]
+                if w > 64 or h > 64:
+                    # intra CUs are capped at 64 (the deciders force the
+                    # CTU-level QT; max TB size, SPS log2_max_tb)
+                    cands = [s for s in cands if s != Split.NONE]
             entry = []
             for s in cands:
                 if s == Split.NONE:

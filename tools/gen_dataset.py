@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--split", default="Train",
                     help="output split prefix (Train/Validate/TestSub)")
+    ap.add_argument("--seed0", type=int, default=100,
+                    help="base seed for synthetic frames")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +73,7 @@ def main():
                        read_yuv420(args.input, w, h, f + 1))
         else:
             w = h = args.size
-            y, u, v = synth_frame(w, h, seed=100 + f)
+            y, u, v = synth_frame(w, h, seed=args.seed0 + f)
         kw = dict(width=w, height=h, qp=args.qp, deblocking_disabled=True,
                   chroma_qp_start_minus26=-9,
                   chroma_qp_points=((9, 12), (4, 5), (11, 7)))
