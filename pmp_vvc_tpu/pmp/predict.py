@@ -36,6 +36,33 @@ class CompPredictor:
     mesh: Mesh | None = None
 
     @classmethod
+    def from_trained(cls, is_luma: bool, q_pkl, bd_msgpack, mesh=None):
+        """Reference Q-net .pkl + OUR trained BD-net .msgpack (the
+        reference snapshot ships no BD checkpoints; ours come from
+        train/driver.py on gen_dataset labels)."""
+        from ..models import (ChromaMSBDNet, ChromaQNet, LumaMSBDNet,
+                              LumaQNet)
+        from ..models.checkpoint import load_params, load_reference_net
+        if is_luma:
+            q_net, bd_net = LumaQNet(), LumaMSBDNet()
+            xs, qs = (1, 68, 68, 1), (1, 8, 8, 1)
+        else:
+            q_net, bd_net = ChromaQNet(), ChromaMSBDNet()
+            xs, qs = (1, 34, 34, 3), (1, 8, 8, 1)
+        if str(q_pkl).endswith(".msgpack"):
+            tq = q_net.init(jax.random.PRNGKey(0),
+                            jnp.zeros(xs))["params"]
+            q_params = load_params(q_pkl, tq)
+        else:
+            q_vars, _, _ = load_reference_net(q_net, (jnp.zeros(xs),),
+                                              q_pkl)
+            q_params = q_vars["params"]
+        tmpl = bd_net.init(jax.random.PRNGKey(0), jnp.zeros(xs),
+                           jnp.zeros(qs))["params"]
+        bd_params = load_params(bd_msgpack, tmpl)
+        return cls(q_net, bd_net, q_params, bd_params, mesh)
+
+    @classmethod
     def from_reference_checkpoints(cls, is_luma: bool, q_pkl, bd_pkl=None,
                                    mesh=None):
         """Build from reference .pkl files (BD optional — random if missing)."""

@@ -2,16 +2,19 @@
 """CTC-protocol evaluation harness: 4-QP sweep, ours vs the VTM(+PMP)
 anchor, BD-rate/BD-PSNR summary (Analyze.h:191 + VCEG-M33 counterpart —
 the reference ships no calculator; its paper protocol is QP {22,27,32,37}
-over the JVET CTC classes, VVC_Test_Sequences.txt).
+over the JVET CTC classes, VVC_Test_Sequences.txt; per-level operating
+points per EncModeCtrl.cpp:1242-1337).
 
-Content: a real YUV (--input WxH) or the synthetic baseline frame.
-Anchor: the locally built VTM-10.0+PMP EncoderApp driven by the same
-predicted PartitionMat (the end-to-end reference flow); skipped (ours
-only) when the binary is absent.
+Protocol (round 4): multi-frame (>= 8), trained BD-nets REQUIRED for
+map-driven configs (pmp/predict.CompPredictor.from_trained — never
+random MSBD), and two anchor arms:
 
-  python tools/ctc_eval.py --qps 22,27,32,37 --config rdo-tools-off
-  python tools/ctc_eval.py --input BQSquare_416x240.yuv --width 416 \\
-      --height 240 --config maps-satd --out results.md
+- "matched": the VTM+PMP EncoderApp restricted to our device toolset
+  (dual tree, MTS, MIP, CCLM, SAO, deblocking) — apples-to-apples;
+- "full": the untouched CTC config — the honest absolute gap.
+
+  python tools/ctc_eval.py --qps 22,27,32,37 --frames 8 \\
+      --bd-ckpt-dir trained_models/bd --out results.md
 """
 import argparse
 import pathlib
@@ -27,16 +30,26 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 VTM_ENC = pathlib.Path("/tmp/vtm_oracle/EncoderApp")
 CTC_CFG = "/root/reference/codec/demo/cfg/encoder_intra_vtm.cfg"
+MATCHED_OFF = ["--LFNST=0", "--ISP=0", "--MRL=0", "--TransformSkip=0",
+               "--DepQuant=0", "--RDOQ=0", "--RDOQTS=0",
+               "--SignHideFlag=0", "--LMCSEnable=0", "--ALF=0",
+               "--CCALF=0", "--JointCbCr=0"]
 
 
-def synth(w, h, seed=7):
-    rng = np.random.RandomState(seed)
+def synth_frames(w, h, n, seed0=7):
+    out = []
     yy, xx = np.mgrid[0:h, 0:w]
-    y8 = np.clip(128 + 60 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
-                 + rng.randn(h, w) * 6, 0, 255)
-    return ((y8.astype(np.int32) << 2),
-            ((128 + 40 * np.sin(xx[::2, ::2] / 31.0)).astype(np.int32) << 2),
-            ((128 + 40 * np.cos(yy[::2, ::2] / 29.0)).astype(np.int32) << 2))
+    for i in range(n):
+        rng = np.random.RandomState(seed0 + i)
+        y8 = np.clip(128 + 60 * np.sin(xx / 17.0 + 0.3 * i)
+                     * np.cos(yy / 23.0) + rng.randn(h, w) * 6, 0, 255)
+        out.append((
+            (y8.astype(np.int32) << 2),
+            ((128 + 40 * np.sin(xx[::2, ::2] / 31.0)).astype(np.int32)
+             << 2),
+            ((128 + 40 * np.cos(yy[::2, ::2] / 29.0)).astype(np.int32)
+             << 2)))
+    return out
 
 
 def psnr(a, b, peak=1023):
@@ -44,87 +57,117 @@ def psnr(a, b, peak=1023):
     return 10 * np.log10(peak * peak / mse) if mse else 99.0
 
 
-def predicted_maps(y, u, v, w, h, qp):
-    from pmp_vvc_tpu.data.yuv import blocks_for_sequence
-    from pmp_vvc_tpu.pmp.map2partition import blocks_to_frame_partition
+def predictors(qp, bd_dir):
+    """(Luma, Chroma) CompPredictors — BD nets from OUR checkpoints
+    (required: random-init MSBD is not an operating point)."""
     from pmp_vvc_tpu.pmp.predict import CompPredictor
-    y8 = (y >> 2).astype(np.uint8)[None]
-    u8 = (u >> 2).astype(np.uint8)[None]
-    v8 = (v >> 2).astype(np.uint8)[None]
-    lin, cin = blocks_for_sequence(y8, u8, v8)
     out = {}
-    for comp, blocks in (("Luma", lin), ("Chroma", cin)):
-        pred = CompPredictor.from_reference_checkpoints(
-            comp == "Luma",
-            f"/root/reference/trained_models/{comp}_Q_{qp}.pkl")
-        qt, bt, dire = pred.predict(blocks)
-        out[comp] = blocks_to_frame_partition(qt, bt, dire, w, h,
-                                              comp == "Luma")
+    for comp in ("Luma", "Chroma"):
+        q_pkl = f"/root/reference/trained_models/{comp}_Q_{qp}.pkl"
+        qm = pathlib.Path(bd_dir) / f"{comp}_Q_QP{qp}.msgpack" \
+            if bd_dir else None
+        if qm is not None and qm.exists():
+            q_pkl = str(qm)              # jointly fine-tuned Q
+        bd = pathlib.Path(bd_dir) / f"{comp}_BD_QP{qp}.msgpack" \
+            if bd_dir else None
+        if bd is not None and bd.exists():
+            out[comp] = CompPredictor.from_trained(comp == "Luma",
+                                                   q_pkl, bd)
+        elif comp == "Chroma":
+            # chroma tree defaults to the luma maps when no chroma BD
+            out[comp] = None
+        else:
+            raise SystemExit(
+                f"missing trained BD checkpoint for {comp} QP{qp} "
+                f"(looked in {bd_dir}); run tools/gen_dataset.py + "
+                "tools/train_bd.py first")
     return out
 
 
-def run_ours(y, u, v, w, h, qp, config):
-    from pmp_vvc_tpu.codec.encoder import FrameEncoder
+def maps_for(frames, w, h, qp, bd_dir):
+    from pmp_vvc_tpu.data.yuv import blocks_for_sequence
+    from pmp_vvc_tpu.pmp.map2partition import blocks_to_frame_partition
+    preds = predictors(qp, bd_dir)
+    y8 = np.stack([(f[0] >> 2).astype(np.uint8) for f in frames])
+    u8 = np.stack([(f[1] >> 2).astype(np.uint8) for f in frames])
+    v8 = np.stack([(f[2] >> 2).astype(np.uint8) for f in frames])
+    lin, cin = blocks_for_sequence(y8, u8, v8)
+    nblk = lin.shape[0] // len(frames)
+    out = []
+    for i in range(len(frames)):
+        qt, bt, dire = preds["Luma"].predict(
+            lin[i * nblk:(i + 1) * nblk])
+        out.append(blocks_to_frame_partition(qt, bt, dire, w, h, True))
+    return out
+
+
+def run_ours(frames, w, h, qp, level, bd_dir):
+    """Wavefront encode with the device toolset at accel level L."""
     from pmp_vvc_tpu.codec.headers import VVCConfig
     from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
-    kw = dict(width=w, height=h, qp=qp, chroma_qp_start_minus26=-9,
+    kw = dict(width=w, height=h, qp=qp, sao=True,
+              deblocking_disabled=False, dual_tree=True, mts_intra=True,
+              mip=True, cclm=True, chroma_qp_start_minus26=-9,
               chroma_qp_points=((9, 12), (4, 5), (11, 7)))
+    fmaps = maps_for(frames, w, h, qp, bd_dir)
+    enc = WavefrontEncoder(VVCConfig(**kw), accel_level=level)
     t0 = time.time()
-    if config == "rdo-tools-off":
-        enc = FrameEncoder(VVCConfig(deblocking_disabled=True, **kw),
-                           mode_select="rd")
-        bs, rec = enc.encode_frame(y, u, v, rdo=True)
-    elif config == "wavefront":
-        enc = WavefrontEncoder(VVCConfig(sao=True, **kw))
-        bs, rec = enc.encode_frame(y, u, v)
-    elif config == "maps-satd":
-        maps = predicted_maps(y, u, v, w, h, qp)
-        enc = FrameEncoder(VVCConfig(sao=True, **kw), mode_select="satd")
-        bs, rec = enc.encode_frame(y, u, v, maps=maps["Luma"])
-    else:
-        raise SystemExit(f"unknown config {config}")
-    return (len(bs) * 8, psnr(rec[0], y), psnr(rec[1], u),
-            psnr(rec[2], v), time.time() - t0)
+    bits = 0
+    ys = []
+    for i, (y, u, v) in enumerate(frames):
+        bs, rec = enc.encode_frame(y, u, v, maps=fmaps[i], poc=i)
+        bits += len(bs) * 8
+        ys.append(psnr(rec[0], y))
+    return bits, float(np.mean(ys)), time.time() - t0
 
 
-def run_anchor(y, u, v, w, h, qp):
+def run_anchor(frames, w, h, qp, bd_dir, matched):
     from pmp_vvc_tpu.data.yuv import write_yuv420
     from pmp_vvc_tpu.pmp.map2partition import write_partition_txt
     td = pathlib.Path(tempfile.mkdtemp(prefix="ctc_anchor_"))
-    seq = td / "in.yuv"
-    write_yuv420(seq, (y >> 2).astype(np.uint8)[None],
-                 (u >> 2).astype(np.uint8)[None],
-                 (v >> 2).astype(np.uint8)[None])
-    maps = predicted_maps(y, u, v, w, h, qp)
+    write_yuv420(td / "in.yuv",
+                 np.stack([(f[0] >> 2).astype(np.uint8) for f in frames]),
+                 np.stack([(f[1] >> 2).astype(np.uint8) for f in frames]),
+                 np.stack([(f[2] >> 2).astype(np.uint8) for f in frames]))
+    fmaps = maps_for(frames, w, h, qp, bd_dir)
     pm = td / "PartitionMat"
     pm.mkdir()
     for comp in ("Luma", "Chroma"):
         write_partition_txt(pm / f"in_{comp}_QP{qp}_PartitionMat.txt",
-                            [maps[comp]])
+                            fmaps)
     (td / "seq.cfg").write_text(
-        f"InputFile: {seq}\nInputBitDepth: 8\nInputChromaFormat: 420\n"
-        f"FrameRate: 30\nSourceWidth: {w}\nSourceHeight: {h}\n"
-        f"FramesToBeEncoded: 1\nLevel: 2.1\n")
+        f"InputFile: {td / 'in.yuv'}\nInputBitDepth: 8\n"
+        f"InputChromaFormat: 420\nFrameRate: 30\nSourceWidth: {w}\n"
+        f"SourceHeight: {h}\nFramesToBeEncoded: {len(frames)}\n"
+        "Level: 2.1\n")
     t0 = time.time()
-    r = subprocess.run(
-        [str(VTM_ENC), "-c", str(td / "seq.cfg"), "-c", CTC_CFG,
-         "-q", str(qp), "-ts", "1", "--SEIDecodedPictureHash=1",
-         "-b", str(td / "out.bin"), "-o", "/dev/null"],
-        cwd=td, capture_output=True, text=True, timeout=1200)
+    cmd = [str(VTM_ENC), "-c", str(td / "seq.cfg"), "-c", CTC_CFG,
+           "-q", str(qp), "-ts", "1", "--SEIDecodedPictureHash=1",
+           "-b", str(td / "out.bin"), "-o", "/dev/null"]
+    if matched:
+        cmd += MATCHED_OFF
+    r = subprocess.run(cmd, cwd=td, capture_output=True, text=True,
+                       timeout=3600)
     assert r.returncode == 0, r.stdout[-1500:]
-    m = re.search(r"POC\s+0.*?(\d+)\s+bits\s+\[Y\s+([\d.]+)\s+dB\s+"
-                  r"U\s+([\d.]+)\s+dB\s+V\s+([\d.]+)", r.stdout)
-    return (int(m.group(1)), float(m.group(2)), float(m.group(3)),
-            float(m.group(4)), time.time() - t0)
+    dt = time.time() - t0
+    bits, ydb = 0, []
+    for m in re.finditer(r"POC\s+\d+.*?(\d+)\s+bits\s+\[Y\s+([\d.]+)\s+dB",
+                         r.stdout):
+        bits += int(m.group(1))
+        ydb.append(float(m.group(2)))
+    return bits, float(np.mean(ydb)), dt
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--qps", default="22,27,32,37")
-    ap.add_argument("--config", default="rdo-tools-off")
-    ap.add_argument("--input", default=None)
+    ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--width", type=int, default=192)
     ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--levels", default="3",
+                    help="comma accel levels (0-3) for the ours arm")
+    ap.add_argument("--bd-ckpt-dir", default="trained_models/bd")
+    ap.add_argument("--input", default=None)
     ap.add_argument("--out", default=None, help="append markdown here")
     args = ap.parse_args()
 
@@ -135,36 +178,50 @@ def main():
     w, h = args.width, args.height
     if args.input:
         from pmp_vvc_tpu.data.yuv import read_yuv420
-        y, u, v = (p[0].astype(np.int32) << 2 for p in
-                   read_yuv420(args.input, w, h, 1))
+        planes = read_yuv420(args.input, w, h, args.frames)
+        frames = [tuple(p[i].astype(np.int32) << 2 for p in planes)
+                  for i in range(args.frames)]
     else:
-        y, u, v = synth(w, h)
+        frames = synth_frames(w, h, args.frames)
 
     qps = [int(q) for q in args.qps.split(",")]
-    ours, anch = [], []
-    lines = [f"## CTC eval: {args.config} {w}x{h} QPs {qps}", "",
-             "| QP | ours bits / Y dB / s | anchor bits / Y dB / s |",
-             "|---|---|---|"]
+    levels = [int(l) for l in args.levels.split(",")]
+    lines = [f"## CTC eval: {w}x{h} x{len(frames)} frames, QPs {qps}",
+             "", "| QP | arm | bits | Y dB | s |", "|---|---|---|---|---|"]
+    ours = {lv: [] for lv in levels}
+    anch_m, anch_f = [], []
     for qp in qps:
-        o = run_ours(y, u, v, w, h, qp, args.config)
-        ours.append(o)
-        a = None
+        for lv in levels:
+            o = run_ours(frames, w, h, qp, lv, args.bd_ckpt_dir)
+            ours[lv].append(o)
+            lines.append(f"| {qp} | ours L{lv} | {o[0]} | {o[1]:.2f} "
+                         f"| {o[2]:.0f} |")
+            print(lines[-1], flush=True)
         if VTM_ENC.exists():
-            a = run_anchor(y, u, v, w, h, qp)
-            anch.append(a)
-        lines.append(
-            f"| {qp} | {o[0]} / {o[1]:.2f} / {o[4]:.0f} | "
-            + (f"{a[0]} / {a[1]:.2f} / {a[4]:.0f} |" if a else "- |"))
-        print(lines[-1], flush=True)
-    if len(anch) == len(qps) and len(qps) >= 4:
-        bdr = bd_rate([a[0] for a in anch], [a[1] for a in anch],
-                      [o[0] for o in ours], [o[1] for o in ours])
-        bdp = bd_psnr([a[0] for a in anch], [a[1] for a in anch],
-                      [o[0] for o in ours], [o[1] for o in ours])
-        ts = 1 - sum(o[4] for o in ours) / sum(a[4] for a in anch)
-        lines += ["", f"**BD-rate (luma): {bdr:+.1f}%  "
-                  f"BD-PSNR: {bdp:+.2f} dB  time saving: {ts:+.0%}**"]
-        print(lines[-1])
+            m = run_anchor(frames, w, h, qp, args.bd_ckpt_dir, True)
+            anch_m.append(m)
+            lines.append(f"| {qp} | anchor matched | {m[0]} | {m[1]:.2f}"
+                         f" | {m[2]:.0f} |")
+            print(lines[-1], flush=True)
+            fl = run_anchor(frames, w, h, qp, args.bd_ckpt_dir, False)
+            anch_f.append(fl)
+            lines.append(f"| {qp} | anchor full CTC | {fl[0]} | "
+                         f"{fl[1]:.2f} | {fl[2]:.0f} |")
+            print(lines[-1], flush=True)
+    if len(qps) >= 4 and anch_m:
+        lines.append("")
+        for name, anch in (("matched", anch_m), ("full-CTC", anch_f)):
+            for lv in levels:
+                o = ours[lv]
+                bdr = bd_rate([a[0] for a in anch], [a[1] for a in anch],
+                              [x[0] for x in o], [x[1] for x in o])
+                bdp = bd_psnr([a[0] for a in anch], [a[1] for a in anch],
+                              [x[0] for x in o], [x[1] for x in o])
+                ts = 1 - sum(x[2] for x in o) / sum(a[2] for a in anch)
+                lines.append(
+                    f"**L{lv} vs {name} anchor: BD-rate {bdr:+.1f}%  "
+                    f"BD-PSNR {bdp:+.2f} dB  time saving {ts:+.0%}**")
+                print(lines[-1])
     if args.out:
         with open(args.out, "a") as f:
             f.write("\n".join(lines) + "\n")
