@@ -27,10 +27,14 @@ def main():
     ap.add_argument("--bd-epochs", type=int, default=60)
     ap.add_argument("--joint-epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (default: the session's "
+                         "platform, i.e. the TPU chip when tunnelled)")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from pmp_vvc_tpu.models import LumaMSBDNet, LumaQNet
     from pmp_vvc_tpu.models.checkpoint import (load_reference_net,
