@@ -28,3 +28,24 @@ def test_rounded_accuracy_metric():
     pred = np.array([0.4, 1.6, 2.2, 0.9])
     label = np.array([0.0, 2.0, 2.0, 0.0])
     assert rounded_accuracy(pred, label) == 0.75
+
+
+def test_trained_bd_checkpoints_load():
+    """The committed round-4 BD checkpoints must load through
+    CompPredictor.from_trained and produce sane-scale maps (the
+    reference snapshot ships no BD nets; these are ours)."""
+    import pathlib
+    import numpy as np
+    from pmp_vvc_tpu.pmp.predict import CompPredictor
+    d = pathlib.Path(__file__).parent.parent / "trained_models" / "bd"
+    if not (d / "Luma_BD_QP32.msgpack").exists():
+        import pytest
+        pytest.skip("checkpoints not present")
+    p = CompPredictor.from_trained(True, str(d / "Luma_Q_QP32.msgpack"),
+                                   str(d / "Luma_BD_QP32.msgpack"))
+    x = np.random.RandomState(0).uniform(0, 255,
+                                         (4, 68, 68, 1)).astype(np.float32)
+    qt, bt, dire = p.predict(x)
+    assert qt.shape == (4, 8, 8) and bt.shape == (4, 3, 16, 16)
+    assert np.isfinite(bt).all() and np.isfinite(dire).all()
+    assert float(np.abs(bt).max()) < 16

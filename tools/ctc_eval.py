@@ -111,6 +111,7 @@ def run_ours(frames, w, h, qp, level, bd_dir):
               chroma_qp_points=((9, 12), (4, 5), (11, 7)))
     fmaps = maps_for(frames, w, h, qp, bd_dir)
     enc = WavefrontEncoder(VVCConfig(**kw), accel_level=level)
+    enc.encode_frame(*frames[0], maps=fmaps[0])      # compile warmup
     t0 = time.time()
     bits = 0
     ys = []
