@@ -131,7 +131,7 @@ def _ensure_anchor(w, h, y, u, v, qp=32):
     return d
 
 
-def bench_encoder(frames=8):
+def bench_encoder(frames=16):
     """Headline: all-intra ENCODE throughput of the batched wavefront
     path (device CU compute + host CABAC) on class-D-sized content
     (416x240, the reference demo sequence geometry; codec/demo/README).
