@@ -7,23 +7,34 @@ it with a TPU-first three-stage pipeline:
 
 1. HOST: enumerate every tree node reachable under the QTMT legality
    rules (can_split_set) for each CTU — the node set is static per
-   geometry, a few thousand rects per 64x64 block at MTT depth 3.
+   geometry (cached across frames and QPs, flattened into index arrays
+   for a vectorized DP), a few hundred rects per 64x64 block at MTT
+   depth 3.
 2. DEVICE: evaluate every node's LEAF coding cost in one batched pass,
    open-loop — intra references come from the ORIGINAL planes instead
    of the reconstruction, which removes all inter-CU ordering and lets
    the whole frame's nodes run as independent tiles (the classic
    encoder-lookahead approximation; decision-only, the chosen tree is
    afterwards coded closed-loop by the wavefront path).  Each tile:
-   exact 35+refine RMD -> TQ roundtrip -> SSE + lambda * bits proxy,
+   exact 35-mode RMD -> TQ roundtrip -> SSE + lambda * bits proxy,
    plus the chroma DM cost (the "single"-tree accounting of
-   FrameEncoder._rd_search).
+   FrameEncoder._rd_search).  Rects are bucketed into 8/16/32/64-pad
+   tile classes so a 4x8 node does not pay a 64x64 tile; MANY FRAMES
+   run through one call stream, and when several QPs are requested the
+   mode search (prediction + SATD, QP-independent) is computed ONCE
+   and only the TQ roundtrip repeats per QP — the 4-QP label corpus
+   costs ~2x one QP, not 4x.
 3. HOST: min-plus dynamic program over the node DAG with split-bin
-   proxies — best(n) = min(leaf(n), split_bits(s) + sum children).
+   proxies — best(n) = min(leaf(n), split_bits(s) + sum children) —
+   vectorized over area-ascending groups (children are strictly
+   smaller, so each group only reads already-solved groups).
 
 Deviation from VTM (documented): open-loop references and proxy rates
 make this a partition-decision engine, not a bit-exact RD replica; its
 purpose is fast full-RDO partitioning for dataset generation
-(Save_Depth labels, DecLib.cpp:998) and L-level operating points.
+(Save_Depth labels, DecLib.cpp:998) and the L0-L3 operating-point
+fallback (EncModeCtrl.cpp:1242-1252 re-enables RDO beyond map
+coverage at L<3).
 """
 from __future__ import annotations
 
@@ -37,18 +48,38 @@ import jax.numpy as jnp
 from ..ops.intra_generic import predict_generic
 from ..ops.tq_generic import satd_generic
 from .mtt import Split, SplitState, can_split_set, get_implicit_split
-from .wavefront import (_gather_plane, _refs_generic, _tq_generic,
-                        _tq_luma_mts)
+from .wavefront import (_bits_proxy, _gather_plane, _refs_generic,
+                        _tq_generic, _tq_luma_mts)
 
 # split-signalling bit proxies (split_cu_flag + qt/mtt bins)
+_SPLITS = (Split.NONE, Split.QT, Split.BT_H, Split.BT_V, Split.TT_H,
+           Split.TT_V)
 _SPLIT_BITS = {Split.NONE: 1.0, Split.QT: 2.0, Split.BT_H: 3.0,
                Split.BT_V: 3.0, Split.TT_H: 4.0, Split.TT_V: 4.0}
+_SPLIT_BITS_ARR = np.array([_SPLIT_BITS[s] for s in _SPLITS], np.float64)
+
+_TILE_CLASSES = (8, 16, 32, 64)
+# chunk sizes per pad class; sized so every class issues similar-FLOP
+# programs (B * P^2 roughly constant)
+_BATCH_CPU = {8: 1024, 16: 512, 32: 128, 64: 32}
+_BATCH_TPU = {8: 8192, 16: 4096, 32: 1024, 64: 256}
+
+
+def _pad_class(w, h):
+    m = max(w, h)
+    for p in _TILE_CLASSES:
+        if m <= p:
+            return p
+    raise ValueError((w, h))
 
 
 @functools.cache
-def _leaf_cost_fn(P, qp_y, qp_c, bd, lam, dw_c, rd_quant, mts):
-    """Jitted open-loop leaf cost for one tile class: rows (B, 5) =
-    (fi, x, y, w, h) -> (cost, best_mode)."""
+def _leaf_cost_fn(P, qps, bd, rd_quant, mts):
+    """Jitted open-loop leaf cost for one tile class and a TUPLE of
+    QP operating points: rows (B, 5) = (fi, x, y, w, h) ->
+    (costs (nQP, B), best_mode (B,)).  ``qps`` is a tuple of
+    (qp_y, qp_c, lam, dw_c); the RMD mode search is shared across
+    entries (SATD is QP-independent), only the TQ roundtrips repeat."""
     rmd_modes = np.array([0, 1] + list(range(2, 67, 2)), np.int32)
     Pc = P // 2
 
@@ -65,56 +96,150 @@ def _leaf_cost_fn(P, qp_y, qp_c, bd, lam, dw_c, rd_quant, mts):
         o_rows = ys[:, None, None] + dy[None, :, None]
         o_cols = xs[:, None, None] + dy[None, None, :]
         orgs = _gather_plane(oy, fi[:, None, None], o_rows, o_cols)
-        costs = satd_generic(orgs[:, None], preds, ws, hs)
-        bi = jnp.argmin(costs, axis=1)
+        satds = satd_generic(orgs[:, None], preds, ws, hs)
+        bi = jnp.argmin(satds, axis=1)
         best = jnp.take(jnp.asarray(rmd_modes), bi)
         pred = jnp.take_along_axis(preds, bi[:, None, None, None],
                                    axis=1)[:, 0]
         inside = ((dy[None, :, None] < hs[:, None, None])
                   & (dy[None, None, :] < ws[:, None, None]))
-        lev, rec, _tr = _tq_luma_mts(orgs, pred, ws, hs, qp_y, bd, lam,
-                                     rd_quant, inside, mts)
-        err = ((rec - orgs) * inside).astype(jnp.float32)
-        from .wavefront import _bits_proxy
-        cost = (err * err).sum(axis=(-1, -2)) \
-            + lam * (_bits_proxy(lev) + 6.0)       # + mode-bits proxy
-        # chroma DM cost at half res
+        # chroma geometry + DM predictions (shared across QPs)
         cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
         dc_ = np.arange(Pc)
         c_rows = cys[:, None, None] + dc_[None, :, None]
         c_cols = cxs[:, None, None] + dc_[None, None, :]
         c_in = ((dc_[None, :, None] < chs[:, None, None])
                 & (dc_[None, None, :] < cws[:, None, None]))
+        cpreds, corgs = [], []
         for org_p in (ou, ov):
             crefs = _refs_generic(org_p, og0, fi, oi, cxs, cys, cws,
                                   chs, Pc, 2, bd)
-            cpred = predict_generic(*crefs, best[:, None], cws, chs,
-                                    pad=Pc, is_luma=False,
-                                    bit_depth=bd)[:, 0]
-            corg = _gather_plane(org_p, fi[:, None, None], c_rows,
-                                 c_cols)
-            lev_c, rec_c = _tq_generic(corg, cpred, cws, chs, qp_c, bd,
-                                       lam, dw_c, rd_quant, c_in)
-            errc = ((rec_c - corg) * c_in).astype(jnp.float32)
-            cost = cost + dw_c * (errc * errc).sum(axis=(-1, -2)) \
-                + lam * _bits_proxy(lev_c)
-        return cost, best.astype(jnp.int32)
+            cpreds.append(predict_generic(*crefs, best[:, None], cws,
+                                          chs, pad=Pc, is_luma=False,
+                                          bit_depth=bd)[:, 0])
+            corgs.append(_gather_plane(org_p, fi[:, None, None],
+                                       c_rows, c_cols))
+        out = []
+        for qp_y, qp_c, lam, dw_c in qps:
+            lev, rec, _tr = _tq_luma_mts(orgs, pred, ws, hs, qp_y, bd,
+                                         lam, rd_quant, inside, mts)
+            err = ((rec - orgs) * inside).astype(jnp.float32)
+            cost = (err * err).sum(axis=(-1, -2)) \
+                + lam * (_bits_proxy(lev) + 6.0)   # + mode-bits proxy
+            for cpred, corg in zip(cpreds, corgs):
+                lev_c, rec_c = _tq_generic(corg, cpred, cws, chs, qp_c,
+                                           bd, lam, dw_c, rd_quant, c_in)
+                errc = ((rec_c - corg) * c_in).astype(jnp.float32)
+                cost = cost + dw_c * (errc * errc).sum(axis=(-1, -2)) \
+                    + lam * _bits_proxy(lev_c)
+            out.append(cost)
+        return jnp.stack(out), best.astype(jnp.int32)
 
     return jax.jit(f)
 
 
+class _Geom:
+    """Flattened node DAG of one frame geometry (shared across frames,
+    QPs and DeviceRDO instances).  Arrays, area-ascending node order:
+
+    - keys[i]    node key (x, y, w, h, state-tuple); key2idx inverse
+    - entry ranges per node [e0[i], e0[i+1]); per entry: split id,
+      leaf rect index (or -1), child ranges [c0[e], c0[e+1]) into the
+      flat child-node-index array
+    - groups: (start, end) node-index ranges of equal-area runs —
+      each group's children land strictly earlier, so the DP is a
+      short loop of vectorized group updates
+    """
+
+    def __init__(self, nodes, rects, roots, keys_asc):
+        self.rects = rects
+        self.rect_idx = {r: i for i, r in enumerate(rects)}
+        self.keys = keys_asc
+        self.key2idx = {k: i for i, k in enumerate(keys_asc)}
+        self.roots = [self.key2idx[r] for r in roots if r is not None]
+        e_split, e_leaf, e_node = [], [], []
+        e0, c0, children = [0], [0], []
+        for k in keys_asc:
+            for s, ckeys in nodes[k]:
+                e_node.append(self.key2idx[k])
+                e_split.append(_SPLITS.index(s))
+                if s == Split.NONE:
+                    e_leaf.append(self.rect_idx[k[:4]])
+                else:
+                    e_leaf.append(-1)
+                    children.extend(self.key2idx[ck] for ck in ckeys)
+                c0.append(len(children))
+            e0.append(len(e_split))
+        self.e0 = np.asarray(e0, np.int64)
+        self.e_node = np.asarray(e_node, np.int64)
+        self.e_split = np.asarray(e_split, np.int8)
+        self.e_leaf = np.asarray(e_leaf, np.int64)
+        self.c0 = np.asarray(c0, np.int64)
+        self.children = np.asarray(children, np.int64)
+        self.e_nchild = self.c0[1:] - self.c0[:-1]
+        areas = np.asarray([k[2] * k[3] for k in keys_asc], np.int64)
+        bounds = [0] + list(np.nonzero(np.diff(areas))[0] + 1) \
+            + [len(keys_asc)]
+        self.groups = list(zip(bounds[:-1], bounds[1:]))
+
+    def solve(self, leaf_cost, lam):
+        """Vectorized bottom-up min-plus DP; leaf_cost: (R,) array of
+        rect costs.  Returns (best_cost (N,), chosen split id (N,))."""
+        E = len(self.e_split)
+        e_cost = np.zeros(E)
+        is_leaf = self.e_leaf >= 0
+        e_cost[is_leaf] = leaf_cost[self.e_leaf[is_leaf]]
+        e_cost += lam * _SPLIT_BITS_ARR[self.e_split]
+        best = np.full(len(self.keys), np.inf)
+        chosen = np.zeros(len(self.keys), np.int8)
+        for g0, g1 in self.groups:
+            s, e = self.e0[g0], self.e0[g1]
+            ec = e_cost[s:e].copy()
+            nc = self.e_nchild[s:e]
+            has_c = nc > 0
+            if has_c.any():
+                cs, ce = self.c0[s], self.c0[e]
+                cvals = best[self.children[cs:ce]]
+                seg = np.repeat(np.arange(e - s), nc)
+                ec[has_c] += np.bincount(seg, weights=cvals,
+                                         minlength=e - s)[has_c]
+            nodes_g = self.e_node[s:e] - g0
+            order = np.argsort(ec, kind="stable")[::-1]
+            bc = np.full(g1 - g0, np.inf)
+            bs = np.zeros(g1 - g0, np.int8)
+            bc[nodes_g[order]] = ec[order]
+            bs[nodes_g[order]] = self.e_split[s:e][order]
+            best[g0:g1] = bc
+            chosen[g0:g1] = bs
+        return best, chosen
+
+
+# geometry cache: cfg-derived key -> _Geom
+_GEOM_CACHE = {}
+
+
 class DeviceRDO:
-    """Open-loop batched QTMT RDO over one frame."""
+    """Open-loop batched QTMT RDO over frames of one geometry."""
 
     def __init__(self, encoder):
         self.enc = encoder
         self.cfg = encoder.cfg
 
-    # ---- stage 1: node enumeration -----------------------------------
+    # ---- stage 1: node enumeration (cached per geometry) -------------
 
-    def _enumerate(self):
+    def _geom_key(self):
         cfg = self.cfg
-        nodes = {}           # (x, y, w, h, skey) -> list of (split, children keys)
+        return (cfg.width, cfg.height, cfg.log2_min_cb,
+                cfg.max_mtt_depth_intra, cfg.min_qt_intra,
+                cfg.max_bt_intra, cfg.max_tt_intra, cfg.dual_tree)
+
+    def geom(self) -> _Geom:
+        key = self._geom_key()
+        hit = _GEOM_CACHE.get(key)
+        if hit is not None:
+            return hit
+        cfg = self.cfg
+        nodes = {}       # key -> list of (split, children keys)
         rects = set()
 
         def skey(state):
@@ -133,9 +258,7 @@ class DeviceRDO:
                 cands = [implicit]
             else:
                 can = can_split_set(w, h, state, cfg)
-                cands = [s for s in (Split.NONE, Split.QT, Split.BT_H,
-                                     Split.BT_V, Split.TT_H, Split.TT_V)
-                         if can[s]]
+                cands = [s for s in _SPLITS if can[s]]
                 if w > 64 or h > 64:
                     # intra CUs are capped at 64 (the deciders force the
                     # CTU-level QT; max TB size, SPS log2_max_tb)
@@ -172,89 +295,107 @@ class DeviceRDO:
                 rk = visit(ctx_i * 128, cty * 128, 128, 128,
                            SplitState())
                 roots.append(rk)
-        return nodes, sorted(rects), roots
+        # children have strictly smaller area than their parent, so an
+        # area-ascending order is a valid bottom-up DP schedule
+        keys_asc = sorted(nodes, key=lambda k: k[2] * k[3])
+        g = _Geom(nodes, sorted(rects), roots, keys_asc)
+        _GEOM_CACHE[key] = g
+        return g
 
     # ---- stage 2: device leaf costs ----------------------------------
 
-    def _leaf_costs(self, rects, y, u, v):
+    def _qp_points(self, encoders):
+        return tuple((*e._qps(), float(e.lam), float(e.dw_c))
+                     for e in encoders)
+
+    def leaf_cost_arrays(self, frames, encoders=None):
+        """Leaf costs for every (QP, frame, rect): returns
+        (costs (nQP, F, R) float64, modes (F, R) int32).  ``encoders``
+        defaults to [self.enc]; extra encoders = extra QP operating
+        points sharing the mode search."""
         cfg = self.cfg
-        enc = self.enc
-        qp_y, qp_c = enc._qps()
-        oy = jnp.asarray(np.asarray(y, np.int32))[None]
-        ou = jnp.asarray(np.asarray(u, np.int32))[None]
-        ov = jnp.asarray(np.asarray(v, np.int32))[None]
-        og0 = jnp.zeros((1, cfg.height // 4, cfg.width // 4), jnp.int32)
-        by_class = {32: [], 64: []}
-        for r in rects:
-            by_class[32 if max(r[2], r[3]) <= 32 else 64].append(r)
-        costs, modes = {}, {}
-        bsz = {32: 128, 64: 32}
-        for P, rs in by_class.items():
-            if not rs:
+        encoders = encoders or [self.enc]
+        qps = self._qp_points(encoders)
+        geom = self.geom()
+        rects = geom.rects
+        F = len(frames)
+        R = len(rects)
+        oy = jnp.asarray(np.stack([np.asarray(f[0], np.int32)
+                                   for f in frames]))
+        ou = jnp.asarray(np.stack([np.asarray(f[1], np.int32)
+                                   for f in frames]))
+        ov = jnp.asarray(np.stack([np.asarray(f[2], np.int32)
+                                   for f in frames]))
+        og0 = jnp.zeros((F, cfg.height // 4, cfg.width // 4), jnp.int32)
+        by_class = {p: [] for p in _TILE_CLASSES}
+        for i, r in enumerate(rects):
+            by_class[_pad_class(r[2], r[3])].append(i)
+        bsz = (_BATCH_CPU if jax.default_backend() == "cpu"
+               else _BATCH_TPU)
+        costs = np.zeros((len(qps), F, R))
+        modes = np.zeros((F, R), np.int32)
+        pending = []
+        for P, ris in by_class.items():
+            if not ris:
                 continue
-            fn = _leaf_cost_fn(P, qp_y, qp_c, cfg.bit_depth,
-                               float(enc.lam), float(enc.dw_c),
+            fn = _leaf_cost_fn(P, qps, cfg.bit_depth,
                                bool(cfg.rd_quant), bool(cfg.mts_intra))
             B = bsz[P]
-            for i0 in range(0, len(rs), B):
-                chunk = rs[i0:i0 + B]
+            work = [(f, ri) for f in range(F) for ri in ris]
+            for i0 in range(0, len(work), B):
+                chunk = work[i0:i0 + B]
                 rows = np.zeros((B, 5), np.int32)
-                for k, (x, yy, w, h) in enumerate(chunk):
-                    rows[k] = (0, x, yy, w, h)
+                rows[:, 3:] = 4              # pad entries: benign 4x4
+                for k, (f, ri) in enumerate(chunk):
+                    x, yy, w, h = rects[ri]
+                    rows[k] = (f, x, yy, w, h)
                 c, m = fn(jnp.asarray(rows), oy, ou, ov, og0)
-                c = np.asarray(c)
-                m = np.asarray(m)
-                for k, r in enumerate(chunk):
-                    costs[r] = float(c[k])
-                    modes[r] = int(m[k])
+                pending.append((chunk, c, m))   # async dispatch
+        for chunk, c, m in pending:
+            c = np.asarray(c)
+            m = np.asarray(m)
+            fs = np.asarray([f for f, _ in chunk])
+            ris = np.asarray([ri for _, ri in chunk])
+            costs[:, fs, ris] = c[:, :len(chunk)]
+            modes[fs, ris] = m[:len(chunk)]
         return costs, modes
+
+    # back-compat single-frame dict API (tests, tools)
+    def _leaf_costs(self, rects, y, u, v):
+        costs, modes = self.leaf_cost_arrays([(y, u, v)])
+        geom = self.geom()
+        return ({r: costs[0, 0, i] for i, r in enumerate(geom.rects)},
+                {r: int(modes[0, i]) for i, r in enumerate(geom.rects)})
 
     # ---- stage 3: DP + outputs ---------------------------------------
 
-    def search(self, y, u, v):
-        """Returns a decide(x, y, w, h, state) function encoding the
-        chosen tree (for the wavefront/sequential coders)."""
-        lam = float(self.enc.lam)
-        nodes, rects, roots = self._enumerate()
-        leaf_cost, _modes = self._leaf_costs(rects, y, u, v)
-        best = {}
-
-        order = sorted(nodes, key=lambda k: -(k[2] * k[3]))
-
-        def solve(key):
-            if key in best:
-                return best[key][0]
-            x, yy, w, h, _sk = key
-            entries = nodes[key]
-            bc, bs_ = np.inf, Split.NONE
-            for s, ckeys in entries:
-                if s == Split.NONE:
-                    c = leaf_cost[(x, yy, w, h)] \
-                        + lam * _SPLIT_BITS[Split.NONE]
-                else:
-                    c = lam * _SPLIT_BITS[s] \
-                        + sum(solve(ck) for ck in ckeys)
-                if c < bc:
-                    bc, bs_ = c, s
-            best[key] = (bc, bs_)
-            return bc
-
-        import sys
-        old = sys.getrecursionlimit()
-        sys.setrecursionlimit(100000)
-        try:
-            for rk in roots:
-                if rk is not None:
-                    solve(rk)
-        finally:
-            sys.setrecursionlimit(old)
-
-        chosen = {k: v[1] for k, v in best.items()}
-
+    def _decide_fn(self, geom, chosen):
         def decide(x, yy, w, h, state):
             key = (x, yy, w, h, (state.qt_depth, state.mtt_depth,
                                  state.last_split, state.part_idx,
                                  state.implicit_bt_depth))
-            return chosen.get(key, Split.NONE)
-
+            i = geom.key2idx.get(key)
+            return Split.NONE if i is None else _SPLITS[chosen[i]]
         return decide
+
+    def search_frames(self, frames, encoders=None):
+        """Batched search: returns per-QP lists of per-frame
+        decide(x, y, w, h, state) functions — shape [nQP][F]
+        (nQP = len(encoders or [self.enc]))."""
+        encoders = encoders or [self.enc]
+        geom = self.geom()
+        costs, _modes = self.leaf_cost_arrays(frames, encoders)
+        out = []
+        for qi, e in enumerate(encoders):
+            lam = float(e.lam)
+            row = []
+            for f in range(len(frames)):
+                _b, chosen = geom.solve(costs[qi, f], lam)
+                row.append(self._decide_fn(geom, chosen))
+            out.append(row)
+        return out
+
+    def search(self, y, u, v):
+        """Single-frame search; returns the decide function encoding
+        the chosen tree (for the wavefront/sequential coders)."""
+        return self.search_frames([(y, u, v)])[0][0]

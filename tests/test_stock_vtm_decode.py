@@ -3,8 +3,9 @@ counterpart check): the stream is produced by the reference EncoderApp
 (full RDO partitioning, its own mode decisions, non-DM chroma modes),
 not by our encoder — decode must reproduce it hash-verified.
 
-Envelope: all-intra, screen/inter tools off (the encoder flags below);
-full CTC-tools stock streams remain future work (TS residual parse)."""
+Coverage spans the tools-off envelope (the encoder flags below) up to
+the FULL CTC toolset: test_decode_stock_vtm_full_ctc_stream decodes the
+reference demo command line with no tool exclusions, hash-verified."""
 import pathlib
 import subprocess
 
