@@ -2187,7 +2187,7 @@ class FrameEncoder:
     def encode_frame(self, y, u, v, qt_map=None, maps=None,
                      chroma_maps=None, poc: int = 0,
                      collect_bin_stats: bool = False, rdo: bool = False,
-                     decide_fn=None):
+                     decide_fn=None, decide_c_fn=None):
         """Encode one frame. Returns (bitstream_bytes, recon (y,u,v)).
 
         ``maps``: optional (hor, ver, qt, dire) frame partition maps for
@@ -2220,7 +2220,9 @@ class FrameEncoder:
             decide = self._qt_map_decider(qt_map)
         if cfg.dual_tree:
             cmaps = chroma_maps or maps
-            if cmaps is not None:
+            if decide_c_fn is not None:
+                decide_c = decide_c_fn
+            elif cmaps is not None:
                 decide_c = self._map_decider(*cmaps, chroma=True)
             elif rdo:
                 decide_c = self._rdo_decider()

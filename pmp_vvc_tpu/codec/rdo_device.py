@@ -181,15 +181,39 @@ class _Geom:
         bounds = [0] + list(np.nonzero(np.diff(areas))[0] + 1) \
             + [len(keys_asc)]
         self.groups = list(zip(bounds[:-1], bounds[1:]))
+        # per-node geometry (for map-conditioned entry masks)
+        self.node_x = np.asarray([k[0] for k in keys_asc], np.int64)
+        self.node_y = np.asarray([k[1] for k in keys_asc], np.int64)
+        self.node_qt = np.asarray([k[4][0] for k in keys_asc], np.int64)
 
-    def solve(self, leaf_cost, lam):
+    def qt_ban_mask(self, qt_map):
+        """Entry mask implementing the L0 tryMode QT ban
+        (EncModeCtrl.cpp:2017-2035): QT split entries are disallowed
+        once the node's qt_depth reaches the map-predicted depth + 1.
+        ``qt_map``: (H/8, W/8) predicted QT depths; node x = column,
+        y = row (scheduler convention)."""
+        qt_map = np.asarray(qt_map)
+        r = np.minimum(self.node_y // 8, qt_map.shape[0] - 1)
+        c = np.minimum(self.node_x // 8, qt_map.shape[1] - 1)
+        pred = qt_map[r, c] + 1
+        banned_node = self.node_qt >= pred
+        mask = np.ones(len(self.e_split), bool)
+        is_qt = self.e_split == _SPLITS.index(Split.QT)
+        mask[is_qt & banned_node[self.e_node]] = False
+        return mask
+
+    def solve(self, leaf_cost, lam, entry_mask=None):
         """Vectorized bottom-up min-plus DP; leaf_cost: (R,) array of
-        rect costs.  Returns (best_cost (N,), chosen split id (N,))."""
+        rect costs.  ``entry_mask``: optional (E,) bool — False
+        entries are excluded (e.g. the L0 QT ban).  Returns
+        (best_cost (N,), chosen split id (N,))."""
         E = len(self.e_split)
         e_cost = np.zeros(E)
         is_leaf = self.e_leaf >= 0
         e_cost[is_leaf] = leaf_cost[self.e_leaf[is_leaf]]
         e_cost += lam * _SPLIT_BITS_ARR[self.e_split]
+        if entry_mask is not None:
+            e_cost[~entry_mask] = np.inf
         best = np.full(len(self.keys), np.inf)
         chosen = np.zeros(len(self.keys), np.int8)
         for g0, g1 in self.groups:
@@ -378,19 +402,22 @@ class DeviceRDO:
             return Split.NONE if i is None else _SPLITS[chosen[i]]
         return decide
 
-    def search_frames(self, frames, encoders=None):
+    def search_frames(self, frames, encoders=None, qt_ban_map=None):
         """Batched search: returns per-QP lists of per-frame
         decide(x, y, w, h, state) functions — shape [nQP][F]
-        (nQP = len(encoders or [self.enc]))."""
+        (nQP = len(encoders or [self.enc])).  ``qt_ban_map``: predicted
+        QT-depth map enabling the L0 QT ban (qt_ban_mask)."""
         encoders = encoders or [self.enc]
         geom = self.geom()
+        mask = geom.qt_ban_mask(qt_ban_map) \
+            if qt_ban_map is not None else None
         costs, _modes = self.leaf_cost_arrays(frames, encoders)
         out = []
         for qi, e in enumerate(encoders):
             lam = float(e.lam)
             row = []
             for f in range(len(frames)):
-                _b, chosen = geom.solve(costs[qi, f], lam)
+                _b, chosen = geom.solve(costs[qi, f], lam, mask)
                 row.append(self._decide_fn(geom, chosen))
             out.append(row)
         return out
@@ -399,3 +426,217 @@ class DeviceRDO:
         """Single-frame search; returns the decide function encoding
         the chosen tree (for the wavefront/sequential coders)."""
         return self.search_frames([(y, u, v)])[0][0]
+
+    # ---- dual-tree CHROMA search --------------------------------------
+
+    def _geom_key_chroma(self):
+        cfg = self.cfg
+        return ("chroma", cfg.width, cfg.height, cfg.log2_min_cb,
+                cfg.chroma_max_mtt_depth, cfg.chroma_min_qt,
+                cfg.chroma_max_bt, cfg.chroma_max_tt)
+
+    def geom_chroma(self) -> _Geom:
+        """Node DAG of the dual-tree CHROMA channel (luma-unit coords,
+        EncCu.cpp:349-361 chroma pass; legality via
+        can_split_set(chroma=True) incl. the implicit-BV
+        chroma-width-4 -> QT replacement of the chroma walk)."""
+        key = self._geom_key_chroma()
+        hit = _GEOM_CACHE.get(key)
+        if hit is not None:
+            return hit
+        cfg = self.cfg
+        nodes, rects = {}, set()
+
+        def skey(state):
+            return (state.qt_depth, state.mtt_depth, state.last_split,
+                    state.part_idx, state.implicit_bt_depth)
+
+        def visit(x, y, w, h, state):
+            if x >= cfg.width or y >= cfg.height:
+                return None
+            key = (x, y, w, h) + (skey(state),)
+            if key in nodes:
+                return key
+            nodes[key] = []
+            implicit = get_implicit_split(x, y, w, h, state, cfg, True)
+            if implicit != Split.NONE:
+                if implicit == Split.BT_V and w // 2 == 4:
+                    implicit = Split.QT
+                cands = [implicit]
+            else:
+                can = can_split_set(w, h, state, cfg, chroma=True)
+                cands = [s for s in _SPLITS if can[s]]
+            entry = []
+            for s in cands:
+                if s == Split.NONE:
+                    rects.add((x, y, w, h))
+                    entry.append((s, None))
+                    continue
+                imp_bt = state.implicit_bt_depth + (
+                    1 if s == implicit
+                    and s in (Split.BT_H, Split.BT_V) else 0)
+                ckeys = []
+                for i, (cx, cy, cw, chh) in enumerate(
+                        self.enc._children(x, y, w, h, s)):
+                    cstate = SplitState(
+                        last_split=s, part_idx=i,
+                        qt_depth=state.qt_depth
+                        + (1 if s == Split.QT else 0),
+                        mtt_depth=state.mtt_depth
+                        + (0 if s == Split.QT else 1),
+                        implicit_bt_depth=imp_bt)
+                    ck = visit(cx, cy, cw, chh, cstate)
+                    if ck is not None:
+                        ckeys.append(ck)
+                entry.append((s, ckeys))
+            nodes[key] = entry
+            return key
+
+        roots = []
+        for cty in range((cfg.height + 127) // 128):
+            for ctx_i in range((cfg.width + 127) // 128):
+                for (qx, qy, qw, qh) in self.enc._children(
+                        ctx_i * 128, cty * 128, 128, 128, Split.QT):
+                    rk = visit(qx, qy, qw, qh,
+                               SplitState(last_split=Split.QT,
+                                          qt_depth=1))
+                    roots.append(rk)
+        keys_asc = sorted(nodes, key=lambda k: k[2] * k[3])
+        g = _Geom(nodes, sorted(rects), roots, keys_asc)
+        _GEOM_CACHE[key] = g
+        return g
+
+    def chroma_leaf_cost_arrays(self, frames, encoders=None):
+        """(nQP, F, R) chroma leaf costs over geom_chroma().rects."""
+        cfg = self.cfg
+        encoders = encoders or [self.enc]
+        qps = self._qp_points(encoders)
+        geom = self.geom_chroma()
+        rects = geom.rects
+        F, R = len(frames), len(rects)
+        oy = jnp.asarray(np.stack([np.asarray(f[0], np.int32)
+                                   for f in frames]))
+        ou = jnp.asarray(np.stack([np.asarray(f[1], np.int32)
+                                   for f in frames]))
+        ov = jnp.asarray(np.stack([np.asarray(f[2], np.int32)
+                                   for f in frames]))
+        og0 = jnp.zeros((F, cfg.height // 4, cfg.width // 4), jnp.int32)
+        by_class = {p: [] for p in _TILE_CLASSES}
+        for i, r in enumerate(rects):
+            by_class[_pad_class(r[2], r[3])].append(i)
+        bsz = (_BATCH_CPU if jax.default_backend() == "cpu"
+               else _BATCH_TPU)
+        costs = np.zeros((len(qps), F, R))
+        pending = []
+        for P, ris in by_class.items():
+            if not ris:
+                continue
+            fn = _chroma_leaf_cost_fn(P, qps, cfg.bit_depth,
+                                      bool(cfg.rd_quant),
+                                      bool(cfg.cclm))
+            B = bsz[P]
+            work = [(f, ri) for f in range(F) for ri in ris]
+            for i0 in range(0, len(work), B):
+                chunk = work[i0:i0 + B]
+                rows = np.zeros((B, 5), np.int32)
+                rows[:, 3:] = 8              # pad: benign 8x8 luma units
+                for k, (f, ri) in enumerate(chunk):
+                    x, yy, w, h = rects[ri]
+                    rows[k] = (f, x, yy, w, h)
+                c = fn(jnp.asarray(rows), oy, ou, ov, og0)
+                pending.append((chunk, c))
+        for chunk, c in pending:
+            c = np.asarray(c)
+            fs = np.asarray([f for f, _ in chunk])
+            ris = np.asarray([ri for _, ri in chunk])
+            costs[:, fs, ris] = c[:, :len(chunk)]
+        return costs
+
+    def search_frames_chroma(self, frames, encoders=None,
+                             qt_ban_map=None):
+        """Chroma-tree decide functions, shape [nQP][F]."""
+        encoders = encoders or [self.enc]
+        geom = self.geom_chroma()
+        mask = geom.qt_ban_mask(qt_ban_map) \
+            if qt_ban_map is not None else None
+        costs = self.chroma_leaf_cost_arrays(frames, encoders)
+        out = []
+        for qi, e in enumerate(encoders):
+            lam = float(e.lam)
+            row = []
+            for f in range(len(frames)):
+                _b, chosen = geom.solve(costs[qi, f], lam, mask)
+                row.append(self._decide_fn(geom, chosen))
+            out.append(row)
+        return out
+
+
+@functools.cache
+def _chroma_leaf_cost_fn(P, qps, bd, rd_quant, cclm):
+    """Jitted dual-tree-chroma leaf cost for one tile class (P = pad in
+    LUMA units): rows (B, 5) = (fi, x, y, w, h) luma-unit coords ->
+    costs (nQP, B).  Candidate modes = the non-DM chroma list
+    {planar, DC, HOR, VER} (DM is unknown open-loop) + LM_CHROMA when
+    ``cclm`` (from the ORIGINAL luma plane); SATD picks the prediction,
+    the TQ roundtrip prices it per QP."""
+    cand = np.array([0, 1, 18, 50], np.int32)
+    Pc = P // 2
+
+    def f(rows, oy, ou, ov, og0):
+        B = rows.shape[0]
+        fi, xs, ys, ws, hs = [rows[:, k] for k in range(5)]
+        oi = jnp.ones((B,), jnp.int32)
+        cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
+        crefs_u = _refs_generic(ou, og0, fi, oi, cxs, cys, cws, chs,
+                                Pc, 2, bd)
+        crefs_v = _refs_generic(ov, og0, fi, oi, cxs, cys, cws, chs,
+                                Pc, 2, bd)
+        modes = jnp.broadcast_to(jnp.asarray(cand)[None],
+                                 (B, cand.size))
+        pu = predict_generic(*crefs_u, modes, cws, chs, pad=Pc,
+                             is_luma=False, bit_depth=bd)
+        pv = predict_generic(*crefs_v, modes, cws, chs, pad=Pc,
+                             is_luma=False, bit_depth=bd)
+        dc_ = np.arange(Pc)
+        c_rows = cys[:, None, None] + dc_[None, :, None]
+        c_cols = cxs[:, None, None] + dc_[None, None, :]
+        corg_u = _gather_plane(ou, fi[:, None, None], c_rows, c_cols)
+        corg_v = _gather_plane(ov, fi[:, None, None], c_rows, c_cols)
+        satds = satd_generic(corg_u[:, None], pu, cws, chs) \
+            + satd_generic(corg_v[:, None], pv, cws, chs)
+        bi = jnp.argmin(satds, axis=1)
+        pred_u = jnp.take_along_axis(pu, bi[:, None, None, None],
+                                     axis=1)[:, 0]
+        pred_v = jnp.take_along_axis(pv, bi[:, None, None, None],
+                                     axis=1)[:, 0]
+        if cclm:
+            from ..ops.cclm_generic import cclm_predict_generic
+            lm_u, lm_v = cclm_predict_generic(
+                oy, fi, cxs, cys, cws, chs, pad_c=Pc,
+                top_u=crefs_u[0], left_u=crefs_u[1],
+                top_v=crefs_v[0], left_v=crefs_v[1], bit_depth=bd)
+            best_satd = jnp.take_along_axis(satds, bi[:, None],
+                                            axis=1)[:, 0]
+            lm_satd = satd_generic(corg_u[:, None], lm_u[:, None],
+                                   cws, chs)[:, 0] \
+                + satd_generic(corg_v[:, None], lm_v[:, None],
+                               cws, chs)[:, 0]
+            use_lm = lm_satd < best_satd
+            pred_u = jnp.where(use_lm[:, None, None], lm_u, pred_u)
+            pred_v = jnp.where(use_lm[:, None, None], lm_v, pred_v)
+        c_in = ((dc_[None, :, None] < chs[:, None, None])
+                & (dc_[None, None, :] < cws[:, None, None]))
+        out = []
+        for _qp_y, qp_c, lam, dw_c in qps:
+            cost = jnp.full((B,), lam * 2.0)     # chroma-mode bins proxy
+            for pred_c, corg in ((pred_u, corg_u), (pred_v, corg_v)):
+                lev_c, rec_c = _tq_generic(corg, pred_c, cws, chs,
+                                           qp_c, bd, lam, dw_c,
+                                           rd_quant, c_in)
+                errc = ((rec_c - corg) * c_in).astype(jnp.float32)
+                cost = cost + dw_c * (errc * errc).sum(axis=(-1, -2)) \
+                    + lam * _bits_proxy(lev_c)
+            out.append(cost)
+        return jnp.stack(out)
+
+    return jax.jit(f)

@@ -596,9 +596,6 @@ class WavefrontEncoder(FrameEncoder):
             raise NotImplementedError(
                 f"wavefront path does not support: {bad}; "
                 "use FrameEncoder")
-        if self.rdo_fallback:
-            raise NotImplementedError("wavefront path is map-driven only "
-                                      "(no RDO fallback)")
 
     # ---- phase A: leaf collection (geometry only) ----------------------
 
@@ -910,14 +907,64 @@ class WavefrontEncoder(FrameEncoder):
             return Split.NONE
         return decide_c
 
-    def _collect_all(self, qt_map, maps, chroma_maps):
+    @staticmethod
+    def _hybrid(map_decide, rdo_decide):
+        """Map decision inside the gate, device-RDO outside — the
+        wavefront counterpart of EncModeCtrl.cpp:1242-1252's L<3
+        stock-RDO re-enable (the map decider returns the RDO sentinel
+        for needs_rdo nodes when rdo_fallback is on)."""
+        def decide(x, y, w, h, state):
+            s = map_decide(x, y, w, h, state)
+            return rdo_decide(x, y, w, h, state) if s is RDO else s
+        return decide
+
+    def _rdo_decides(self, frames, maps=None, chroma_maps=None):
+        """Per-frame (luma, chroma) device-RDO fallback deciders, LAZY:
+        the batched open-loop search only runs if some node actually
+        defers (at L3 with full map coverage nothing does, so the
+        fallback costs nothing there).  At L0 the predicted QT map
+        bans QT re-splits in the fallback (tryMode,
+        EncModeCtrl.cpp:2017-2035)."""
+        cache = {}
+        qt_ban = maps[2] if (self.accel_level == 0
+                             and maps is not None) else None
+        cmaps = chroma_maps or maps
+        qt_ban_c = cmaps[2] if (self.accel_level == 0
+                                and cmaps is not None) else None
+
+        def solve():
+            if "l" not in cache:
+                from .rdo_device import DeviceRDO
+                rdo = DeviceRDO(self)
+                cache["l"] = rdo.search_frames(
+                    frames, qt_ban_map=qt_ban)[0]
+                cache["c"] = (rdo.search_frames_chroma(
+                    frames, qt_ban_map=qt_ban_c)[0]
+                    if self.cfg.dual_tree else None)
+            return cache
+
+        def mk(f, chroma):
+            def decide(x, y, w, h, state):
+                c = solve()
+                d = (c["c"] if chroma else c["l"])[f]
+                return d(x, y, w, h, state)
+            return decide
+
+        return [(mk(f, False), mk(f, True))
+                for f in range(len(frames))]
+
+    def _collect_all(self, qt_map, maps, chroma_maps, rdo_dec=None):
         decide = self._decider(qt_map, maps)
+        if rdo_dec is not None:
+            decide = self._hybrid(decide, rdo_dec[0])
         leaves = self._collect_leaves(decide)
         cleaves = None
         if self.cfg.dual_tree:
+            decide_c = self._decider_chroma(qt_map, maps, chroma_maps)
+            if rdo_dec is not None:
+                decide_c = self._hybrid(decide_c, rdo_dec[1])
             cleaves = _collect_leaves_chroma(
-                self, self._decider_chroma(qt_map, maps, chroma_maps),
-                decide_luma=decide)
+                self, decide_c, decide_luma=decide)
         return leaves, cleaves
 
     def encode_frames(self, frames, qt_map=None, maps=None,
@@ -925,16 +972,40 @@ class WavefrontEncoder(FrameEncoder):
         """Encode a batch of (y, u, v) frames in one device pass.
 
         Returns a list of (bitstream_bytes, recon) — one per frame; the
-        caller concatenates payloads after the parameter sets."""
-        leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps)
-        packed = [(leaves, cleaves, y, u, v) for (y, u, v) in frames]
+        caller concatenates payloads after the parameter sets.  With
+        ``rdo_fallback`` the trees are content-dependent (device-RDO
+        beyond map coverage at accel level < 3), so leaves are
+        collected per frame; otherwise the map tree is shared."""
+        if self.rdo_fallback:
+            rdo_decs = self._rdo_decides(frames, maps, chroma_maps)
+            deciders = [None] * len(frames)
+            packed = []
+            for f, (y, u, v) in enumerate(frames):
+                decide = self._hybrid(self._decider(qt_map, maps),
+                                      rdo_decs[f][0])
+                decide_c = None
+                leaves = self._collect_leaves(decide)
+                cleaves = None
+                if self.cfg.dual_tree:
+                    decide_c = self._hybrid(
+                        self._decider_chroma(qt_map, maps, chroma_maps),
+                        rdo_decs[f][1])
+                    cleaves = _collect_leaves_chroma(
+                        self, decide_c, decide_luma=decide)
+                deciders[f] = (decide, decide_c)
+                packed.append((leaves, cleaves, y, u, v))
+        else:
+            leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps)
+            deciders = [(None, None)] * len(frames)
+            packed = [(leaves, cleaves, y, u, v) for (y, u, v) in frames]
         self._dev_result = self._batched_pass(packed)
         out = []
         for f, (y, u, v) in enumerate(frames):
             self._cur_frame = f
             out.append(super().encode_frame(
                 y, u, v, qt_map=qt_map, maps=maps, chroma_maps=chroma_maps,
-                poc=poc0 + f))
+                poc=poc0 + f, decide_fn=deciders[f][0],
+                decide_c_fn=deciders[f][1]))
         return out
 
     def encode_frame(self, y, u, v, qt_map=None, maps=None,
@@ -943,20 +1014,38 @@ class WavefrontEncoder(FrameEncoder):
         if rdo:
             # device-batched open-loop QTMT search, then the standard
             # closed-loop wavefront coding of the chosen tree
-            if self.cfg.dual_tree:
-                raise NotImplementedError("device RDO is single-tree")
             from .rdo_device import DeviceRDO
-            decide = DeviceRDO(self).search(y, u, v)
+            drdo = DeviceRDO(self)
+            decide = drdo.search(y, u, v)
+            decide_c = None
+            cleaves = None
             leaves = self._collect_leaves(decide)
+            if self.cfg.dual_tree:
+                decide_c = drdo.search_frames_chroma([(y, u, v)])[0][0]
+                cleaves = _collect_leaves_chroma(self, decide_c,
+                                                 decide_luma=decide)
             self._dev_result = self._batched_pass(
-                [(leaves, None, y, u, v)])
+                [(leaves, cleaves, y, u, v)])
             self._cur_frame = 0
             return super().encode_frame(
                 y, u, v, poc=poc, collect_bin_stats=collect_bin_stats,
-                decide_fn=decide)
-        leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps)
+                decide_fn=decide, decide_c_fn=decide_c)
+        rdo_dec = None
+        decide_fn = decide_c_fn = None
+        if self.rdo_fallback:
+            rdo_dec = self._rdo_decides([(y, u, v)], maps,
+                                        chroma_maps)[0]
+            decide_fn = self._hybrid(self._decider(qt_map, maps),
+                                     rdo_dec[0])
+            if self.cfg.dual_tree:
+                decide_c_fn = self._hybrid(
+                    self._decider_chroma(qt_map, maps, chroma_maps),
+                    rdo_dec[1])
+        leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps,
+                                            rdo_dec=rdo_dec)
         self._dev_result = self._batched_pass([(leaves, cleaves, y, u, v)])
         self._cur_frame = 0
         return super().encode_frame(
             y, u, v, qt_map=qt_map, maps=maps, chroma_maps=chroma_maps,
-            poc=poc, collect_bin_stats=collect_bin_stats)
+            poc=poc, collect_bin_stats=collect_bin_stats,
+            decide_fn=decide_fn, decide_c_fn=decide_c_fn)

@@ -85,6 +85,8 @@ def tr_matrices(kind, n, pad):
                  jnp.clip(ln - 2, 0, 3), axis=0)      # (B, 32, 32)
     if pad > 32:
         t = jnp.pad(t, ((0, 0), (0, pad - 32), (0, pad - 32)))
+    elif pad < 32:
+        t = t[:, :pad, :pad]       # 8/16-pad tile classes (size <= pad)
     i = np.arange(pad)
     mask = (i[None, :, None] < jnp.minimum(n, 16)[:, None, None]) & \
         (i[None, None, :] < n[:, None, None])
@@ -184,7 +186,10 @@ def satd_generic(org, pred, w, h, *, min_dim: int = 4):
         return jnp.sum(t, axis=(-2, -1))
 
     mn = jnp.minimum(w, h)[:, None]
-    out = jnp.where(mn >= 8, tiles(8), tiles(4))
+    if P >= 8:
+        out = jnp.where(mn >= 8, tiles(8), tiles(4))
+    else:
+        out = tiles(4)          # 4-pad tiles: every CU is < 8
     if min_dim < 4:
         out = jnp.where(mn >= 4, out, tiles(2))
     return out.astype(jnp.int32)

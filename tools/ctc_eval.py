@@ -108,9 +108,17 @@ def run_ours(frames, w, h, qp, level, bd_dir):
     kw = dict(width=w, height=h, qp=qp, sao=True,
               deblocking_disabled=False, dual_tree=True, mts_intra=True,
               mip=True, cclm=True, chroma_qp_start_minus26=-9,
-              chroma_qp_points=((9, 12), (4, 5), (11, 7)))
+              chroma_qp_points=((9, 12), (4, 5), (11, 7)),
+              # CTC partition envelope (encoder_intra_vtm.cfg): without
+              # these the map decider banned every MTT split and the
+              # round-4 eval silently ran QT-only trees
+              log2_min_cb=2, max_mtt_depth_intra=3, max_bt_intra=32,
+              max_tt_intra=32)
     fmaps = maps_for(frames, w, h, qp, bd_dir)
-    enc = WavefrontEncoder(VVCConfig(**kw), accel_level=level)
+    # rdo_fallback = the reference's L<3 semantics (EncModeCtrl.cpp:1242
+    # re-enables stock RDO beyond map coverage); lazy, free at L3
+    enc = WavefrontEncoder(VVCConfig(**kw), accel_level=level,
+                           rdo_fallback=True)
     enc.encode_frame(*frames[0], maps=fmaps[0])      # compile warmup
     t0 = time.time()
     bits = 0
