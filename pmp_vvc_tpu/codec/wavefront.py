@@ -976,36 +976,48 @@ class WavefrontEncoder(FrameEncoder):
         ``rdo_fallback`` the trees are content-dependent (device-RDO
         beyond map coverage at accel level < 3), so leaves are
         collected per frame; otherwise the map tree is shared."""
-        if self.rdo_fallback:
-            rdo_decs = self._rdo_decides(frames, maps, chroma_maps)
-            deciders = [None] * len(frames)
-            packed = []
+        F = len(frames)
+        per_frame_maps = isinstance(maps, list) \
+            or isinstance(chroma_maps, list)
+        if not per_frame_maps and not self.rdo_fallback:
+            leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps)
+            deciders = [(None, None, maps, chroma_maps)] * F
+            packed = [(leaves, cleaves, y, u, v) for (y, u, v) in frames]
+        else:
+            maps_l = maps if isinstance(maps, list) else [maps] * F
+            cmaps_l = chroma_maps if isinstance(chroma_maps, list) \
+                else [chroma_maps] * F
+            deciders, packed = [], []
             for f, (y, u, v) in enumerate(frames):
-                decide = self._hybrid(self._decider(qt_map, maps),
-                                      rdo_decs[f][0])
+                rdo_dec = self._rdo_decides(
+                    [(y, u, v)], maps_l[f], cmaps_l[f])[0] \
+                    if self.rdo_fallback else None
+                decide = self._decider(qt_map, maps_l[f])
                 decide_c = None
+                if rdo_dec is not None:
+                    decide = self._hybrid(decide, rdo_dec[0])
                 leaves = self._collect_leaves(decide)
                 cleaves = None
                 if self.cfg.dual_tree:
-                    decide_c = self._hybrid(
-                        self._decider_chroma(qt_map, maps, chroma_maps),
-                        rdo_decs[f][1])
+                    decide_c = self._decider_chroma(
+                        qt_map, maps_l[f], cmaps_l[f])
+                    if rdo_dec is not None:
+                        decide_c = self._hybrid(decide_c, rdo_dec[1])
                     cleaves = _collect_leaves_chroma(
                         self, decide_c, decide_luma=decide)
-                deciders[f] = (decide, decide_c)
+                deciders.append(
+                    (decide if rdo_dec is not None else None,
+                     decide_c if rdo_dec is not None else None,
+                     maps_l[f], cmaps_l[f]))
                 packed.append((leaves, cleaves, y, u, v))
-        else:
-            leaves, cleaves = self._collect_all(qt_map, maps, chroma_maps)
-            deciders = [(None, None)] * len(frames)
-            packed = [(leaves, cleaves, y, u, v) for (y, u, v) in frames]
         self._dev_result = self._batched_pass(packed)
         out = []
         for f, (y, u, v) in enumerate(frames):
             self._cur_frame = f
+            dfn, dcfn, m, cm = deciders[f]
             out.append(super().encode_frame(
-                y, u, v, qt_map=qt_map, maps=maps, chroma_maps=chroma_maps,
-                poc=poc0 + f, decide_fn=deciders[f][0],
-                decide_c_fn=deciders[f][1]))
+                y, u, v, qt_map=qt_map, maps=m, chroma_maps=cm,
+                poc=poc0 + f, decide_fn=dfn, decide_c_fn=dcfn))
         return out
 
     def encode_frame(self, y, u, v, qt_map=None, maps=None,

@@ -25,14 +25,21 @@ import jax.numpy as jnp
 
 def load_npy_split(data_dir, split, comp="Luma", qp=32):
     d = pathlib.Path(data_dir)
-    x = np.load(d / f"{split}_Y_Block68.npy").astype(np.float32)
+    if comp == "Chroma":
+        # (N, 34, 34, 3) = (2x2-pooled Y, U, V) channel stack — the
+        # chroma-net input contract (Model_QBD.py:157-253)
+        x = np.load(d / f"{split}_Chroma_Block34.npy") \
+            .astype(np.float32)
+    else:
+        x = np.load(d / f"{split}_Y_Block68.npy") \
+            .astype(np.float32)[..., None]
     qt = np.load(d / f"{split}_{comp}_QP{qp}_QTdepth_Block8.npy") \
         .astype(np.float32) - 1.0
     bt = np.load(d / f"{split}_{comp}_QP{qp}_MSBTdepth_Block16.npy") \
         .astype(np.float32)
     dire = np.load(d / f"{split}_{comp}_QP{qp}_MSdirection_Block16.npy") \
         .astype(np.float32)
-    return (x[..., None], qt[..., None],
+    return (x, qt[..., None],
             np.moveaxis(bt, 1, -1), np.moveaxis(dire, 1, -1))
 
 

@@ -64,6 +64,10 @@ def main():
                     help="jax platform override (e.g. cpu)")
     ap.add_argument("--save-every", type=int, default=8,
                     help="checkpoint the .npy files every N groups")
+    ap.add_argument("--chroma", action="store_true",
+                    help="label the dual-tree CHROMA channel instead "
+                         "(DeviceRDO.search_frames_chroma; same seeds "
+                         "=> same frames as the luma pass)")
     args = ap.parse_args()
 
     import jax
@@ -96,12 +100,15 @@ def main():
             chroma_qp_start_minus26=-9,
             chroma_qp_points=((9, 12), (4, 5), (11, 7)),
             log2_min_cb=3, max_mtt_depth_intra=3,
-            max_bt_intra=32, max_tt_intra=32))
+            max_bt_intra=32, max_tt_intra=32,
+            dual_tree=args.chroma, cclm=args.chroma))
 
     encs = [mkenc(qp) for qp in qps]
     rdo = DeviceRDO(encs[0])
     xs, cxs = [], []
     labels = {qp: ([], [], []) for qp in qps}   # qt, bt, dire
+
+    comp = "Chroma" if args.chroma else "Luma"
 
     def save_all():
         pre = args.split
@@ -111,11 +118,11 @@ def main():
                 np.asarray(cxs, np.float32))
         for qp in qps:
             qt, bt, dire = labels[qp]
-            np.save(out / f"{pre}_Luma_QP{qp}_QTdepth_Block8.npy",
+            np.save(out / f"{pre}_{comp}_QP{qp}_QTdepth_Block8.npy",
                     np.asarray(qt, np.uint8))
-            np.save(out / f"{pre}_Luma_QP{qp}_MSBTdepth_Block16.npy",
+            np.save(out / f"{pre}_{comp}_QP{qp}_MSBTdepth_Block16.npy",
                     np.asarray(bt, np.uint8))
-            np.save(out / f"{pre}_Luma_QP{qp}_MSdirection_Block16.npy",
+            np.save(out / f"{pre}_{comp}_QP{qp}_MSdirection_Block16.npy",
                     np.asarray(dire, np.int8))
 
     t_start = time.time()
@@ -123,7 +130,10 @@ def main():
         gn = min(args.group, args.frames - g0)
         frames = [frame(g0 + i) for i in range(gn)]
         t0 = time.time()
-        decides = rdo.search_frames(frames, encoders=encs)
+        if args.chroma:
+            decides = rdo.search_frames_chroma(frames, encoders=encs)
+        else:
+            decides = rdo.search_frames(frames, encoders=encs)
         t_rdo = time.time() - t0
         for i, (y, u, v) in enumerate(frames):
             lin, cin = blocks_for_sequence(
@@ -133,8 +143,15 @@ def main():
             xs.extend(lin[..., 0])
             cxs.extend(cin)
             for qi, qp in enumerate(qps):
-                leaves = [lf[:4] for lf in WavefrontEncoder
-                          ._collect_leaves(encs[qi], decides[qi][i])]
+                if args.chroma:
+                    from pmp_vvc_tpu.codec.wavefront import \
+                        _collect_leaves_chroma
+                    raw = _collect_leaves_chroma(encs[qi],
+                                                 decides[qi][i])
+                else:
+                    raw = WavefrontEncoder._collect_leaves(
+                        encs[qi], decides[qi][i])
+                leaves = [lf[:4] for lf in raw]
                 bi = 0
                 for by in range(0, h, 64):
                     for bx in range(0, w, 64):
