@@ -194,12 +194,17 @@ def bench_encoder(frames=16, anchor_frames=4):
                   log2_min_cb=2, max_mtt_depth_intra=3,
                   max_bt_intra=32, max_tt_intra=32),
         accel_level=3, rdo_fallback=True)
+    # pipeline_chunk=4: all chunks' scans are queued on the device up
+    # front; the host CABAC replay of chunk k overlaps the device
+    # execution of chunks k+1.. (warm-up at the measured chunk shape)
     t0 = time.perf_counter()
-    enc.encode_frames(fr, maps=fmaps_l, chroma_maps=fmaps_c)
+    enc.encode_frames(fr, maps=fmaps_l, chroma_maps=fmaps_c,
+                      pipeline_chunk=4)
     print(f"encoder compile+first: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
-    outs = enc.encode_frames(fr, maps=fmaps_l, chroma_maps=fmaps_c)
+    outs = enc.encode_frames(fr, maps=fmaps_l, chroma_maps=fmaps_c,
+                             pipeline_chunk=4)
     dt = time.perf_counter() - t0
     assert len(outs) == frames
     fps = frames / dt

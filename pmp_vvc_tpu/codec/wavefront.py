@@ -647,11 +647,14 @@ class WavefrontEncoder(FrameEncoder):
         qp_c = max(-self.qp_bd_offset, min(63, qp_c)) + self.qp_bd_offset
         return qp_y, qp_c
 
-    def _batched_pass(self, frames):
+    def _batched_pass(self, frames, fetch=True):
         """frames: list of (leaves_luma, leaves_chroma_or_None, y, u, v).
         Encodes all frames' waves together; returns per-frame packed
         result planes.  Dual tree appends the chroma tree's wave levels
-        after the frame's luma levels (DM reads the luma mode grid)."""
+        after the frame's luma levels (DM reads the luma mode grid).
+        ``fetch=False`` returns the un-read device arrays — dispatch is
+        asynchronous, so the caller can overlap host work (CABAC
+        replay) with the device scan and ``jax.device_get`` later."""
         cfg = self.cfg
         bd = cfg.bit_depth
         qp_y, qp_c = self._qps()
@@ -750,6 +753,8 @@ class WavefrontEncoder(FrameEncoder):
                         mesh=self.mesh)
         packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, oy, ou, ov,
                     og4, og4c, *scheds)
+        if not fetch:
+            return packed          # async: device arrays, not yet read
         return jax.device_get(packed)
 
     # ---- phase C: CABAC replay ------------------------------------------
@@ -968,14 +973,22 @@ class WavefrontEncoder(FrameEncoder):
         return leaves, cleaves
 
     def encode_frames(self, frames, qt_map=None, maps=None,
-                      chroma_maps=None, poc0: int = 0):
+                      chroma_maps=None, poc0: int = 0,
+                      pipeline_chunk: int | None = None):
         """Encode a batch of (y, u, v) frames in one device pass.
 
         Returns a list of (bitstream_bytes, recon) — one per frame; the
         caller concatenates payloads after the parameter sets.  With
         ``rdo_fallback`` the trees are content-dependent (device-RDO
         beyond map coverage at accel level < 3), so leaves are
-        collected per frame; otherwise the map tree is shared."""
+        collected per frame; otherwise the map tree is shared.
+
+        ``pipeline_chunk``: split the frame set into chunks of this
+        size, dispatch ALL chunks' wave scans up front (XLA queues them
+        on the device), and fetch+replay chunk k while chunks k+1.. are
+        still executing — the host CABAC replay (BinEncoder semantics,
+        ~0.1-0.2 s/frame serial) leaves the critical path (SURVEY §7.4
+        north star; VERDICT r4 weak #8)."""
         F = len(frames)
         per_frame_maps = isinstance(maps, list) \
             or isinstance(chroma_maps, list)
@@ -1010,6 +1023,23 @@ class WavefrontEncoder(FrameEncoder):
                      decide_c if rdo_dec is not None else None,
                      maps_l[f], cmaps_l[f]))
                 packed.append((leaves, cleaves, y, u, v))
+        if pipeline_chunk:
+            # dispatch every chunk's scan first (async), then replay in
+            # order while later chunks execute on the device
+            chunks = [(c0, self._batched_pass(
+                packed[c0:c0 + pipeline_chunk], fetch=False))
+                for c0 in range(0, F, pipeline_chunk)]
+            out = []
+            for c0, dev in chunks:
+                self._dev_result = jax.device_get(dev)
+                for k in range(c0, min(c0 + pipeline_chunk, F)):
+                    self._cur_frame = k - c0
+                    y, u, v = frames[k]
+                    dfn, dcfn, m, cm = deciders[k]
+                    out.append(super().encode_frame(
+                        y, u, v, qt_map=qt_map, maps=m, chroma_maps=cm,
+                        poc=poc0 + k, decide_fn=dfn, decide_c_fn=dcfn))
+            return out
         self._dev_result = self._batched_pass(packed)
         out = []
         for f, (y, u, v) in enumerate(frames):
