@@ -121,7 +121,7 @@ def _leaf_cost_fn(P, qps, bd, rd_quant, mts):
                                        c_rows, c_cols))
         out = []
         for qp_y, qp_c, lam, dw_c in qps:
-            lev, rec, _tr = _tq_luma_mts(orgs, pred, ws, hs, qp_y, bd,
+            lev, rec, _tr, _lf = _tq_luma_mts(orgs, pred, ws, hs, qp_y, bd,
                                          lam, rd_quant, inside, mts)
             err = ((rec - orgs) * inside).astype(jnp.float32)
             cost = (err * err).sum(axis=(-1, -2)) \

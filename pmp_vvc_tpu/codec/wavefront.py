@@ -131,14 +131,20 @@ def _refs_generic(plane, og4, fi, oi, xs, ys, ws, hs, P, scale, bd):
     return tu, lu, tf, lf
 
 
-def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside):
+def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside,
+                lev_region=None):
     """Fused transform->quant->(RD zeroing)->dequant->inverse roundtrip
-    with the zero-TU candidate competing (cost = dw*SSE + lam*bits)."""
+    with the zero-TU candidate competing (cost = dw*SSE + lam*bits).
+    ``lev_region``: optional (B, P, P) bool — levels outside it are
+    quantized to zero (an always-legal encoder choice; used for the
+    single-tree LFNST chroma constraint)."""
     resid = (orgs - pred) * inside
     coef = forward_transform_generic(resid, ws, hs, bit_depth=bd)
     lev = quantize_generic(coef, ws, hs, qp, bit_depth=bd)
     if rd_quant:
         lev = rd_cleanup_generic(lev, coef, ws, hs, qp, lam, bit_depth=bd)
+    if lev_region is not None:
+        lev = lev * lev_region
     deq = dequantize_generic(lev, ws, hs, qp, bit_depth=bd)
     rr = inverse_transform_generic(deq, ws, hs, bit_depth=bd)
     err = ((rr - resid) * inside).astype(jnp.float32)
@@ -159,20 +165,26 @@ _MTS_COMBOS = ((0, (0, 0), 1.0), (2, (2, 2), 2.0), (3, (1, 2), 3.0),
 
 
 def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
-                 mts):
+                 mts, lfnst=False, modes=None, lfnst_ok=None):
     """Luma TQ with MTS candidate batching (TrQuant.cpp:826 trial set):
     DCT2 plus the four DST7/DCT8 combinations compete under
     cost = SSE + lam * (residual-bits proxy + mts_idx bins); a non-DCT2
     winner must have a non-DC coefficient (mts_idx is only signalled
     when lastScanPos >= 1, CABACWriter mts_idx:2721 — otherwise the
-    decoder would infer DCT2).  The zero-TU candidate competes last.
-    Returns (lev, rec, mts_idx)."""
+    decoder would infer DCT2).  With ``lfnst``, DCT2+LFNST idx 1/2
+    join the trial set (xFwdLfnst after the primary transform,
+    TrQuant.cpp:460; only signallable with a beyond-DC coefficient and
+    where ``lfnst_ok``).  The zero-TU candidate competes last.
+    Returns (lev, rec, mts_idx, lfnst_idx)."""
     resid = (orgs - pred) * inside
     combos = _MTS_COMBOS if mts else _MTS_COMBOS[:1]
-    levs, rrs, costs, idxs = [], [], [], []
+    levs, rrs, costs, idxs, lfs = [], [], [], [], []
+    coef_dct2 = None
     for mts_idx, (kw, kh), bins in combos:
         coef = forward_transform_generic(resid, ws, hs, bit_depth=bd,
                                          kind_w=kw, kind_h=kh)
+        if mts_idx == 0:
+            coef_dct2 = coef
         lev = quantize_generic(coef, ws, hs, qp, bit_depth=bd)
         if rd_quant:
             lev = rd_cleanup_generic(lev, coef, ws, hs, qp, lam,
@@ -191,6 +203,33 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
         rrs.append(rr)
         costs.append(cost)
         idxs.append(mts_idx)
+        lfs.append(0)
+    if lfnst:
+        from ..ops.lfnst_generic import (fwd_lfnst_generic,
+                                         inv_lfnst_generic)
+        for li in (1, 2):
+            sec = fwd_lfnst_generic(coef_dct2, modes, ws, hs, li)
+            lev = quantize_generic(sec, ws, hs, qp, bit_depth=bd)
+            if rd_quant:
+                lev = rd_cleanup_generic(lev, sec, ws, hs, qp, lam,
+                                         bit_depth=bd)
+            deq = dequantize_generic(lev, ws, hs, qp, bit_depth=bd)
+            pri = inv_lfnst_generic(deq, modes, ws, hs, li)
+            rr = inverse_transform_generic(pri, ws, hs, bit_depth=bd)
+            err = ((rr - resid) * inside).astype(jnp.float32)
+            cost = (err * err).sum(axis=(-1, -2)) \
+                + lam * (_bits_proxy(lev) + 2.0)   # lfnst_idx bins
+            n_nz = (lev != 0).sum(axis=(-1, -2))
+            beyond_dc = n_nz - (lev[..., 0, 0] != 0).astype(n_nz.dtype)
+            ok = beyond_dc > 0
+            if lfnst_ok is not None:
+                ok = ok & lfnst_ok
+            cost = jnp.where(ok, cost, jnp.inf)
+            levs.append(lev)
+            rrs.append(rr)
+            costs.append(cost)
+            idxs.append(0)
+            lfs.append(li)
     costs = jnp.stack(costs, axis=1)                      # (B, C)
     k = jnp.argmin(costs, axis=1)
     lev = jnp.take_along_axis(jnp.stack(levs, 1),
@@ -198,6 +237,7 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
     rr = jnp.take_along_axis(jnp.stack(rrs, 1),
                              k[:, None, None, None], axis=1)[:, 0]
     tr = jnp.take(jnp.asarray(idxs, jnp.int32), k)
+    lf = jnp.take(jnp.asarray(lfs, jnp.int32), k)
     cost_code = jnp.take_along_axis(costs, k[:, None], axis=1)[:, 0]
     rz = resid.astype(jnp.float32)
     cost_zero = (rz * rz).sum(axis=(-1, -2)) + lam * 2.0
@@ -205,12 +245,14 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
     lev = jnp.where(zero[:, None, None], 0, lev)
     rr = jnp.where(zero[:, None, None], 0, rr)
     tr = jnp.where(zero, 0, tr)
+    lf = jnp.where(zero, 0, lf)
     rec = jnp.clip(pred + rr, 0, (1 << bd) - 1)
-    return lev, rec, tr
+    return lev, rec, tr, lf
 
 
 def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-                      kind="st", mts=False, mip=False, cclm=False):
+                      kind="st", mts=False, mip=False, cclm=False,
+                      lfnst=False):
     """Wave-segment body for the P-pad tile class.  ``kind``:
 
     - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
@@ -233,7 +275,7 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     modes_rmd = np.broadcast_to(rmd_modes, (bsz, rmd_modes.size))
 
     def f(state, row, oy, ou, ov, og4, og4c):
-        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = state
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = state
         fi, xs, ys, ws, hs, oi, okv, flg = [row[:, k] for k in range(8)]
         ok = okv > 0
         if kind == "chroma":
@@ -301,8 +343,15 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
             mip_code = jnp.zeros_like(best)
         inside = ((dy[None, :, None] < hs[:, None, None])
                   & (dy[None, None, :] < ws[:, None, None]))
-        lev_y, rec_y, tr_y = _tq_luma_mts(orgs, pred, ws, hs, qp_y, bd,
-                                          lam, rd_quant, inside, mts)
+        lfnst_ok = None
+        if lfnst:
+            # residual_lfnst_mode MIP gate (CABACWriter:2776): not
+            # coded for MIP CUs below 16x16
+            lfnst_ok = ~(use_mip & ~((ws >= 16) & (hs >= 16))) \
+                if mip else jnp.ones(ws.shape, bool)
+        lev_y, rec_y, tr_y, lf_y = _tq_luma_mts(
+            orgs, pred, ws, hs, qp_y, bd, lam, rd_quant, inside, mts,
+            lfnst=lfnst, modes=best, lfnst_ok=lfnst_ok)
         okm = ok[:, None, None] & inside
         srows = jnp.where(okm, o_rows, _OOB)
         fi3 = fi[:, None, None]
@@ -324,29 +373,37 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
         pg = pg.at[fi3, msafe, m_cols].set(
             jnp.broadcast_to(mip_code[:, None, None].astype(jnp.uint8),
                              m_rows.shape), mode="drop")
+        lg = lg.at[fi3, msafe, m_cols].set(
+            jnp.broadcast_to(lf_y[:, None, None].astype(jnp.uint8),
+                             m_rows.shape), mode="drop")
 
-        state = (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg)
+        state = (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg)
         if kind == "luma":
             return state
         # ---- single tree: chroma DM/CCLM at half res, same order ----
         return _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best,
                             ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
                             rd_quant, cclm=cclm,
-                            cclm_ok=(flg & 1) > 0)
+                            cclm_ok=(flg & 1) > 0,
+                            lfnst_active=(lf_y > 0) if lfnst else None)
 
     return f
 
 
 def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
                  Pc, qp_c, bd, lam, dw_c, rd_quant, cclm=False,
-                 cclm_ok=None):
+                 cclm_ok=None, lfnst_active=None):
     """Chroma half of a wave segment: DM vs CCLM (LM_CHROMA) prediction
     by joint U+V SATD, TQ + scatter.  Coordinates are LUMA-unit
     (x, y, w, h); ``best`` the DM luma mode; ``og4c`` the availability
     order grid of the CHROMA coding order (the luma grid for single
     tree); ``cclm_ok``: (B,) per-CU bool gate (checkCCLMAllowed for
-    the dual chroma tree)."""
-    ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = state
+    the dual chroma tree); ``lfnst_active``: (B,) single-tree CUs whose
+    luma chose LFNST — their chroma levels are confined to the
+    signallable region (scan pos <= 7/15) so residual_lfnst_mode's
+    last-position gate cannot be violated by chroma
+    (CABACWriter:2796-2808; an encoder-side zeroing choice)."""
+    ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = state
     cxs, cys, cws, chs = xs // 2, ys // 2, ws // 2, hs // 2
     dc_ = np.arange(Pc)
     co_rows = cys[:, None, None] + dc_[None, :, None]
@@ -388,11 +445,27 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
         pred_u = jnp.where(use_lm[:, None, None], lm_u, pred_u)
         pred_v = jnp.where(use_lm[:, None, None], lm_v, pred_v)
 
+    lev_region = None
+    if lfnst_active is not None:
+        # allowed scan region per TB: diag pos < 8 for 4x4/8x8 TBs,
+        # else the top-left 4x4 CG (first 16 diag positions)
+        from ..ops.lfnst import _DIAG4
+        diag_idx = np.full((Pc, Pc), 99, np.int32)
+        for k, (yy_, xx_) in enumerate(_DIAG4):
+            if yy_ < Pc and xx_ < Pc:
+                diag_idx[yy_, xx_] = k
+        small = (((cws == 4) & (chs == 4)) | ((cws == 8) & (chs == 8)))
+        n_allow = jnp.where(small, 8, 16)
+        no_gate = ~lfnst_active | (cws < 4) | (chs < 4)
+        lev_region = (jnp.asarray(diag_idx)[None]
+                      < n_allow[:, None, None]) \
+            | no_gate[:, None, None]
     out = []
     for pred_c, org_c, plane, lv_p in ((pred_u, corg_u, ru, cU),
                                        (pred_v, corg_v, rv, cV)):
         lev_c, rec_c = _tq_generic(org_c, pred_c, cws, chs, qp_c, bd,
-                                   lam, dw_c, rd_quant, c_in)
+                                   lam, dw_c, rd_quant, c_in,
+                                   lev_region=lev_region)
         plane = plane.at[fi3, csr, co_cols].set(rec_c, mode="drop")
         lv_p = lv_p.at[fi3, csr, co_cols].set(lev_c.astype(jnp.int16),
                                               mode="drop")
@@ -407,12 +480,13 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
     cg = cg.at[fi3, jnp.where(g_ok, g_rows, _OOB), g_cols].set(
         jnp.broadcast_to(use_lm[:, None, None].astype(jnp.uint8),
                          g_rows.shape), mode="drop")
-    return ry, ru, rv, cY, cU, cV, mg, tg, pg, cg
+    return ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg
 
 
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
-               mts=False, mip=False, cclm=False, mesh=None):
+               mts=False, mip=False, cclm=False, lfnst=False,
+               mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
     ``lax.scan`` over the packed per-class schedules.  ``classes``:
     (kind, pad) tuples.  Each scan step carries one (B, 7) row per
@@ -421,10 +495,10 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     applies = [_make_class_apply(p, b, qp_y, qp_c, bd, lam, dw_c,
                                  rd_quant, kind=k,
                                  mts=mts and p <= 32, mip=mip,
-                                 cclm=cclm)
+                                 cclm=cclm, lfnst=lfnst)
                for (k, p), b in zip(classes, bszs)]
 
-    def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, oy, ou, ov, og4,
+    def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou, ov, og4,
           og4c, *scheds):
         def step(state, rows):
             for app, row in zip(applies, rows):
@@ -440,13 +514,13 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                         state, row)
             return state, None
         state, _ = jax.lax.scan(
-            step, (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg),
+            step, (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg),
             tuple(scheds))
-        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = state
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = state
         return (ry.astype(jnp.uint16), ru.astype(jnp.uint16),
-                rv.astype(jnp.uint16), cY, cU, cV, mg, tg, pg, cg)
+                rv.astype(jnp.uint16), cY, cU, cV, mg, tg, pg, cg, lg)
 
-    donate = tuple(range(10))   # state planes
+    donate = tuple(range(11))   # state planes
     if mesh is not None:
         from ..parallel.wavefront_dp import wave_scan_shardings
         ins, outs = wave_scan_shardings(mesh, len(classes))
@@ -567,7 +641,7 @@ class WavefrontEncoder(FrameEncoder):
     the stock VTM decoder); decisions may differ from the sequential
     path (pure-SATD RMD, order-independent rate proxies)."""
 
-    _UNSUPPORTED = ("transform_skip", "lfnst", "mrl",
+    _UNSUPPORTED = ("transform_skip", "mrl",
                     "isp", "joint_cbcr", "lmcs", "dep_quant",
                     "sign_hiding")
 
@@ -745,14 +819,15 @@ class WavefrontEncoder(FrameEncoder):
         tg = jnp.zeros_like(mg)
         pg = jnp.zeros_like(mg)
         cg = jnp.zeros_like(mg)
+        lg = jnp.zeros_like(mg)
 
         fn = _wave_scan(active, tuple(self.batch[k2[1]] for k2 in active),
                         qp_y, qp_c, bd, float(self.lam), float(self.dw_c),
                         bool(cfg.rd_quant), mts=bool(cfg.mts_intra),
                         mip=bool(cfg.mip), cclm=bool(cfg.cclm),
-                        mesh=self.mesh)
-        packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, oy, ou, ov,
-                    og4, og4c, *scheds)
+                        lfnst=bool(cfg.lfnst), mesh=self.mesh)
+        packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou,
+                    ov, og4, og4c, *scheds)
         if not fetch:
             return packed          # async: device arrays, not yet read
         return jax.device_get(packed)
@@ -762,9 +837,10 @@ class WavefrontEncoder(FrameEncoder):
     def _encode_cu(self, enc, rc, org_y, org_u, org_v, cu: CuInfo):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = self._dev_result
         cu.mode = int(mg[f, y // 4, x // 4])
         mts_idx = int(tg[f, y // 4, x // 4])
+        lfnst_idx = int(lg[f, y // 4, x // 4])
         self._set_mip_fields(cu, int(pg[f, y // 4, x // 4]))
         cclm_flag = bool(cg[f, y // 4, x // 4])
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
@@ -792,9 +868,12 @@ class WavefrontEncoder(FrameEncoder):
         comps = [(w, h, lev_y)] if cbf_y else []
         comps += ([(cw, chh, lev_u)] if cbf_u else [])
         comps += ([(cw, chh, lev_v)] if cbf_v else [])
-        self._write_lfnst_idx(enc, cu, 0, comps, False)
-        self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
-                            violates)
+        if not cbf_y:
+            lfnst_idx = 0
+        self._write_lfnst_idx(enc, cu, lfnst_idx, comps, False)
+        if lfnst_idx == 0:
+            self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                                violates)
 
         self.recon_y[y:y + h, x:x + w] = ry[f, y:y + h, x:x + w]
         self.recon_u[cy:cy + chh, cx:cx + cw] = ru[f, cy:cy + chh,
@@ -815,9 +894,10 @@ class WavefrontEncoder(FrameEncoder):
         """Dual-tree luma CU replay from device results."""
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = self._dev_result
         cu.mode = int(mg[f, y // 4, x // 4])
         mts_idx = int(tg[f, y // 4, x // 4])
+        lfnst_idx = int(lg[f, y // 4, x // 4])
         self._set_mip_fields(cu, int(pg[f, y // 4, x // 4]))
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
         cbf_y = bool(lev_y.any())
@@ -827,10 +907,13 @@ class WavefrontEncoder(FrameEncoder):
         if cbf_y:
             last_pos_y, violates = self._write_resid(rc, lev_y, w, h,
                                                      True)
-        self._write_lfnst_idx(enc, cu, 0,
+        if not cbf_y:
+            lfnst_idx = 0
+        self._write_lfnst_idx(enc, cu, lfnst_idx,
                               [(w, h, lev_y)] if cbf_y else [], True)
-        self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
-                            violates)
+        if lfnst_idx == 0:
+            self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
+                                violates)
         self.recon_y[y:y + h, x:x + w] = ry[f, y:y + h, x:x + w]
         r, c = y // 4, x // 4
         self.coded[r:r + h // 4, c:c + w // 4] = True
@@ -847,7 +930,7 @@ class WavefrontEncoder(FrameEncoder):
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         f = self._cur_frame
-        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = self._dev_result
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = self._dev_result
         cu.mode = int(self.unit_mode[(y + h // 2) // 4,
                                      (x + w // 2) // 4])
         lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)

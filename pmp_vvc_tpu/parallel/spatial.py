@@ -124,6 +124,7 @@ def spatial_wave_planes(enc, leaves, y, u, v, mesh, axis="sp"):
         tg = jnp.zeros_like(mg)
         pg = jnp.zeros_like(mg)
         cg = jnp.zeros_like(mg)
+        lg = jnp.zeros_like(mg)
         # the carry becomes device-varying through the halo exchange;
         # mark the (replicated-zero) initial planes varying up front so
         # scan's carry typing is stable
@@ -132,8 +133,8 @@ def spatial_wave_planes(enc, leaves, y, u, v, mesh, axis="sp"):
                 return jax.lax.pcast(a, (axis,), to="varying")
             except (AttributeError, TypeError):   # older jax
                 return jax.lax.pvary(a, (axis,))
-        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = jax.tree.map(
-            _vary, (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg))
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = jax.tree.map(
+            _vary, (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg))
         me = jax.lax.axis_index(axis)
 
         def exchange(plane, hl, hr, strd):
@@ -154,15 +155,15 @@ def spatial_wave_planes(enc, leaves, y, u, v, mesh, axis="sp"):
 
         def step(state, row):
             state = apply(state, row[0], oy_d, ou_d, ov_d, og_d, og_d)
-            ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = state
+            ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = state
             ry = exchange(ry, HL, HR, stripe)
             ru = exchange(ru, HL // 2, HR // 2, stripe // 2)
             rv = exchange(rv, HL // 2, HR // 2, stripe // 2)
-            return (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg), None
+            return (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg), None
 
         state, _ = jax.lax.scan(
-            step, (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg), sched_d)
-        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg = state
+            step, (ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg), sched_d)
+        ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg = state
         # return the owned stripe region only
         return (ry[0, :, HL:HL + stripe].astype(jnp.uint16),
                 ru[0, :, HL // 2:(HL + stripe) // 2],
@@ -173,12 +174,13 @@ def spatial_wave_planes(enc, leaves, y, u, v, mesh, axis="sp"):
                 mg[0, :, HL // 4:(HL + stripe) // 4],
                 tg[0, :, HL // 4:(HL + stripe) // 4],
                 pg[0, :, HL // 4:(HL + stripe) // 4],
-                cg[0, :, HL // 4:(HL + stripe) // 4])
+                cg[0, :, HL // 4:(HL + stripe) // 4],
+                lg[0, :, HL // 4:(HL + stripe) // 4])
 
     sp = P(axis)
     f = shard_map(device_fn, mesh=mesh,
                   in_specs=(P(None, axis), sp, sp, sp, sp),
-                  out_specs=tuple([P(None, axis)] * 10))
+                  out_specs=tuple([P(None, axis)] * 11))
     outs = f(jnp.asarray(sched), jnp.asarray(oy_l), jnp.asarray(ou_l),
              jnp.asarray(ov_l), jnp.asarray(og_l))
     got = jax.device_get(outs)
@@ -188,4 +190,4 @@ def spatial_wave_planes(enc, leaves, y, u, v, mesh, axis="sp"):
     rvv = got[2].astype(np.uint16)
     return (got[0][None], ruu[None], rvv[None], got[3][None],
             got[4][None], got[5][None], got[6][None], got[7][None],
-            got[8][None], got[9][None])
+            got[8][None], got[9][None], got[10][None])

@@ -32,8 +32,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
 
 def wave_scan_shardings(mesh: Mesh, n_classes: int, axis: str = "dp"):
     """(in_shardings, out_shardings) for wavefront._wave_scan's fused
-    signature ``f(ry, ru, rv, cY, cU, cV, mg, oy, ou, ov, og4,
-    *scheds)``: every frame plane replicated, each packed (S, B, 7)
+    signature ``f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou, ov,
+    og4, og4c, *scheds)``: every frame plane replicated, each packed (S, B, 7)
     schedule sharded on its per-CU batch axis — XLA partitions every
     step of the device-resident scan (reference gather, substitution,
     67-mode intra prediction, SATD argmin, transform/quant roundtrip)
@@ -42,6 +42,6 @@ def wave_scan_shardings(mesh: Mesh, n_classes: int, axis: str = "dp"):
     single-device bitstreams identical."""
     rep = NamedSharding(mesh, P())
     shard_b = NamedSharding(mesh, P(None, axis))   # sched (S, B, 7)
-    ins = (rep,) * 10 + (rep,) * 5 + (shard_b,) * n_classes
-    outs = (rep,) * 10
+    ins = (rep,) * 11 + (rep,) * 5 + (shard_b,) * n_classes
+    outs = (rep,) * 11
     return ins, outs

@@ -61,6 +61,10 @@ def init_state(optimizer, params) -> TrainState:
 
 
 def _shard_batch(mesh: Mesh, tree):
+    if jax.process_count() > 1:
+        # multi-host: each process holds its slice of the global batch
+        from ..parallel.distributed import host_shard
+        return host_shard(mesh, tree)
     sharding = NamedSharding(mesh, P("dp"))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)

@@ -37,19 +37,12 @@ MATCHED_OFF = ["--LFNST=0", "--ISP=0", "--MRL=0", "--TransformSkip=0",
 
 
 def synth_frames(w, h, n, seed0=7):
-    out = []
-    yy, xx = np.mgrid[0:h, 0:w]
-    for i in range(n):
-        rng = np.random.RandomState(seed0 + i)
-        y8 = np.clip(128 + 60 * np.sin(xx / 17.0 + 0.3 * i)
-                     * np.cos(yy / 23.0) + rng.randn(h, w) * 6, 0, 255)
-        out.append((
-            (y8.astype(np.int32) << 2),
-            ((128 + 40 * np.sin(xx[::2, ::2] / 31.0)).astype(np.int32)
-             << 2),
-            ((128 + 40 * np.cos(yy[::2, ::2] / 29.0)).astype(np.int32)
-             << 2)))
-    return out
+    """Natural-statistics eval content (data/synthcontent.py) — the
+    round-4 sinusoid fields could not support BD-rate conclusions
+    (their 'full' anchor lost to its own 'matched' arm, BASELINE r4
+    caveat (c))."""
+    from pmp_vvc_tpu.data.synthcontent import natural_sequence
+    return natural_sequence(w, h, n, seed0=seed0)
 
 
 def psnr(a, b, peak=1023):
@@ -85,6 +78,10 @@ def predictors(qp, bd_dir):
 
 
 def maps_for(frames, w, h, qp, bd_dir):
+    """Per-frame (luma_maps, chroma_maps_or_None): chroma maps come
+    from the TRAINED chroma nets when their checkpoints exist
+    (Inference_QBD.py:208-239 runs both components; round 4 copied the
+    luma maps into the chroma files — VERDICT r4 weak #4)."""
     from pmp_vvc_tpu.data.yuv import blocks_for_sequence
     from pmp_vvc_tpu.pmp.map2partition import blocks_to_frame_partition
     preds = predictors(qp, bd_dir)
@@ -93,12 +90,17 @@ def maps_for(frames, w, h, qp, bd_dir):
     v8 = np.stack([(f[2] >> 2).astype(np.uint8) for f in frames])
     lin, cin = blocks_for_sequence(y8, u8, v8)
     nblk = lin.shape[0] // len(frames)
-    out = []
+    out_l, out_c = [], []
     for i in range(len(frames)):
         qt, bt, dire = preds["Luma"].predict(
             lin[i * nblk:(i + 1) * nblk])
-        out.append(blocks_to_frame_partition(qt, bt, dire, w, h, True))
-    return out
+        out_l.append(blocks_to_frame_partition(qt, bt, dire, w, h, True))
+        if preds["Chroma"] is not None:
+            qt, bt, dire = preds["Chroma"].predict(
+                cin[i * nblk:(i + 1) * nblk])
+            out_c.append(blocks_to_frame_partition(qt, bt, dire, w, h,
+                                                   False))
+    return out_l, (out_c or None)
 
 
 def run_ours(frames, w, h, qp, level, bd_dir):
@@ -114,17 +116,21 @@ def run_ours(frames, w, h, qp, level, bd_dir):
               # round-4 eval silently ran QT-only trees
               log2_min_cb=2, max_mtt_depth_intra=3, max_bt_intra=32,
               max_tt_intra=32)
-    fmaps = maps_for(frames, w, h, qp, bd_dir)
+    fmaps_l, fmaps_c = maps_for(frames, w, h, qp, bd_dir)
     # rdo_fallback = the reference's L<3 semantics (EncModeCtrl.cpp:1242
     # re-enables stock RDO beyond map coverage); lazy, free at L3
     enc = WavefrontEncoder(VVCConfig(**kw), accel_level=level,
                            rdo_fallback=True)
-    enc.encode_frame(*frames[0], maps=fmaps[0])      # compile warmup
+    cm0 = fmaps_c[0] if fmaps_c else None
+    enc.encode_frame(*frames[0], maps=fmaps_l[0],
+                     chroma_maps=cm0)                # compile warmup
     t0 = time.time()
     bits = 0
     ys = []
     for i, (y, u, v) in enumerate(frames):
-        bs, rec = enc.encode_frame(y, u, v, maps=fmaps[i], poc=i)
+        bs, rec = enc.encode_frame(
+            y, u, v, maps=fmaps_l[i],
+            chroma_maps=fmaps_c[i] if fmaps_c else None, poc=i)
         bits += len(bs) * 8
         ys.append(psnr(rec[0], y))
     return bits, float(np.mean(ys)), time.time() - t0
@@ -138,12 +144,13 @@ def run_anchor(frames, w, h, qp, bd_dir, matched):
                  np.stack([(f[0] >> 2).astype(np.uint8) for f in frames]),
                  np.stack([(f[1] >> 2).astype(np.uint8) for f in frames]),
                  np.stack([(f[2] >> 2).astype(np.uint8) for f in frames]))
-    fmaps = maps_for(frames, w, h, qp, bd_dir)
+    fmaps_l, fmaps_c = maps_for(frames, w, h, qp, bd_dir)
     pm = td / "PartitionMat"
     pm.mkdir()
-    for comp in ("Luma", "Chroma"):
+    for comp, fm in (("Luma", fmaps_l),
+                     ("Chroma", fmaps_c or fmaps_l)):
         write_partition_txt(pm / f"in_{comp}_QP{qp}_PartitionMat.txt",
-                            fmaps)
+                            fm)
     (td / "seq.cfg").write_text(
         f"InputFile: {td / 'in.yuv'}\nInputBitDepth: 8\n"
         f"InputChromaFormat: 420\nFrameRate: 30\nSourceWidth: {w}\n"
