@@ -894,7 +894,7 @@ class FrameEncoder:
                4: (DST7, DCT8), 5: (DCT8, DCT8)}
 
     def _tq_roundtrip(self, resid, w, h, qp, mts_idx, lfnst_idx=0,
-                      intra_mode=0, tr_kinds=None):
+                      intra_mode=0, tr_kinds=None, is_luma=True):
         bd = self.cfg.bit_depth
         if mts_idx == 1:       # MTS_SKIP: identity transform + TS quant
             from ..ops.quant import dequantize_ts, quantize_ts, ts_qp
@@ -947,8 +947,9 @@ class FrameEncoder:
             from .residual import grouped_scan
             scan = grouped_scan(w, h)[:, 0]
             lev = dq_ops.dep_quant_trellis(
-                coef, scan, w=w, h=h, qp=qp,
-                bit_depth=bd).astype(np.int32)
+                coef, scan, w=w, h=h, qp=qp, bit_depth=bd,
+                lam=self.lam if is_luma else self.lam / self.dw_c,
+                est=self.est, is_luma=is_luma).astype(np.int32)
         else:
             lev = np.asarray(quantize(jnp.asarray(coef)[None], w=w, h=h,
                                       qp=qp, bit_depth=bd))[0]
@@ -1271,7 +1272,8 @@ class FrameEncoder:
             best = (cost0, 0, 0, np.zeros_like(resid), np.zeros_like(resid))
         for mts_idx, lfnst_idx in candidates:
             lev, rec_resid = self._tq_roundtrip(resid, w, h, qp, mts_idx,
-                                                lfnst_idx, intra_mode)
+                                                lfnst_idx, intra_mode,
+                                                is_luma=is_luma)
             if mts_idx > 1 or lfnst_idx != 0:
                 # decoder infers DCT2/no-LFNST unless last scan pos >= 1
                 # (mtsLastScanPos / lfnstLastScanPos); skip unusable cands
