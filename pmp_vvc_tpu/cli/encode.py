@@ -24,7 +24,7 @@ def _encode_frame_job(payload):
     axis is the natural host-parallel dimension; chips-parallel batching
     happens inside each frame's kernels)."""
     (cfg_dict, mode_select, (y, u, v), poc, map_entry, mtt, stats,
-     engine, accel, rdo_fb, rdo) = payload
+     engine, accel, rdo_fb, rdo, skip_mtt, disturb) = payload
     import jax
     if engine != "wavefront":
         # sequential per-block coding is latency-bound over the TPU
@@ -34,11 +34,12 @@ def _encode_frame_job(payload):
     from ..codec.headers import VVCConfig
     from ..codec.wavefront import WavefrontEncoder
     cfg = VVCConfig(**cfg_dict)
+    abl = dict(ablation_skip_mtt=skip_mtt, ablation_disturb=disturb)
     if engine == "wavefront":
-        enc = WavefrontEncoder(cfg, accel_level=accel)
+        enc = WavefrontEncoder(cfg, accel_level=accel, **abl)
     else:
         enc = FrameEncoder(cfg, mode_select=mode_select,
-                           accel_level=accel, rdo_fallback=rdo_fb)
+                           accel_level=accel, rdo_fallback=rdo_fb, **abl)
     kw = dict(poc=poc, collect_bin_stats=stats)
     kind, m = map_entry
     if kind == "maps":
@@ -125,6 +126,14 @@ def main(argv=None):
                          "(EncModeCtrl.cpp:1455 stock fallback role)")
     ap.add_argument("--rdo", action="store_true",
                     help="stock full RDO partitioning (no maps)")
+    ap.add_argument("--skip-mtt", action="store_true",
+                    help="ablation: reject every BT/TT split "
+                         "(Skip_Partition_Mode_fal, EncModeCtrl"
+                         ".cpp:1973)")
+    ap.add_argument("--disturb", default=None,
+                    help="ablation: force ONE decision off, "
+                         "'x,y,w,h,SPLIT' (Context_Disturb_fal, "
+                         "EncModeCtrl.cpp:1962)")
     ap.add_argument("--engine", default="sequential",
                     choices=["sequential", "wavefront"],
                     help="wavefront = batched device CU coding "
@@ -250,6 +259,11 @@ def main(argv=None):
     t0 = time.time()
     import dataclasses
     cfg_dict = dataclasses.asdict(cfg)
+    disturb = None
+    if args.disturb:
+        from ..codec.mtt import Split
+        dx, dy, dw, dh, ds = args.disturb.split(",")
+        disturb = (int(dx), int(dy), int(dw), int(dh), Split[ds])
     payloads = []
     cmaps = locals().get("chroma_maps_per_frame")
     for f in range(y.shape[0]):
@@ -267,7 +281,8 @@ def main(argv=None):
         payloads.append((cfg_dict, args.mode_select,
                          (y[f], u[f], v[f]), f, entry, args.mtt,
                          args.bit_stats, args.engine, args.accel_level,
-                         args.rdo_fallback, args.rdo))
+                         args.rdo_fallback, args.rdo, args.skip_mtt,
+                         disturb))
 
     if args.jobs > 1 and len(payloads) > 1:
         # AI frames are independent: fan out across processes

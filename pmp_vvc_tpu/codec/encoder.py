@@ -193,13 +193,21 @@ class FrameEncoder:
 
     def __init__(self, cfg: VVCConfig, *, mode_select: str = "satd",
                  rmd_modes: tuple | None = None, accel_level: int = 3,
-                 rdo_fallback: bool = False, rd_effort: int = 1):
+                 rdo_fallback: bool = False, rd_effort: int = 1,
+                 ablation_skip_mtt: bool = False,
+                 ablation_disturb=None):
         self.cfg = cfg
         self.mode_select = mode_select
         self.rmd_modes = rmd_modes or tuple(range(67))
         self.accel_level = accel_level
         self.rdo_fallback = rdo_fallback
         self.rd_effort = rd_effort
+        # debug/ablation toggles (reference compile-time *_fal macros):
+        # skip_mtt = Skip_Partition_Mode_fal (EncModeCtrl.cpp:1973-1977,
+        # every BT/TT test mode rejected); disturb = Context_Disturb_fal
+        # (:1962-1971, one (x, y, w, h, Split) decision forced off)
+        self.ablation_skip_mtt = ablation_skip_mtt
+        self.ablation_disturb = ablation_disturb
         self.qp_table, self.qp_bd_offset = derive_chroma_qp_table(
             cfg.chroma_qp_start_minus26,
             tuple(p[0] for p in cfg.chroma_qp_points),
@@ -2146,6 +2154,29 @@ class FrameEncoder:
             return split
         return decide
 
+    def _apply_ablations(self, decide):
+        """Debug/ablation wrappers (reference *_fal macros): skip-all-
+        MTT (Skip_Partition_Mode_fal, EncModeCtrl.cpp:1973) and the
+        single-decision disturb (Context_Disturb_fal, :1962).
+        Idempotent; explicit decisions only (implicit splits are
+        resolved before the decider is consulted)."""
+        if not self.ablation_skip_mtt and self.ablation_disturb is None:
+            return decide
+        mtt = (Split.BT_H, Split.BT_V, Split.TT_H, Split.TT_V)
+        dist = tuple(self.ablation_disturb) \
+            if self.ablation_disturb is not None else None
+
+        def wrapped(x, y, w, h, state):
+            s = decide(x, y, w, h, state)
+            if s is RDO:
+                return s
+            if self.ablation_skip_mtt and s in mtt:
+                return Split.NONE
+            if dist is not None and (x, y, w, h, s) == dist:
+                return Split.NONE
+            return s
+        return wrapped
+
     def _rdo_decider(self):
         """Stock full RDO partitioning (no maps): every in-picture node
         <= 64 goes through the split search (EncCu stock mode list)."""
@@ -2220,6 +2251,7 @@ class FrameEncoder:
             if qt_map is None:
                 qt_map = np.ones((cfg.height // 8, cfg.width // 8), np.int32)
             decide = self._qt_map_decider(qt_map)
+        decide = self._apply_ablations(decide)
         if cfg.dual_tree:
             cmaps = chroma_maps or maps
             if decide_c_fn is not None:
@@ -2241,6 +2273,7 @@ class FrameEncoder:
                         if state.qt_depth < pred:
                             return Split.QT
                     return Split.NONE
+            decide_c = self._apply_ablations(decide_c)
         # the coding pass always records the bin-op stream: SAO/ALF CTU
         # syntax is interleaved afterwards (EncSlice 2-pass), and the
         # stream is serialized by the native C finalizer in one call

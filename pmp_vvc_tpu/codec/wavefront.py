@@ -968,10 +968,10 @@ class WavefrontEncoder(FrameEncoder):
 
     def _decider(self, qt_map, maps):
         if maps is not None:
-            return self._map_decider(*maps)
+            return self._apply_ablations(self._map_decider(*maps))
         qm = qt_map if qt_map is not None else \
             np.ones((self.cfg.height // 8, self.cfg.width // 8), np.int32)
-        return self._qt_map_decider(qm)
+        return self._apply_ablations(self._qt_map_decider(qm))
 
     def _decider_chroma(self, qt_map, maps, chroma_maps):
         """Chroma-tree decider (mirror of FrameEncoder.encode_frame's
