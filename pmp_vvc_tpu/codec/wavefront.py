@@ -198,7 +198,11 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
         if mts_idx != 0:
             n_nz = (lev != 0).sum(axis=(-1, -2))
             beyond_dc = n_nz - (lev[..., 0, 0] != 0).astype(n_nz.dtype)
-            cost = jnp.where(beyond_dc > 0, cost, jnp.inf)
+            # mts_idx is only signallable for TUs <= 32 (mts_idx gate,
+            # CABACWriter:2721) — matters when one tile class mixes
+            # sizes above 32 (the spatial stripe path)
+            ok = (beyond_dc > 0) & (ws <= 32) & (hs <= 32)
+            cost = jnp.where(ok, cost, jnp.inf)
         levs.append(lev)
         rrs.append(rr)
         costs.append(cost)
@@ -427,10 +431,19 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
     use_lm = jnp.zeros(fi.shape, bool)
     if cclm:
         from ..ops.cclm_generic import cclm_predict_generic
+        # neighbour availability from the order grid (NOT raw coords —
+        # spatially-sharded stripes run in halo-offset local coords)
+        la = _avail_from_order(og4c, fi, oi,
+                               jnp.maximum(cxs - 1, 0) * 2 // 4,
+                               cys * 2 // 4, cxs > 0)
+        aa = _avail_from_order(og4c, fi, oi, cxs * 2 // 4,
+                               jnp.maximum(cys - 1, 0) * 2 // 4,
+                               cys > 0)
         lm_u, lm_v = cclm_predict_generic(
             ry, fi, cxs, cys, cws, chs, pad_c=Pc,
             top_u=crefs_u[0], left_u=crefs_u[1],
-            top_v=crefs_v[0], left_v=crefs_v[1], bit_depth=bd)
+            top_v=crefs_v[0], left_v=crefs_v[1], bit_depth=bd,
+            left_avail=la, above_avail=aa)
         cost_dm = satd_generic(corg_u[:, None], pred_u[:, None], cws,
                                chs)[:, 0] \
             + satd_generic(corg_v[:, None], pred_v[:, None], cws,

@@ -39,18 +39,23 @@ def _g(plane, fi, rows, cols):
 
 def cclm_predict_generic(ry, fi, cxs, cys, cws, chs, *, pad_c: int,
                          top_u, left_u, top_v, left_v,
-                         bit_depth: int = 10, ctu_size: int = 128):
+                         bit_depth: int = 10, ctu_size: int = 128,
+                         left_avail=None, above_avail=None):
     """LM_CHROMA predictions for B chroma blocks.
 
     ry: (F, H, W) luma recon; cxs/cys/cws/chs: (B,) chroma coords/sizes;
     top_u/left_u/top_v/left_v: (B, 2*pad_c+3) substituted chroma
     reference rows (index 0 = corner).  Returns (pred_u, pred_v),
-    each (B, pad_c, pad_c) int32 (valid region [:ch, :cw])."""
+    each (B, pad_c, pad_c) int32 (valid region [:ch, :cw]).
+    ``left_avail``/``above_avail``: (B,) neighbour availability — pass
+    order-grid-derived values under spatial sharding, where local
+    stripe coordinates are halo-offset and ``cxs > 0`` no longer means
+    the frame edge."""
     Pc = pad_c
     B = cxs.shape[0]
     lx, ly = 2 * cxs, 2 * cys
-    la = cxs > 0
-    aa = cys > 0
+    la = (cxs > 0) if left_avail is None else left_avail
+    aa = (cys > 0) if above_avail is None else above_avail
     i = np.arange(Pc)
 
     idx = lx[:, None] + 2 * i[None, :]                      # (B, Pc)

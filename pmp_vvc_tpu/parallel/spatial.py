@@ -20,8 +20,10 @@ every device holding every plane.  Integer math keeps the result
 bit-identical to the single-device encode (tested on the virtual CPU
 mesh).
 
-Envelope: single tree, QT-/map-driven partitioning, tools-off TU
-coding — the halo widths above are sized for that toolset.
+Envelope: single tree, QT-/map-driven partitioning, with the device
+TU toolset — MTS (size-masked inside the shared kernel), MIP, CCLM
+(its luma taps stay inside the CU + the 1-column/row halo) and LFNST.
+The dual-tree chroma schedule is not spatially sharded yet.
 """
 from __future__ import annotations
 
@@ -65,10 +67,11 @@ def spatial_wave_planes(enc, leaves, y, u, v, mesh, axis="sp"):
     per_dev = [[] for _ in range(D)]
     n_lvl = int(wave.max()) + 1 if len(leaves) else 1
     by_lvl_dev = [[[] for _ in range(D)] for _ in range(n_lvl)]
+    st_cclm = 1 if cfg.cclm else 0
     for i, (x, yy, w, h, _q) in enumerate(leaves):
         d = x // stripe
         by_lvl_dev[int(wave[i])][d].append(
-            (0, x - d * stripe + HL, yy, w, h, i, 1, 0))
+            (0, x - d * stripe + HL, yy, w, h, i, 1, st_cclm))
     steps = []          # list of (D, bsz, 8) rows
     for lvl in range(n_lvl):
         n_seg = max((len(v) + bsz - 1) // bsz for v in by_lvl_dev[lvl])
@@ -108,7 +111,9 @@ def spatial_wave_planes(enc, leaves, y, u, v, mesh, axis="sp"):
 
     apply = _make_class_apply(64, bsz, qp_y, qp_c, bd, float(enc.lam),
                               float(enc.dw_c), bool(cfg.rd_quant),
-                              kind="st")
+                              kind="st", mts=bool(cfg.mts_intra),
+                              mip=bool(cfg.mip), cclm=bool(cfg.cclm),
+                              lfnst=bool(cfg.lfnst))
     perm_r = [(d, d + 1) for d in range(D - 1)]   # send right
     perm_l = [(d + 1, d) for d in range(D - 1)]   # send left
 

@@ -18,15 +18,23 @@ def _synth(w, h, seed=7):
             ((128 + 40 * np.cos(yy[::2, ::2] / 29.0)).astype(np.int32) << 2))
 
 
-@pytest.mark.parametrize("n_dev,w", [(2, 256), (4, 512)])
-def test_spatial_sharded_bitstream_identical(n_dev, w):
+_TOOLSET = dict(mts_intra=True, mip=True, cclm=True, lfnst=True,
+                chroma_qp_start_minus26=-9,
+                chroma_qp_points=((9, 12), (4, 5), (11, 7)))
+
+
+@pytest.mark.parametrize("n_dev,w,tools", [(2, 256, False),
+                                           (4, 512, False),
+                                           (2, 256, True)])
+def test_spatial_sharded_bitstream_identical(n_dev, w, tools):
     from pmp_vvc_tpu.codec.encoder import FrameEncoder
     from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
     from pmp_vvc_tpu.parallel import make_mesh
     from pmp_vvc_tpu.parallel.spatial import spatial_wave_planes
 
     h = 128
-    cfg = VVCConfig(width=w, height=h, qp=32)
+    cfg = VVCConfig(width=w, height=h, qp=32,
+                    **(_TOOLSET if tools else {}))
     y, u, v = _synth(w, h)
 
     bs1, rec1 = WavefrontEncoder(cfg).encode_frame(y, u, v)
