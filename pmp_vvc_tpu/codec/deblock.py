@@ -238,6 +238,8 @@ def _filter_luma_edge(buf, e, r0, n, q_size, p_sizes, qp, bit_depth, ctu,
     if tc == 0 and beta == 0:
         return
     for seg in range(n // 4):
+        if p_sizes[seg] == 0:
+            continue              # bS 0 (both sides BDPCM)
         r = r0 + 4 * seg
         len_p, len_q = _luma_len(p_sizes[seg], q_size)
         side_p = len_p > 3
@@ -301,6 +303,8 @@ def _filter_chroma_edge(buf, e, r0, n, q_size, p_sizes, qps, bit_depth,
     """
     max_pel = (1 << bit_depth) - 1
     for seg in range(n // 2):
+        if p_sizes[seg] == 0:
+            continue              # bS 0 (both sides BDPCM)
         qp = qps[seg]
         tc_idx = _clip3(0, 65, qp + 2 + 0)
         tc_tab = int(TC_TABLE[tc_idx])
@@ -337,7 +341,8 @@ def _filter_chroma_edge(buf, e, r0, n, q_size, p_sizes, qps, bit_depth,
 
 def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
                   qp, qp_c, bit_depth=10, ctu_size=128,
-                  qp_c_joint=None, joint2=None):
+                  qp_c_joint=None, joint2=None,
+                  bdpcm_luma=None, bdpcm_chroma=None):
     """In-place deblocking of one all-intra picture.
 
     ``luma_cus``: leaf CUs (x, y, w, h) in luma samples; ``chroma_cus``:
@@ -347,6 +352,9 @@ def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
     ``qp_c_joint``/``joint2``: JCCR-mode-2 chroma QP and the per-2x2-
     chroma-unit bool grid of TUs coded in that mode — those TUs deblock
     with the JOINT_CbCr offset (QpParam Quant.cpp:112 useJQP).
+    ``bdpcm_luma``/``bdpcm_chroma``: (H/4, W/4) bool grids — edge
+    segments with BDPCM on BOTH sides get boundary strength 0
+    (LoopFilter.cpp:732/:737) and are skipped (p_size sentinel 0).
     """
     hl, wl = recon_y.shape
     hc, wc = recon_u.shape
@@ -374,10 +382,22 @@ def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
                 e, r0, n, q_size = y, x, w, h
                 p_sizes = [int(lh[(y - 1) // 4, (x + 4 * s) // 4])
                            for s in range(n // 4)] if y > 0 else []
+                if bdpcm_luma is not None and y > 0:
+                    p_sizes = [0 if (bdpcm_luma[(y - 1) // 4,
+                                                (x + 4 * s) // 4]
+                                     and bdpcm_luma[y // 4,
+                                                    (x + 4 * s) // 4])
+                               else p_sizes[s] for s in range(n // 4)]
             else:
                 e, r0, n, q_size = x, y, h, w
                 p_sizes = [int(lw[(y + 4 * s) // 4, (x - 1) // 4])
                            for s in range(n // 4)] if x > 0 else []
+                if bdpcm_luma is not None and x > 0:
+                    p_sizes = [0 if (bdpcm_luma[(y + 4 * s) // 4,
+                                                (x - 1) // 4]
+                                     and bdpcm_luma[(y + 4 * s) // 4,
+                                                    x // 4])
+                               else p_sizes[s] for s in range(n // 4)]
             if e > 0:
                 _filter_luma_edge(yb, e, r0, n, q_size, p_sizes, qp,
                                   bit_depth, ctu_size, hor)
@@ -389,6 +409,12 @@ def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
                 e, r0, n, q_size = y, x, w, h
                 p_sizes = [int(ch[(y - 1) // 2, (x + 2 * s) // 2])
                            for s in range(n // 2)]
+                if bdpcm_chroma is not None:
+                    p_sizes = [0 if (bdpcm_chroma[(y - 1) // 2,
+                                                  (x + 2 * s) // 2]
+                                     and bdpcm_chroma[y // 2,
+                                                      (x + 2 * s) // 2])
+                               else p_sizes[s] for s in range(n // 2)]
                 qps = [(int(cqp[(y - 1) // 2, (x + 2 * s) // 2])
                         + int(cqp[y // 2, (x + 2 * s) // 2]) + 1) >> 1
                        for s in range(n // 2)]
@@ -399,6 +425,12 @@ def deblock_frame(recon_y, recon_u, recon_v, luma_cus, chroma_cus,
                 e, r0, n, q_size = x, y, h, w
                 p_sizes = [int(cw[(y + 2 * s) // 2, (x - 1) // 2])
                            for s in range(n // 2)]
+                if bdpcm_chroma is not None:
+                    p_sizes = [0 if (bdpcm_chroma[(y + 2 * s) // 2,
+                                                  (x - 1) // 2]
+                                     and bdpcm_chroma[(y + 2 * s) // 2,
+                                                      x // 2])
+                               else p_sizes[s] for s in range(n // 2)]
                 qps = [(int(cqp[(y + 2 * s) // 2, (x - 1) // 2])
                         + int(cqp[(y + 2 * s) // 2, x // 2]) + 1) >> 1
                        for s in range(n // 2)]

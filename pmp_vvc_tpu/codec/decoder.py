@@ -174,6 +174,68 @@ class FrameDecoder(FrameEncoder):
                     mode += 1
             cu.mode = mode
 
+    def _parse_bdpcm_mode(self, cu: CuInfo, is_luma: bool) -> int:
+        """CABACReader::bdpcm_mode (:1154) + CU::bdpcmAllowed
+        (UnitTools.cpp:3810): 0 = off, 1 = horizontal, 2 = vertical."""
+        cfg = self.cfg
+        if not cfg.bdpcm:
+            return 0
+        mx = 1 << cfg.ts_max_log2
+        if is_luma:
+            if cu.w > mx or cu.h > mx:
+                return 0
+        elif cu.w // 2 > mx or cu.h // 2 > mx:
+            return 0
+        base = 0 if is_luma else 2
+        m = self.dec.decode_bin(ctx("BDPCMMode", base))
+        if m:
+            m += self.dec.decode_bin(ctx("BDPCMMode", base + 1))
+        return m
+
+    def _bdpcm_pred(self, cu: CuInfo, is_luma: bool):
+        """xPredIntraBDPCM (IntraPrediction.cpp:675): rows of the
+        unfiltered left reference (mode 1) / columns of the above
+        reference (mode 2)."""
+        cfg = self.cfg
+        if is_luma:
+            refs = self._refs_for_block(self.recon_y, cu.x, cu.y, cu.w,
+                                        cu.h, 1, cfg.bit_depth)
+            top, left = np.asarray(refs[0])[0], np.asarray(refs[1])[0]
+            if cu.bdpcm == 1:
+                return np.repeat(left[1:1 + cu.h].astype(np.int32)
+                                 [:, None], cu.w, axis=1)
+            return np.repeat(top[1:1 + cu.w].astype(np.int32)[None, :],
+                             cu.h, axis=0)
+        cx, cy = cu.x // 2, cu.y // 2
+        cw, chh = cu.w // 2, cu.h // 2
+        coded = self.coded_c if cfg.dual_tree else self.coded
+        out = []
+        for plane in (self.recon_u, self.recon_v):
+            refs = self._refs_for_block(plane, cx, cy, cw, chh, 2,
+                                        cfg.bit_depth, coded=coded)
+            top, left = np.asarray(refs[0])[0], np.asarray(refs[1])[0]
+            if cu.bdpcm_c == 1:
+                out.append(np.repeat(left[1:1 + chh].astype(np.int32)
+                                     [:, None], cw, axis=1))
+            else:
+                out.append(np.repeat(top[1:1 + cw].astype(np.int32)
+                                     [None, :], chh, axis=0))
+        return out
+
+    @staticmethod
+    def _inv_res_dpcm(lev, dirm, max_log2=15):
+        """invResDPCM (Quant.cpp:143-185): per-step clipped accumulation
+        of the QUANTIZED residuals along the BDPCM direction."""
+        out = np.asarray(lev, np.int64).copy()
+        lo, hi = -(1 << max_log2), (1 << max_log2) - 1
+        if dirm == 1:
+            for c in range(1, out.shape[1]):
+                out[:, c] = np.clip(out[:, c - 1] + out[:, c], lo, hi)
+        else:
+            for r in range(1, out.shape[0]):
+                out[r] = np.clip(out[r - 1] + out[r], lo, hi)
+        return out.astype(np.int32)
+
     def _parse_intra_chroma_mode(self, cclm_allowed, luma_mode=0):
         """Returns (cclm, lm_symbol, chroma_mode | None for DM).
 
@@ -242,10 +304,15 @@ class FrameDecoder(FrameEncoder):
             mts += 1
         return mts
 
-    def _parse_resid(self, w, h, is_luma, isp=0):
+    def _parse_resid(self, w, h, is_luma, isp=0, bdpcm=0):
         """ts_flag + residual parse for one TU component
         (CABACReader::residual_coding entry). Returns
-        (lev, last_pos, violates_mts, ts)."""
+        (lev, last_pos, violates_mts, ts).  ``bdpcm``: transform skip
+        is inferred and the TS parser runs with the BDPCM context/
+        level-mapping changes (CABACReader:2998)."""
+        if bdpcm:
+            return (self.rp_ts.parse(w, h, is_luma=is_luma, bdpcm=True),
+                    -1, False, True)
         ts = False
         if self._ts_allowed(w, h, is_luma, isp):
             ts = bool(self.dec.decode_bin(
@@ -390,12 +457,15 @@ class FrameDecoder(FrameEncoder):
 
     def _recon_chroma_pair(self, pred_u, pred_v, lev_u, lev_v,
                            cbf_u, cbf_v, joint, cw, chh, qp_c, crs,
-                           ts_u=False, ts_v=False):
+                           ts_u=False, ts_v=False, lfnst_idx=0,
+                           lfnst_mode=0):
         bd = self.cfg.bit_depth
         mx = (1 << bd) - 1
+        lf = dict(lfnst_idx=lfnst_idx, intra_mode=lfnst_mode)
 
         def rr(lev, ts, qp):
-            r = self._recon_resid(lev, cw, chh, qp, ts=ts)
+            r = self._recon_resid(lev, cw, chh, qp, ts=ts,
+                                  **({} if ts else lf))
             if crs is not None and lev is not None and lev.any():
                 r = scale_chroma_residual_inv(r, crs, bd)
             return r
@@ -407,16 +477,19 @@ class FrameDecoder(FrameEncoder):
             sign = self.si.jccr_sign
             mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
             if mask == 1:                      # Cr coded, Cb = ±Cr>>1
-                res_cr = self._recon_resid(lev_v, cw, chh, qp_c, ts=ts_v)
+                res_cr = self._recon_resid(lev_v, cw, chh, qp_c, ts=ts_v,
+                                           **({} if ts_v else lf))
                 res_cb = (-res_cr) >> 1 if sign else res_cr >> 1
                 nz = lev_v is not None and lev_v.any()
             elif mask == 2:                    # Cb coded, Cr = ±Cb>>1
-                res_cb = self._recon_resid(lev_u, cw, chh, qp_c, ts=ts_u)
+                res_cb = self._recon_resid(lev_u, cw, chh, qp_c, ts=ts_u,
+                                           **({} if ts_u else lf))
                 res_cr = (-res_cb) >> 1 if sign else res_cb >> 1
                 nz = lev_u is not None and lev_u.any()
             else:                              # mask 3, JOINT QP
                 res_cb = self._recon_resid(
-                    lev_u, cw, chh, self._chroma_qp(joint=True), ts=ts_u)
+                    lev_u, cw, chh, self._chroma_qp(joint=True), ts=ts_u,
+                    **({} if ts_u else lf))
                 res_cr = np.where(res_cb == -32768, 32767,
                                   -res_cb) if sign else res_cb
                 nz = lev_u is not None and lev_u.any()
@@ -442,6 +515,8 @@ class FrameDecoder(FrameEncoder):
         self.unit_qt[r:r + h // 4, c:c + w // 4] = cu.qt_depth
         self.unit_mip[r:r + h // 4, c:c + w // 4] = cu.mip
         self.unit_isp[r:r + h // 4, c:c + w // 4] = cu.isp != 0
+        self.unit_bdpcm[r:r + h // 4, c:c + w // 4] = cu.bdpcm != 0
+        self.unit_bdpcm_c[r:r + h // 4, c:c + w // 4] = cu.bdpcm_c != 0
         if cu.isp:
             self.leaf_l.extend(self._isp_deblock_units(x, y, w, h, cu.isp))
         else:
@@ -454,10 +529,20 @@ class FrameDecoder(FrameEncoder):
         cfg, dec, rp = self.cfg, self.dec, self.rp
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
-        self._parse_intra_luma_mode(cu)
-        cclm_ok = cfg.cclm and not cfg.dual_tree
-        cu.cclm, cu.lm_symbol, cu.chroma_mode = \
-            self._parse_intra_chroma_mode(cclm_ok, cu.mode)
+        cu.bdpcm = self._parse_bdpcm_mode(cu, True)
+        if cu.bdpcm:
+            # intraDir inferred HOR/VER (CABACReader:1354-1356)
+            cu.mode = 18 if cu.bdpcm == 1 else 50
+        else:
+            self._parse_intra_luma_mode(cu)
+        cu.bdpcm_c = self._parse_bdpcm_mode(cu, False)
+        if cu.bdpcm_c:
+            cu.cclm, cu.lm_symbol = False, 0
+            cu.chroma_mode = 18 if cu.bdpcm_c == 1 else 50
+        else:
+            cclm_ok = cfg.cclm and not cfg.dual_tree
+            cu.cclm, cu.lm_symbol, cu.chroma_mode = \
+                self._parse_intra_chroma_mode(cclm_ok, cu.mode)
 
         joint = False
         lev_y = lev_u = lev_v = None
@@ -496,20 +581,26 @@ class FrameDecoder(FrameEncoder):
             assert lfnst_idx == 0, "encoder never pairs LFNST with ISP"
             mts_idx = 0
         else:
-            cbf_u = bool(dec.decode_bin(ctx("QtCbf1", 0)))
-            cbf_v = bool(dec.decode_bin(ctx("QtCbf2", 1 if cbf_u else 0)))
-            cbf_y = bool(dec.decode_bin(ctx("QtCbf0", 0)))
+            # BDPCM overrides the cbf contexts (cbf_comp, :2638-2652)
+            cbf_u = bool(dec.decode_bin(
+                ctx("QtCbf1", 1 if cu.bdpcm_c else 0)))
+            cbf_v = bool(dec.decode_bin(
+                ctx("QtCbf2", 2 if cu.bdpcm_c else (1 if cbf_u else 0))))
+            cbf_y = bool(dec.decode_bin(
+                ctx("QtCbf0", 1 if cu.bdpcm else 0)))
             mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
             if cfg.joint_cbcr and mask:
                 joint = bool(dec.decode_bin(ctx("JointCbCrFlag",
                                                 mask - 1)))
             if cbf_y:
                 lev_y, last_pos_y, violates, ts_y = \
-                    self._parse_resid(w, h, True)
+                    self._parse_resid(w, h, True, bdpcm=cu.bdpcm)
             if cbf_u:
-                lev_u, _, _, ts_u = self._parse_resid(cw, chh, False)
+                lev_u, _, _, ts_u = self._parse_resid(
+                    cw, chh, False, bdpcm=cu.bdpcm_c)
             if cbf_v and not (joint and cbf_u):
-                lev_v, _, _, ts_v = self._parse_resid(cw, chh, False)
+                lev_v, _, _, ts_v = self._parse_resid(
+                    cw, chh, False, bdpcm=cu.bdpcm_c)
             comps = []
             if cbf_y and not ts_y:
                 comps.append((w, h, lev_y))
@@ -531,6 +622,13 @@ class FrameDecoder(FrameEncoder):
         qp_y = cfg.qp + self.qp_bd_offset
         if cu.isp:
             self._recon_isp(cu, subs, qp_y)
+        elif cu.bdpcm:
+            pred_y = self._bdpcm_pred(cu, True)
+            rr = self._recon_resid(
+                self._inv_res_dpcm(lev_y, cu.bdpcm), w, h, qp_y,
+                ts=True) if cbf_y else 0
+            self.recon_y[y:y + h, x:x + w] = np.clip(
+                pred_y + rr, 0, (1 << cfg.bit_depth) - 1)
         else:
             pred_y = self._pred_luma(cu)
             rr = self._recon_resid(lev_y, w, h, qp_y, mts_idx, lfnst_idx,
@@ -538,7 +636,14 @@ class FrameDecoder(FrameEncoder):
             self.recon_y[y:y + h, x:x + w] = np.clip(
                 pred_y + rr, 0, (1 << cfg.bit_depth) - 1)
 
-        pred_u, pred_v = self._pred_chroma(cu, self.coded)
+        if cu.bdpcm_c:
+            pred_u, pred_v = self._bdpcm_pred(cu, False)
+            if cbf_u:
+                lev_u = self._inv_res_dpcm(lev_u, cu.bdpcm_c)
+            if cbf_v and lev_v is not None:
+                lev_v = self._inv_res_dpcm(lev_v, cu.bdpcm_c)
+        else:
+            pred_u, pred_v = self._pred_chroma(cu, self.coded)
         crs = self._crs_scale(x, y, cw, chh)
         qp_c = self._chroma_qp()
         rec_u, rec_v = self._recon_chroma_pair(
@@ -556,7 +661,11 @@ class FrameDecoder(FrameEncoder):
         """Dual-tree luma CU (mirror of FrameEncoder._encode_luma_cu)."""
         cfg, dec, rp = self.cfg, self.dec, self.rp
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
-        self._parse_intra_luma_mode(cu)
+        cu.bdpcm = self._parse_bdpcm_mode(cu, True)
+        if cu.bdpcm:
+            cu.mode = 18 if cu.bdpcm == 1 else 50
+        else:
+            self._parse_intra_luma_mode(cu)
         qp_y = cfg.qp + self.qp_bd_offset
         if cu.isp:
             subs = self._parse_isp_tus(cu)
@@ -566,12 +675,13 @@ class FrameDecoder(FrameEncoder):
             assert lfnst_idx == 0
             self._recon_isp(cu, subs, qp_y)
         else:
-            cbf_y = bool(dec.decode_bin(ctx("QtCbf0", 0)))
+            cbf_y = bool(dec.decode_bin(
+                ctx("QtCbf0", 1 if cu.bdpcm else 0)))
             lev_y = last_pos_y = violates = None
             ts_y = False
             if cbf_y:
                 lev_y, last_pos_y, violates, ts_y = \
-                    self._parse_resid(w, h, True)
+                    self._parse_resid(w, h, True, bdpcm=cu.bdpcm)
             lfnst_idx = self._parse_lfnst_idx(
                 cu, [(w, h, lev_y)] if cbf_y and not ts_y else [], True,
                 ts_used=cbf_y and ts_y)
@@ -580,9 +690,16 @@ class FrameDecoder(FrameEncoder):
                 mts_idx = self._parse_mts_idx(
                     w, h, cbf_y, last_pos_y if cbf_y else -1,
                     violates if cbf_y else False)
-            pred_y = self._pred_luma(cu)
-            rr = self._recon_resid(lev_y, w, h, qp_y, mts_idx, lfnst_idx,
-                                   cu.mode, ts=ts_y) if cbf_y else 0
+            if cu.bdpcm:
+                pred_y = self._bdpcm_pred(cu, True)
+                rr = self._recon_resid(
+                    self._inv_res_dpcm(lev_y, cu.bdpcm), w, h, qp_y,
+                    ts=True) if cbf_y else 0
+            else:
+                pred_y = self._pred_luma(cu)
+                rr = self._recon_resid(lev_y, w, h, qp_y, mts_idx,
+                                       lfnst_idx, cu.mode,
+                                       ts=ts_y) if cbf_y else 0
             self.recon_y[y:y + h, x:x + w] = np.clip(
                 pred_y + rr, 0, (1 << cfg.bit_depth) - 1)
         self._mark_luma(cu)
@@ -594,11 +711,18 @@ class FrameDecoder(FrameEncoder):
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         cu.mode = int(self.unit_mode[(y + h // 2) // 4,
                                      (x + w // 2) // 4])
-        cclm_ok = cfg.cclm and self._cclm_allowed_dual(split_path)
-        cu.cclm, cu.lm_symbol, cu.chroma_mode = \
-            self._parse_intra_chroma_mode(cclm_ok, cu.mode)
-        cbf_u = bool(dec.decode_bin(ctx("QtCbf1", 0)))
-        cbf_v = bool(dec.decode_bin(ctx("QtCbf2", 1 if cbf_u else 0)))
+        cu.bdpcm_c = self._parse_bdpcm_mode(cu, False)
+        if cu.bdpcm_c:
+            cu.cclm, cu.lm_symbol = False, 0
+            cu.chroma_mode = 18 if cu.bdpcm_c == 1 else 50
+        else:
+            cclm_ok = cfg.cclm and self._cclm_allowed_dual(split_path)
+            cu.cclm, cu.lm_symbol, cu.chroma_mode = \
+                self._parse_intra_chroma_mode(cclm_ok, cu.mode)
+        cbf_u = bool(dec.decode_bin(
+            ctx("QtCbf1", 1 if cu.bdpcm_c else 0)))
+        cbf_v = bool(dec.decode_bin(
+            ctx("QtCbf2", 2 if cu.bdpcm_c else (1 if cbf_u else 0))))
         cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
         joint = False
         if cfg.joint_cbcr and cbf_mask:
@@ -606,10 +730,13 @@ class FrameDecoder(FrameEncoder):
                                             cbf_mask - 1)))
         lev_u = lev_v = None
         ts_u = ts_v = False
+        lfnst_idx = 0
         if cbf_u:
-            lev_u, _, _, ts_u = self._parse_resid(cw, chh, False)
+            lev_u, _, _, ts_u = self._parse_resid(
+                cw, chh, False, bdpcm=cu.bdpcm_c)
         if cbf_v and not (joint and cbf_u):
-            lev_v, _, _, ts_v = self._parse_resid(cw, chh, False)
+            lev_v, _, _, ts_v = self._parse_resid(
+                cw, chh, False, bdpcm=cu.bdpcm_c)
         if min(cw, chh) >= 4:
             comps = []
             if cbf_u and not ts_u:
@@ -618,14 +745,27 @@ class FrameDecoder(FrameEncoder):
                 comps.append((cw, chh, lev_v))
             ts_used = (cbf_u and ts_u) or (cbf_v and (ts_v or
                                                       (joint and ts_u)))
-            assert self._parse_lfnst_idx(cu, comps, True,
-                                         ts_used=ts_used) == 0
+            # chroma-tree LFNST (xInvLfnst: sep-tree chroma applies it;
+            # the kernel-set mode is the CHROMA direction, CCLM -> the
+            # co-located luma mode, TrQuant.cpp:xInvLfnst)
+            lfnst_idx = self._parse_lfnst_idx(cu, comps, True,
+                                              ts_used=ts_used)
 
-        pred_u, pred_v = self._pred_chroma(cu, self.coded_c)
+        if cu.bdpcm_c:
+            pred_u, pred_v = self._bdpcm_pred(cu, False)
+            if cbf_u:
+                lev_u = self._inv_res_dpcm(lev_u, cu.bdpcm_c)
+            if cbf_v and lev_v is not None:
+                lev_v = self._inv_res_dpcm(lev_v, cu.bdpcm_c)
+        else:
+            pred_u, pred_v = self._pred_chroma(cu, self.coded_c)
         crs = self._crs_scale(x, y, cw, chh)
+        lfnst_mode = cu.mode if (cu.cclm or cu.chroma_mode is None) \
+            else cu.chroma_mode
         rec_u, rec_v = self._recon_chroma_pair(
             pred_u, pred_v, lev_u, lev_v, cbf_u, cbf_v, joint,
-            cw, chh, self._chroma_qp(), crs, ts_u=ts_u, ts_v=ts_v)
+            cw, chh, self._chroma_qp(), crs, ts_u=ts_u, ts_v=ts_v,
+            lfnst_idx=lfnst_idx, lfnst_mode=lfnst_mode)
         self.recon_u[cy:cy + chh, cx:cx + cw] = rec_u
         self.recon_v[cy:cy + chh, cx:cx + cw] = rec_v
         self.unit_joint2[cy // 2:(cy + chh) // 2,
@@ -633,6 +773,7 @@ class FrameDecoder(FrameEncoder):
             bool(joint and cbf_u and cbf_v)
         r, c = y // 4, x // 4
         self.coded_c[r:r + h // 4, c:c + w // 4] = True
+        self.unit_bdpcm_c[r:r + h // 4, c:c + w // 4] = cu.bdpcm_c != 0
         self.unit_w_c[r:r + h // 4, c:c + w // 4] = w
         self.unit_h_c[r:r + h // 4, c:c + w // 4] = h
         self.unit_qt_c[r:r + h // 4, c:c + w // 4] = cu.qt_depth
@@ -796,7 +937,9 @@ class FrameDecoder(FrameEncoder):
             deblock_frame(self.recon_y, self.recon_u, self.recon_v,
                           self.leaf_l, self.leaf_c, cfg.qp, qp_c_db,
                           bit_depth=cfg.bit_depth, ctu_size=cfg.ctu_size,
-                          qp_c_joint=qp_j_db, joint2=self.unit_joint2)
+                          qp_c_joint=qp_j_db, joint2=self.unit_joint2,
+                          bdpcm_luma=self.unit_bdpcm,
+                          bdpcm_chroma=self.unit_bdpcm_c)
         if cfg.sao:
             apply_sao_frame([self.recon_y, self.recon_u, self.recon_v],
                             sao_params, 128, bit_depth=cfg.bit_depth)

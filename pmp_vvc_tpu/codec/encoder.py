@@ -186,6 +186,8 @@ class CuInfo:
     mrl: int = 0
     isp: int = 0              # 0 off, 1 HOR, 2 VER
     chroma_mode: int | None = None   # non-DM chroma mode (decode side)
+    bdpcm: int = 0            # 0 off, 1 horizontal, 2 vertical (decode)
+    bdpcm_c: int = 0
 
 
 class FrameEncoder:
@@ -266,6 +268,8 @@ class FrameEncoder:
                                     bool)
         self.unit_mip = np.zeros((r4, c4), bool)
         self.unit_isp = np.zeros((r4, c4), bool)
+        self.unit_bdpcm = np.zeros((r4, c4), bool)    # decode-side
+        self.unit_bdpcm_c = np.zeros((r4, c4), bool)
         self.n_cclm = 0                   # CUs that chose CCLM
         self.n_nondm = 0                  # CUs that chose a non-DM chroma mode
         self.n_lfnst = 0                  # CUs that chose LFNST

@@ -73,6 +73,7 @@ class VVCConfig:
     joint_cbcr: bool = False
     transform_skip: bool = False
     ts_max_log2: int = 5           # TransformSkipLog2MaxSize (CTC 5 -> 32)
+    bdpcm: bool = False            # sps_bdpcm_enabled_flag (decode side)
     internal_minus_input: int = 0  # sps_internal_bit_depth_minus_input_bit_depth
     dep_quant: bool = False
     sign_hiding: bool = False
@@ -175,7 +176,7 @@ def write_sps(cfg: VVCConfig) -> bytes:
         # log2_transform_skip_max_size_minus2 + sps_bdpcm_enabled_flag
         # (VLCReader.cpp:1851-1857)
         bw.write_uvlc(cfg.ts_max_log2 - 2)
-        bw.write_flag(0)
+        bw.write_flag(cfg.bdpcm)
     bw.write_flag(cfg.mts_intra)       # sps_mts_enabled_flag
     if cfg.mts_intra:
         bw.write_flag(1)               # sps_explicit_mts_intra_enabled_flag

@@ -98,7 +98,7 @@ def parse_sps(rbsp: bytes) -> VVCConfig:
     cfg.transform_skip = br.read_flag()
     if cfg.transform_skip:
         cfg.ts_max_log2 = br.read_uvlc() + 2
-        _expect(not br.read_flag(), "bdpcm")
+        cfg.bdpcm = bool(br.read_flag())
     cfg.mts_intra = br.read_flag()
     if cfg.mts_intra:
         _expect(br.read_flag(), "implicit MTS")

@@ -548,7 +548,7 @@ class TSResidualParser:
         self.dec = dec
         self.max_log2_dyn = max_log2_dyn_range
 
-    def parse(self, w, h, *, is_luma: bool):
+    def parse(self, w, h, *, is_luma: bool, bdpcm: bool = False):
         del is_luma
         dec = self.dec
         log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
@@ -602,10 +602,12 @@ class TSResidualParser:
                         sc = 1
                     else:
                         sc = 2
-                    sign = dec.decode_bin(ctx("TsResidualSign", sc))
+                    sign = dec.decode_bin(
+                        ctx("TsResidualSign", sc + (3 if bdpcm else 0)))
                     ctx_bins -= 1
                     signs.append((sign, x, y))
-                    npos = (1 if l else 0) + (1 if a else 0)
+                    npos = 3 if bdpcm else \
+                        (1 if l else 0) + (1 if a else 0)
                     gt1 = dec.decode_bin(ctx("TsLrg1Flag", npos))
                     ctx_bins -= 1
                     par = 0
@@ -643,7 +645,7 @@ class TSResidualParser:
                     t += (rem << 1) if pos <= last_p1 else rem
                     if t and pos > last_p1:
                         signs.append((dec.decode_bin_ep(), x, y))
-                if cutoff and t > 0:
+                if cutoff and t > 0 and not bdpcm:
                     l = abs(val[y][x - 1]) if x > 0 else 0
                     a = abs(val[y - 1][x]) if y > 0 else 0
                     pred = max(l, a)
