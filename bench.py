@@ -88,10 +88,9 @@ def _natural_frames(w, h, n):
 
 # the device-toolset envelope: the anchor's "matched" arm disables
 # exactly what the wavefront path cannot run yet (tools/ctc_eval.py)
-MATCHED_OFF = ["--LFNST=0", "--ISP=0", "--MRL=0", "--TransformSkip=0",
+MATCHED_OFF = ["--ISP=0", "--MRL=0", "--TransformSkip=0",
                "--DepQuant=0", "--RDOQ=0", "--RDOQTS=0",
-               "--SignHideFlag=0", "--LMCSEnable=0", "--ALF=0",
-               "--CCALF=0", "--JointCbCr=0"]
+               "--SignHideFlag=0", "--LMCSEnable=0", "--JointCbCr=0"]
 
 
 def _frame_maps(frames, w, h, qp=32):
@@ -188,7 +187,8 @@ def bench_encoder(frames=16, anchor_frames=4):
     enc = WavefrontEncoder(
         VVCConfig(width=w, height=h, qp=32, sao=True,
                   deblocking_disabled=False, dual_tree=True,
-                  mts_intra=True, mip=True, cclm=True,
+                  mts_intra=True, mip=True, cclm=True, lfnst=True,
+                  alf=True, ccalf=True, alf_chroma=True,
                   chroma_qp_start_minus26=-9,
                   chroma_qp_points=((9, 12), (4, 5), (11, 7)),
                   log2_min_cb=2, max_mtt_depth_intra=3,

@@ -30,10 +30,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 VTM_ENC = pathlib.Path("/tmp/vtm_oracle/EncoderApp")
 CTC_CFG = "/root/reference/codec/demo/cfg/encoder_intra_vtm.cfg"
-MATCHED_OFF = ["--LFNST=0", "--ISP=0", "--MRL=0", "--TransformSkip=0",
+MATCHED_OFF = ["--ISP=0", "--MRL=0", "--TransformSkip=0",
                "--DepQuant=0", "--RDOQ=0", "--RDOQTS=0",
-               "--SignHideFlag=0", "--LMCSEnable=0", "--ALF=0",
-               "--CCALF=0", "--JointCbCr=0"]
+               "--SignHideFlag=0", "--LMCSEnable=0", "--JointCbCr=0"]
 
 
 def synth_frames(w, h, n, seed0=7):
@@ -109,7 +108,8 @@ def run_ours(frames, w, h, qp, level, bd_dir):
     from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
     kw = dict(width=w, height=h, qp=qp, sao=True,
               deblocking_disabled=False, dual_tree=True, mts_intra=True,
-              mip=True, cclm=True, chroma_qp_start_minus26=-9,
+              mip=True, cclm=True, lfnst=True, alf=True, ccalf=True,
+              alf_chroma=True, chroma_qp_start_minus26=-9,
               chroma_qp_points=((9, 12), (4, 5), (11, 7)),
               # CTC partition envelope (encoder_intra_vtm.cfg): without
               # these the map decider banned every MTT split and the
