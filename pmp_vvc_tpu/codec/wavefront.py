@@ -132,7 +132,7 @@ def _refs_generic(plane, og4, fi, oi, xs, ys, ws, hs, P, scale, bd):
 
 
 def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside,
-                lev_region=None):
+                lev_region=None, sdh=False):
     """Fused transform->quant->(RD zeroing)->dequant->inverse roundtrip
     with the zero-TU candidate competing (cost = dw*SSE + lam*bits).
     ``lev_region``: optional (B, P, P) bool — levels outside it are
@@ -145,6 +145,9 @@ def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside,
         lev = rd_cleanup_generic(lev, coef, ws, hs, qp, lam, bit_depth=bd)
     if lev_region is not None:
         lev = lev * lev_region
+    if sdh:
+        from ..ops.sdh_generic import apply_sdh_generic
+        lev = apply_sdh_generic(lev, coef, ws, hs, qp, bit_depth=bd)
     deq = dequantize_generic(lev, ws, hs, qp, bit_depth=bd)
     rr = inverse_transform_generic(deq, ws, hs, bit_depth=bd)
     err = ((rr - resid) * inside).astype(jnp.float32)
@@ -165,7 +168,7 @@ _MTS_COMBOS = ((0, (0, 0), 1.0), (2, (2, 2), 2.0), (3, (1, 2), 3.0),
 
 
 def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
-                 mts, lfnst=False, modes=None, lfnst_ok=None):
+                 mts, lfnst=False, modes=None, lfnst_ok=None, sdh=False):
     """Luma TQ with MTS candidate batching (TrQuant.cpp:826 trial set):
     DCT2 plus the four DST7/DCT8 combinations compete under
     cost = SSE + lam * (residual-bits proxy + mts_idx bins); a non-DCT2
@@ -189,6 +192,9 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
         if rd_quant:
             lev = rd_cleanup_generic(lev, coef, ws, hs, qp, lam,
                                      bit_depth=bd)
+        if sdh:
+            from ..ops.sdh_generic import apply_sdh_generic
+            lev = apply_sdh_generic(lev, coef, ws, hs, qp, bit_depth=bd)
         deq = dequantize_generic(lev, ws, hs, qp, bit_depth=bd)
         rr = inverse_transform_generic(deq, ws, hs, bit_depth=bd,
                                        kind_w=kw, kind_h=kh)
@@ -217,6 +223,10 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
             if rd_quant:
                 lev = rd_cleanup_generic(lev, sec, ws, hs, qp, lam,
                                          bit_depth=bd)
+            if sdh:
+                from ..ops.sdh_generic import apply_sdh_generic
+                lev = apply_sdh_generic(lev, sec, ws, hs, qp,
+                                        bit_depth=bd)
             deq = dequantize_generic(lev, ws, hs, qp, bit_depth=bd)
             pri = inv_lfnst_generic(deq, modes, ws, hs, li)
             rr = inverse_transform_generic(pri, ws, hs, bit_depth=bd)
@@ -256,7 +266,7 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
 
 def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                       kind="st", mts=False, mip=False, cclm=False,
-                      lfnst=False):
+                      lfnst=False, sdh=False):
     """Wave-segment body for the P-pad tile class.  ``kind``:
 
     - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
@@ -290,7 +300,7 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
             return _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best,
                                 ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
                                 rd_quant, cclm=cclm,
-                                cclm_ok=(flg & 1) > 0)
+                                cclm_ok=(flg & 1) > 0, sdh=sdh)
         # ---- luma ----
         refs = _refs_generic(ry, og4, fi, oi, xs, ys, ws, hs, P, 1, bd)
         preds = predict_generic(*refs, modes_rmd,
@@ -355,7 +365,7 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                 if mip else jnp.ones(ws.shape, bool)
         lev_y, rec_y, tr_y, lf_y = _tq_luma_mts(
             orgs, pred, ws, hs, qp_y, bd, lam, rd_quant, inside, mts,
-            lfnst=lfnst, modes=best, lfnst_ok=lfnst_ok)
+            lfnst=lfnst, modes=best, lfnst_ok=lfnst_ok, sdh=sdh)
         okm = ok[:, None, None] & inside
         srows = jnp.where(okm, o_rows, _OOB)
         fi3 = fi[:, None, None]
@@ -389,14 +399,15 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                             ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
                             rd_quant, cclm=cclm,
                             cclm_ok=(flg & 1) > 0,
-                            lfnst_active=(lf_y > 0) if lfnst else None)
+                            lfnst_active=(lf_y > 0) if lfnst else None,
+                            sdh=sdh)
 
     return f
 
 
 def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
                  Pc, qp_c, bd, lam, dw_c, rd_quant, cclm=False,
-                 cclm_ok=None, lfnst_active=None):
+                 cclm_ok=None, lfnst_active=None, sdh=False):
     """Chroma half of a wave segment: DM vs CCLM (LM_CHROMA) prediction
     by joint U+V SATD, TQ + scatter.  Coordinates are LUMA-unit
     (x, y, w, h); ``best`` the DM luma mode; ``og4c`` the availability
@@ -478,7 +489,7 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
                                        (pred_v, corg_v, rv, cV)):
         lev_c, rec_c = _tq_generic(org_c, pred_c, cws, chs, qp_c, bd,
                                    lam, dw_c, rd_quant, c_in,
-                                   lev_region=lev_region)
+                                   lev_region=lev_region, sdh=sdh)
         plane = plane.at[fi3, csr, co_cols].set(rec_c, mode="drop")
         lv_p = lv_p.at[fi3, csr, co_cols].set(lev_c.astype(jnp.int16),
                                               mode="drop")
@@ -499,7 +510,7 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                mts=False, mip=False, cclm=False, lfnst=False,
-               mesh=None):
+               sdh=False, mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
     ``lax.scan`` over the packed per-class schedules.  ``classes``:
     (kind, pad) tuples.  Each scan step carries one (B, 7) row per
@@ -508,7 +519,7 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     applies = [_make_class_apply(p, b, qp_y, qp_c, bd, lam, dw_c,
                                  rd_quant, kind=k,
                                  mts=mts and p <= 32, mip=mip,
-                                 cclm=cclm, lfnst=lfnst)
+                                 cclm=cclm, lfnst=lfnst, sdh=sdh)
                for (k, p), b in zip(classes, bszs)]
 
     def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou, ov, og4,
@@ -655,8 +666,7 @@ class WavefrontEncoder(FrameEncoder):
     path (pure-SATD RMD, order-independent rate proxies)."""
 
     _UNSUPPORTED = ("transform_skip", "mrl",
-                    "isp", "joint_cbcr", "lmcs", "dep_quant",
-                    "sign_hiding")
+                    "isp", "joint_cbcr", "lmcs", "dep_quant")
 
     def _set_mip_fields(self, cu, code):
         """Decode the device mip plane value (0 = angular, else
@@ -838,7 +848,8 @@ class WavefrontEncoder(FrameEncoder):
                         qp_y, qp_c, bd, float(self.lam), float(self.dw_c),
                         bool(cfg.rd_quant), mts=bool(cfg.mts_intra),
                         mip=bool(cfg.mip), cclm=bool(cfg.cclm),
-                        lfnst=bool(cfg.lfnst), mesh=self.mesh)
+                        lfnst=bool(cfg.lfnst),
+                        sdh=bool(cfg.sign_hiding), mesh=self.mesh)
         packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou,
                     ov, og4, og4c, *scheds)
         if not fetch:

@@ -183,6 +183,25 @@ def test_wavefront_ctc_tools_rate_parity():
     assert len(bs_w) <= 1.3 * len(bs_s), (len(bs_w), len(bs_s))
 
 
+def test_wavefront_sign_hiding_bit_exact(tmp_path):
+    """SDH on the device path (ops/sdh_generic.py): the adjusted-parity
+    levels must survive the native decoder's sign inference AND the
+    stock VTM decoder, with the full device toolset + random MTT
+    maps."""
+    cfg = VVCConfig(width=192, height=128, qp=32, sign_hiding=True,
+                    dual_tree=True, mts_intra=True, mip=True, cclm=True,
+                    lfnst=True, sao=True, deblocking_disabled=False,
+                    chroma_qp_start_minus26=-9,
+                    chroma_qp_points=((9, 12), (4, 5), (11, 7)))
+    bs, _ = _roundtrip(cfg, maps=_mtt_maps(192, 128))
+    bit = tmp_path / "sdh.bin"
+    bit.write_bytes(bs)
+    r = subprocess.run([str(_DEC), "-b", str(bit), "-o",
+                        str(tmp_path / "out.yuv")],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "(OK)" in r.stdout, r.stdout[-1500:]
+
+
 def test_device_rdo_split_search():
     """VERDICT r3 item 4: device-batched QTMT split search — decodes
     hash-verified and beats QT-only coding by a wide rate margin at

@@ -189,6 +189,13 @@ def main():
 
     import jax
     jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     from pmp_vvc_tpu.utils.bdrate import bd_psnr, bd_rate
 
     w, h = args.width, args.height
