@@ -132,7 +132,7 @@ def _refs_generic(plane, og4, fi, oi, xs, ys, ws, hs, P, scale, bd):
 
 
 def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside,
-                lev_region=None, sdh=False):
+                lev_region=None, sdh=False, return_rr=False):
     """Fused transform->quant->(RD zeroing)->dequant->inverse roundtrip
     with the zero-TU candidate competing (cost = dw*SSE + lam*bits).
     ``lev_region``: optional (B, P, P) bool — levels outside it are
@@ -158,6 +158,8 @@ def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside,
     lev = jnp.where(zero[:, None, None], 0, lev)
     rr = jnp.where(zero[:, None, None], 0, rr)
     rec = jnp.clip(pred + rr, 0, (1 << bd) - 1)
+    if return_rr:
+        return lev, rec, rr
     return lev, rec
 
 
@@ -266,7 +268,7 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
 
 def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                       kind="st", mts=False, mip=False, cclm=False,
-                      lfnst=False, sdh=False):
+                      lfnst=False, sdh=False, jccr=False, qp_j=0):
     """Wave-segment body for the P-pad tile class.  ``kind``:
 
     - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
@@ -300,7 +302,8 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
             return _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best,
                                 ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
                                 rd_quant, cclm=cclm,
-                                cclm_ok=(flg & 1) > 0, sdh=sdh)
+                                cclm_ok=(flg & 1) > 0, sdh=sdh,
+                                jccr=jccr, qp_j=qp_j)
         # ---- luma ----
         refs = _refs_generic(ry, og4, fi, oi, xs, ys, ws, hs, P, 1, bd)
         preds = predict_generic(*refs, modes_rmd,
@@ -400,14 +403,15 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                             rd_quant, cclm=cclm,
                             cclm_ok=(flg & 1) > 0,
                             lfnst_active=(lf_y > 0) if lfnst else None,
-                            sdh=sdh)
+                            sdh=sdh, jccr=jccr, qp_j=qp_j)
 
     return f
 
 
 def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
                  Pc, qp_c, bd, lam, dw_c, rd_quant, cclm=False,
-                 cclm_ok=None, lfnst_active=None, sdh=False):
+                 cclm_ok=None, lfnst_active=None, sdh=False,
+                 jccr=False, qp_j=0):
     """Chroma half of a wave segment: DM vs CCLM (LM_CHROMA) prediction
     by joint U+V SATD, TQ + scatter.  Coordinates are LUMA-unit
     (x, y, w, h); ``best`` the DM luma mode; ``og4c`` the availability
@@ -484,33 +488,74 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
         lev_region = (jnp.asarray(diag_idx)[None]
                       < n_allow[:, None, None]) \
             | no_gate[:, None, None]
-    out = []
-    for pred_c, org_c, plane, lv_p in ((pred_u, corg_u, ru, cU),
-                                       (pred_v, corg_v, rv, cV)):
-        lev_c, rec_c = _tq_generic(org_c, pred_c, cws, chs, qp_c, bd,
-                                   lam, dw_c, rd_quant, c_in,
-                                   lev_region=lev_region, sdh=sdh)
-        plane = plane.at[fi3, csr, co_cols].set(rec_c, mode="drop")
-        lv_p = lv_p.at[fi3, csr, co_cols].set(lev_c.astype(jnp.int16),
-                                              mode="drop")
-        out.append((plane, lv_p))
-    (ru, cU), (rv, cV) = out
-    # record the chroma-mode choice on the luma-unit grid
+    lev_u, rec_u = _tq_generic(corg_u, pred_u, cws, chs, qp_c, bd,
+                               lam, dw_c, rd_quant, c_in,
+                               lev_region=lev_region, sdh=sdh)
+    lev_v, rec_v = _tq_generic(corg_v, pred_v, cws, chs, qp_c, bd,
+                               lam, dw_c, rd_quant, c_in,
+                               lev_region=lev_region, sdh=sdh)
+    use_joint = jnp.zeros(fi.shape, bool)
+    if jccr:
+        # JCCR mask 3 (Cr = -Cb, ph sign flag 1): one joint residual
+        # (resCb - resCr)/2 coded at the JOINT QP, Cr reconstructed by
+        # negation — invTransformCbCr<-2> (TrQuant.cpp:139), joint
+        # flag CABACWriter.cpp:2610; mirrors the sequential
+        # _try_joint_cbcr trial under the wave-path rate proxy
+        res_u = (corg_u - pred_u) * c_in
+        res_v = (corg_v - pred_v) * c_in
+        joint_res = jnp.round((res_u - res_v) / 2.0).astype(jnp.int32)
+        lev_j, rec_ju, rr_j = _tq_generic(
+            pred_u + joint_res, pred_u, cws, chs, qp_j, bd, lam, dw_c,
+            rd_quant, c_in, lev_region=lev_region, sdh=sdh,
+            return_rr=True)
+        # the decoder derives Cr from the UNCLIPPED joint residual
+        # (invTransformCbCr negates res_cb before the Cr clip)
+        rec_jv = jnp.clip(pred_v - rr_j, 0, (1 << bd) - 1)
+        cbf_j = (lev_j != 0).any(axis=(-1, -2))
+
+        def _sse(a, b):
+            d = ((a - b) * c_in).astype(jnp.float32)
+            return (d * d).sum(axis=(-1, -2))
+        cbf_u = (lev_u != 0).any(axis=(-1, -2))
+        cbf_v = (lev_v != 0).any(axis=(-1, -2))
+        bits_s = jnp.where(cbf_u, _bits_proxy(lev_u), 1.0) \
+            + jnp.where(cbf_v, _bits_proxy(lev_v), 1.0) + 1.0
+        bits_j = _bits_proxy(lev_j) + 3.0      # cbfs + joint flag
+        cost_s = dw_c * (_sse(rec_u, corg_u) + _sse(rec_v, corg_v)) \
+            + lam * bits_s
+        cost_j = dw_c * (_sse(rec_ju, corg_u) + _sse(rec_jv, corg_v)) \
+            + lam * bits_j
+        use_joint = cbf_j & (cost_j < cost_s)
+        uj = use_joint[:, None, None]
+        lev_u = jnp.where(uj, lev_j, lev_u)
+        rec_u = jnp.where(uj, rec_ju, rec_u)
+        lev_v = jnp.where(uj, lev_j, lev_v)
+        rec_v = jnp.where(uj, rec_jv, rec_v)
+    ru = ru.at[fi3, csr, co_cols].set(rec_u, mode="drop")
+    cU = cU.at[fi3, csr, co_cols].set(lev_u.astype(jnp.int16),
+                                      mode="drop")
+    rv = rv.at[fi3, csr, co_cols].set(rec_v, mode="drop")
+    cV = cV.at[fi3, csr, co_cols].set(lev_v.astype(jnp.int16),
+                                      mode="drop")
+    # record the chroma choices on the luma-unit grid: bit 0 = CCLM,
+    # bit 1 = joint Cb-Cr residual
     d4 = np.arange(Pc // 2)
     g_rows = ys[:, None, None] // 4 + d4[None, :, None]
     g_cols = xs[:, None, None] // 4 + d4[None, None, :]
     g_ok = ok[:, None, None] & (d4[None, :, None] < hs[:, None, None] // 4) \
         & (d4[None, None, :] < ws[:, None, None] // 4)
+    code = (use_lm.astype(jnp.uint8)
+            + 2 * use_joint.astype(jnp.uint8))
     cg = cg.at[fi3, jnp.where(g_ok, g_rows, _OOB), g_cols].set(
-        jnp.broadcast_to(use_lm[:, None, None].astype(jnp.uint8),
-                         g_rows.shape), mode="drop")
+        jnp.broadcast_to(code[:, None, None], g_rows.shape),
+        mode="drop")
     return ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg
 
 
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                mts=False, mip=False, cclm=False, lfnst=False,
-               sdh=False, mesh=None):
+               sdh=False, jccr=False, qp_j=0, mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
     ``lax.scan`` over the packed per-class schedules.  ``classes``:
     (kind, pad) tuples.  Each scan step carries one (B, 7) row per
@@ -519,7 +564,8 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     applies = [_make_class_apply(p, b, qp_y, qp_c, bd, lam, dw_c,
                                  rd_quant, kind=k,
                                  mts=mts and p <= 32, mip=mip,
-                                 cclm=cclm, lfnst=lfnst, sdh=sdh)
+                                 cclm=cclm, lfnst=lfnst, sdh=sdh,
+                                 jccr=jccr, qp_j=qp_j)
                for (k, p), b in zip(classes, bszs)]
 
     def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou, ov, og4,
@@ -666,7 +712,7 @@ class WavefrontEncoder(FrameEncoder):
     path (pure-SATD RMD, order-independent rate proxies)."""
 
     _UNSUPPORTED = ("transform_skip", "mrl",
-                    "isp", "joint_cbcr", "lmcs", "dep_quant")
+                    "isp", "lmcs", "dep_quant")
 
     def _set_mip_fields(self, cu, code):
         """Decode the device mip plane value (0 = angular, else
@@ -849,7 +895,10 @@ class WavefrontEncoder(FrameEncoder):
                         bool(cfg.rd_quant), mts=bool(cfg.mts_intra),
                         mip=bool(cfg.mip), cclm=bool(cfg.cclm),
                         lfnst=bool(cfg.lfnst),
-                        sdh=bool(cfg.sign_hiding), mesh=self.mesh)
+                        sdh=bool(cfg.sign_hiding),
+                        jccr=bool(cfg.joint_cbcr),
+                        qp_j=qp_c - cfg.chroma_qp_offset
+                        + cfg.jccr_qp_offset, mesh=self.mesh)
         packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou,
                     ov, og4, og4c, *scheds)
         if not fetch:
@@ -866,7 +915,9 @@ class WavefrontEncoder(FrameEncoder):
         mts_idx = int(tg[f, y // 4, x // 4])
         lfnst_idx = int(lg[f, y // 4, x // 4])
         self._set_mip_fields(cu, int(pg[f, y // 4, x // 4]))
-        cclm_flag = bool(cg[f, y // 4, x // 4])
+        cg_code = int(cg[f, y // 4, x // 4])
+        cclm_flag = bool(cg_code & 1)
+        joint = bool(cg_code & 2)
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
         lev_u = cU[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
@@ -881,13 +932,17 @@ class WavefrontEncoder(FrameEncoder):
         enc.encode_bin(1 if cbf_v else 0,
                        ctx("QtCbf2", 1 if cbf_u else 0))
         enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
+        cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
+        if self.cfg.joint_cbcr and cbf_mask:
+            enc.encode_bin(1 if joint else 0,
+                           ctx("JointCbCrFlag", cbf_mask - 1))
         last_pos_y, violates = -1, False
         if cbf_y:
             last_pos_y, violates = self._write_resid(rc, lev_y, w, h,
                                                      True)
         if cbf_u:
             self._write_resid(rc, lev_u, cw, chh, False)
-        if cbf_v:
+        if cbf_v and not joint:
             self._write_resid(rc, lev_v, cw, chh, False)
         comps = [(w, h, lev_y)] if cbf_y else []
         comps += ([(cw, chh, lev_u)] if cbf_u else [])
@@ -904,6 +959,9 @@ class WavefrontEncoder(FrameEncoder):
                                                    cx:cx + cw]
         self.recon_v[cy:cy + chh, cx:cx + cw] = rv[f, cy:cy + chh,
                                                    cx:cx + cw]
+        self.unit_joint2[cy // 2:(cy + chh) // 2,
+                         cx // 2:(cx + cw) // 2] = \
+            bool(joint and cbf_u and cbf_v)
         r, c = y // 4, x // 4
         self.coded[r:r + h // 4, c:c + w // 4] = True
         self.unit_mode[r:r + h // 4, c:c + w // 4] = cu.mode
@@ -961,7 +1019,9 @@ class WavefrontEncoder(FrameEncoder):
         lev_v = cV[f, cy:cy + chh, cx:cx + cw].astype(np.int32)
         cbf_u = bool(lev_u.any())
         cbf_v = bool(lev_v.any())
-        cclm_flag = bool(cg[f, y // 4, x // 4])
+        cg_code = int(cg[f, y // 4, x // 4])
+        cclm_flag = bool(cg_code & 1)
+        joint = bool(cg_code & 2)
         self._write_intra_chroma_mode(
             enc, cclm=cclm_flag,
             cclm_allowed=self.cfg.cclm
@@ -969,9 +1029,13 @@ class WavefrontEncoder(FrameEncoder):
             lm_symbol=0, luma_mode=cu.mode)
         enc.encode_bin(1 if cbf_u else 0, ctx("QtCbf1", 0))
         enc.encode_bin(1 if cbf_v else 0, ctx("QtCbf2", 1 if cbf_u else 0))
+        cbf_mask = (2 if cbf_u else 0) + (1 if cbf_v else 0)
+        if self.cfg.joint_cbcr and cbf_mask:
+            enc.encode_bin(1 if joint else 0,
+                           ctx("JointCbCrFlag", cbf_mask - 1))
         if cbf_u:
             self._write_resid(rc, lev_u, cw, chh, False)
-        if cbf_v:
+        if cbf_v and not joint:
             self._write_resid(rc, lev_v, cw, chh, False)
         if min(cw, chh) >= 4:
             comps = ([(cw, chh, lev_u)] if cbf_u else []) \
@@ -981,6 +1045,9 @@ class WavefrontEncoder(FrameEncoder):
                                                    cx:cx + cw]
         self.recon_v[cy:cy + chh, cx:cx + cw] = rv[f, cy:cy + chh,
                                                    cx:cx + cw]
+        self.unit_joint2[cy // 2:(cy + chh) // 2,
+                         cx // 2:(cx + cw) // 2] = \
+            bool(joint and cbf_u and cbf_v)
         r, c = y // 4, x // 4
         self.coded_c[r:r + h // 4, c:c + w // 4] = True
         self.unit_w_c[r:r + h // 4, c:c + w // 4] = w

@@ -202,6 +202,45 @@ def test_wavefront_sign_hiding_bit_exact(tmp_path):
     assert r.returncode == 0 and "(OK)" in r.stdout, r.stdout[-1500:]
 
 
+def test_wavefront_joint_cbcr_bit_exact(tmp_path):
+    """JCCR (mask 3, Cr = -Cb) on the device path: anti-correlated
+    chroma content must actually trigger joint TUs, and the streams
+    must decode hash-verified natively and on the stock decoder, in
+    both tree modes (TrQuant.cpp:139 invTransformCbCr;
+    CABACWriter.cpp:2610 joint_cb_cr)."""
+    import numpy as np
+    from pmp_vvc_tpu.codec.decoder import decode_stream
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+    rng = np.random.RandomState(3)
+    w, h = 192, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (np.clip(128 + 60 * np.sin(xx / 13.) * np.cos(yy / 17.)
+                 + rng.randn(h, w) * 8, 0, 255).astype(np.int32) << 2)
+    base = 30 * np.sin(xx[::2, ::2] / 9.) + rng.randn(h // 2, w // 2) * 6
+    u = (np.clip(128 + base, 0, 255).astype(np.int32) << 2)
+    v = (np.clip(128 - base, 0, 255).astype(np.int32) << 2)
+    for dual in (False, True):
+        cfg = VVCConfig(width=w, height=h, qp=32, joint_cbcr=True,
+                        sign_hiding=True, dual_tree=dual, mts_intra=True,
+                        mip=True, cclm=True, lfnst=True, sao=True,
+                        deblocking_disabled=False,
+                        chroma_qp_start_minus26=-9,
+                        chroma_qp_points=((9, 12), (4, 5), (11, 7)))
+        enc = WavefrontEncoder(cfg)
+        bs, rec = enc.encode_frame(y, u, v, maps=_mtt_maps(w, h))
+        assert (np.asarray(enc._dev_result[9]) & 2).any(), dual
+        dcfg, got = decode_stream(bs, verify_hash=True)
+        for p, (a, b) in enumerate(zip(got[0], rec)):
+            assert np.array_equal(a, b), (dual, p)
+        bit = tmp_path / f"jccr{int(dual)}.bin"
+        bit.write_bytes(bs)
+        r = subprocess.run([str(_DEC), "-b", str(bit), "-o",
+                            str(tmp_path / "out.yuv")],
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0 and "(OK)" in r.stdout, \
+            (dual, r.stdout[-1000:])
+
+
 def test_device_rdo_split_search():
     """VERDICT r3 item 4: device-batched QTMT split search — decodes
     hash-verified and beats QT-only coding by a wide rate margin at
