@@ -132,13 +132,25 @@ def _refs_generic(plane, og4, fi, oi, xs, ys, ws, hs, P, scale, bd):
 
 
 def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside,
-                lev_region=None, sdh=False, return_rr=False):
+                lev_region=None, sdh=False, return_rr=False, crs=None):
     """Fused transform->quant->(RD zeroing)->dequant->inverse roundtrip
     with the zero-TU candidate competing (cost = dw*SSE + lam*bits).
     ``lev_region``: optional (B, P, P) bool — levels outside it are
     quantized to zero (an always-legal encoder choice; used for the
-    single-tree LFNST chroma constraint)."""
-    resid = (orgs - pred) * inside
+    single-tree LFNST chroma constraint).  ``crs``: optional (B,)
+    LMCS chroma-residual scale (CSCALE_FP_PREC fixed point) — the
+    residual is forward-scaled before the transform and the
+    reconstructed residual inverse-scaled back (Reshape scaleSignal;
+    identity when the scale is 1 << 11)."""
+    resid_u = (orgs - pred) * inside
+    if crs is not None:
+        c3 = crs[:, None, None]
+        sgn = jnp.sign(resid_u)
+        mx = (1 << bd) - 1
+        resid = sgn * jnp.clip(
+            ((jnp.abs(resid_u) << 11) + (c3 >> 1)) // c3, 0, mx)
+    else:
+        resid = resid_u
     coef = forward_transform_generic(resid, ws, hs, bit_depth=bd)
     lev = quantize_generic(coef, ws, hs, qp, bit_depth=bd)
     if rd_quant:
@@ -150,9 +162,13 @@ def _tq_generic(orgs, pred, ws, hs, qp, bd, lam, dw, rd_quant, inside,
         lev = apply_sdh_generic(lev, coef, ws, hs, qp, bit_depth=bd)
     deq = dequantize_generic(lev, ws, hs, qp, bit_depth=bd)
     rr = inverse_transform_generic(deq, ws, hs, bit_depth=bd)
-    err = ((rr - resid) * inside).astype(jnp.float32)
+    if crs is not None:
+        rs = jnp.clip(rr, -(1 << bd), (1 << bd) - 1)
+        rr = jnp.sign(rs) * ((jnp.abs(rs) * c3 + (1 << 10)) >> 11)
+        rr = jnp.clip(rr, -32768, 32767)
+    err = ((rr - resid_u) * inside).astype(jnp.float32)
     cost_code = dw * (err * err).sum(axis=(-1, -2)) + lam * _bits_proxy(lev)
-    rz = resid.astype(jnp.float32)
+    rz = resid_u.astype(jnp.float32)
     cost_zero = dw * (rz * rz).sum(axis=(-1, -2)) + lam * 2.0
     zero = cost_zero <= cost_code
     lev = jnp.where(zero[:, None, None], 0, lev)
@@ -268,7 +284,8 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
 
 def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                       kind="st", mts=False, mip=False, cclm=False,
-                      lfnst=False, sdh=False, jccr=False, qp_j=0):
+                      lfnst=False, sdh=False, jccr=False, qp_j=0,
+                      crs_cfg=None):
     """Wave-segment body for the P-pad tile class.  ``kind``:
 
     - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
@@ -282,6 +299,18 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
     Pure function of (state planes, schedule row, originals, order
     grids); traced once inside the fused scan program."""
     Pc = P // 2
+    crs_lut = None
+    if crs_cfg is not None:
+        # sample -> CRS scale LUT (chromaAdjHelpLUT over the PWL-inverse
+        # bin of the neighbour average), built from the same AI model
+        # the headers signal; crs_cfg = (bit_depth, lmcs_offset) so the
+        # cached trace key stays hashable
+        from .lmcs import Reshaper, derive_ai_model
+        rsh = Reshaper(derive_ai_model(crs_cfg[0], crs_cfg[1]),
+                       crs_cfg[0])
+        samples = np.arange(1 << crs_cfg[0])
+        crs_lut = rsh.chroma_adj_lut[rsh._pwl_idx_inv(samples)] \
+            .astype(np.int32)
     # RMD mode subsampling (IntraSearch.cpp:370 does the same): SATD
     # over planar/DC + the 33 even angulars, then refine the best
     # angular's two odd neighbours.  Decisions are free (any mode is
@@ -303,7 +332,7 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                                 ou, ov, og4c, Pc, qp_c, bd, lam, dw_c,
                                 rd_quant, cclm=cclm,
                                 cclm_ok=(flg & 1) > 0, sdh=sdh,
-                                jccr=jccr, qp_j=qp_j)
+                                jccr=jccr, qp_j=qp_j, crs_lut=crs_lut)
         # ---- luma ----
         refs = _refs_generic(ry, og4, fi, oi, xs, ys, ws, hs, P, 1, bd)
         preds = predict_generic(*refs, modes_rmd,
@@ -403,7 +432,8 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                             rd_quant, cclm=cclm,
                             cclm_ok=(flg & 1) > 0,
                             lfnst_active=(lf_y > 0) if lfnst else None,
-                            sdh=sdh, jccr=jccr, qp_j=qp_j)
+                            sdh=sdh, jccr=jccr, qp_j=qp_j,
+                            crs_lut=crs_lut)
 
     return f
 
@@ -411,7 +441,7 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
 def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
                  Pc, qp_c, bd, lam, dw_c, rd_quant, cclm=False,
                  cclm_ok=None, lfnst_active=None, sdh=False,
-                 jccr=False, qp_j=0):
+                 jccr=False, qp_j=0, crs_lut=None):
     """Chroma half of a wave segment: DM vs CCLM (LM_CHROMA) prediction
     by joint U+V SATD, TQ + scatter.  Coordinates are LUMA-unit
     (x, y, w, h); ``best`` the DM luma mode; ``og4c`` the availability
@@ -488,12 +518,45 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
         lev_region = (jnp.asarray(diag_idx)[None]
                       < n_allow[:, None, None]) \
             | no_gate[:, None, None]
+    crs = None
+    if crs_lut is not None:
+        # LMCS chroma-residual scale per 64x64 VPDU: average of the
+        # VPDU's above-row/left-column MAPPED luma recon neighbours ->
+        # chromaAdjHelpLUT (calculateChromaAdjVpduNei,
+        # Reshape.cpp:106-190).  The wave schedule guarantees those
+        # neighbours are reconstructed (vpdu_dep), and the z-scan
+        # property makes the sequential path's single-unit coded check
+        # equivalent to id < oi at the segment's first sample.
+        ry_pl = state[0]
+        vx, vy = (xs // 64) * 64, (ys // 64) * 64
+        l_ok = _avail_from_order(og4c, fi, oi,
+                                 jnp.maximum(vx - 4, 0) // 4,
+                                 vy // 4, vx > 0)
+        t_ok = _avail_from_order(og4c, fi, oi, vx // 4,
+                                 jnp.maximum(vy - 4, 0) // 4, vy > 0)
+        i64 = np.arange(64)
+        Hl, Wl = ry_pl.shape[1], ry_pl.shape[2]
+        lrows = jnp.minimum(vy[:, None] + i64, Hl - 1)
+        s_l = _gather_plane(ry_pl, fi[:, None], lrows,
+                            jnp.maximum(vx - 1, 0)[:, None]).sum(-1)
+        tcols = jnp.minimum(vx[:, None] + i64, Wl - 1)
+        s_t = _gather_plane(ry_pl, fi[:, None],
+                            jnp.maximum(vy - 1, 0)[:, None], tcols).sum(-1)
+        s = jnp.where(l_ok, s_l, 0) + jnp.where(t_ok, s_t, 0)
+        n = l_ok.astype(jnp.int32) + t_ok.astype(jnp.int32)
+        avg = jnp.where(
+            n == 0, 1 << (bd - 1),
+            (s + (32 << jnp.maximum(n - 1, 0))) >> (5 + n))
+        crs_all = jnp.take(jnp.asarray(crs_lut),
+                           jnp.clip(avg, 0, crs_lut.shape[0] - 1))
+        # gate: TUs of <= 4 chroma samples are not scaled (DecCu.cpp)
+        crs = jnp.where(cws * chs > 4, crs_all, 1 << 11)
     lev_u, rec_u = _tq_generic(corg_u, pred_u, cws, chs, qp_c, bd,
                                lam, dw_c, rd_quant, c_in,
-                               lev_region=lev_region, sdh=sdh)
+                               lev_region=lev_region, sdh=sdh, crs=crs)
     lev_v, rec_v = _tq_generic(corg_v, pred_v, cws, chs, qp_c, bd,
                                lam, dw_c, rd_quant, c_in,
-                               lev_region=lev_region, sdh=sdh)
+                               lev_region=lev_region, sdh=sdh, crs=crs)
     use_joint = jnp.zeros(fi.shape, bool)
     if jccr:
         # JCCR mask 3 (Cr = -Cb, ph sign flag 1): one joint residual
@@ -507,7 +570,7 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
         lev_j, rec_ju, rr_j = _tq_generic(
             pred_u + joint_res, pred_u, cws, chs, qp_j, bd, lam, dw_c,
             rd_quant, c_in, lev_region=lev_region, sdh=sdh,
-            return_rr=True)
+            return_rr=True, crs=crs)
         # the decoder derives Cr from the UNCLIPPED joint residual
         # (invTransformCbCr negates res_cb before the Cr clip)
         rec_jv = jnp.clip(pred_v - rr_j, 0, (1 << bd) - 1)
@@ -555,7 +618,7 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                mts=False, mip=False, cclm=False, lfnst=False,
-               sdh=False, jccr=False, qp_j=0, mesh=None):
+               sdh=False, jccr=False, qp_j=0, crs_cfg=None, mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
     ``lax.scan`` over the packed per-class schedules.  ``classes``:
     (kind, pad) tuples.  Each scan step carries one (B, 7) row per
@@ -565,7 +628,7 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                                  rd_quant, kind=k,
                                  mts=mts and p <= 32, mip=mip,
                                  cclm=cclm, lfnst=lfnst, sdh=sdh,
-                                 jccr=jccr, qp_j=qp_j)
+                                 jccr=jccr, qp_j=qp_j, crs_cfg=crs_cfg)
                for (k, p), b in zip(classes, bszs)]
 
     def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou, ov, og4,
@@ -678,10 +741,14 @@ def _order_grid(leaves, width, height):
     return g
 
 
-def _schedule_waves(leaves, order, width, height):
+def _schedule_waves(leaves, order, width, height, vpdu_dep=False):
     """Wave level per leaf: 1 + max level over earlier-coding-order
     leaves intersecting the intra reference template (above row
-    x-1..x+2w-1, left column y..y+2h-1)."""
+    x-1..x+2w-1, left column y..y+2h-1).  ``vpdu_dep``: additionally
+    wait for the leaf's 64x64 VPDU's above-row/left-column neighbours
+    — the LMCS chroma-residual scale averages them
+    (calculateChromaAdjVpduNei, Reshape.cpp:106), so they must be
+    reconstructed before the CU's wave step."""
     r4, c4 = order.shape
     wave = np.zeros(len(leaves), np.int32)
     for i, leaf in enumerate(leaves):
@@ -701,6 +768,18 @@ def _schedule_waves(leaves, order, width, height):
             m = col[(col >= 0) & (col < i)]
             if m.size:
                 lvl = max(lvl, int(wave[m].max()) + 1)
+        if vpdu_dep:
+            vx, vy = (x // 64) * 64, (y // 64) * 64
+            if vx > 0:
+                col = order[vy // 4:min(r4, (vy + 64) // 4), (vx - 4) // 4]
+                m = col[(col >= 0) & (col < i)]
+                if m.size:
+                    lvl = max(lvl, int(wave[m].max()) + 1)
+            if vy > 0:
+                row = order[(vy - 4) // 4, vx // 4:min(c4, (vx + 64) // 4)]
+                m = row[(row >= 0) & (row < i)]
+                if m.size:
+                    lvl = max(lvl, int(wave[m].max()) + 1)
         wave[i] = lvl
     return wave
 
@@ -711,8 +790,7 @@ class WavefrontEncoder(FrameEncoder):
     the stock VTM decoder); decisions may differ from the sequential
     path (pure-SATD RMD, order-independent rate proxies)."""
 
-    _UNSUPPORTED = ("transform_skip", "mrl",
-                    "isp", "lmcs", "dep_quant")
+    _UNSUPPORTED = ("transform_skip", "mrl", "isp", "dep_quant")
 
     def _set_mip_fields(self, cu, code):
         """Decode the device mip plane value (0 = angular, else
@@ -806,9 +884,15 @@ class WavefrontEncoder(FrameEncoder):
 
         import collections
         ogs, ogcs, per_frame = [], [], []
+        crs_on = bool(cfg.lmcs and cfg.lmcs_chroma_scaling)
         for f, (leaves, cleaves, *_d) in enumerate(frames):
             order = _order_grid(leaves, W, H)
-            wave = _schedule_waves(leaves, order, W, H)
+            # single tree codes chroma inside the luma wave step, so
+            # the CRS VPDU-neighbour dependency applies there; the
+            # dual-tree chroma schedule runs after the whole luma
+            # plane and needs none
+            wave = _schedule_waves(leaves, order, W, H,
+                                   vpdu_dep=crs_on and cleaves is None)
             ogs.append(order)
             by_lvl = collections.defaultdict(list)
             kind = "st" if cleaves is None else "luma"
@@ -870,8 +954,17 @@ class WavefrontEncoder(FrameEncoder):
                     step_arr[k2][t, k] = (f, x, y, w, h, i, 1, flg)
         scheds = [jnp.asarray(step_arr[k2]) for k2 in active]
 
-        oy = jnp.asarray(np.stack([np.asarray(fr[2], np.int32)
-                                   for fr in frames]))
+        # LMCS: luma is coded in the MAPPED domain — fwd-map the source
+        # once on upload; recon planes stay mapped (intra refs read
+        # them) and the shared encode_frame tail inverse-maps before
+        # the in-loop filters (Reshape.cpp; encoder.py:2332)
+        if self.reshaper is not None:
+            oy = jnp.asarray(np.stack(
+                [self.reshaper.fwd(np.asarray(fr[2], np.int32))
+                 .astype(np.int32) for fr in frames]))
+        else:
+            oy = jnp.asarray(np.stack([np.asarray(fr[2], np.int32)
+                                       for fr in frames]))
         ou = jnp.asarray(np.stack([np.asarray(fr[3], np.int32)
                                    for fr in frames]))
         ov = jnp.asarray(np.stack([np.asarray(fr[4], np.int32)
@@ -898,7 +991,9 @@ class WavefrontEncoder(FrameEncoder):
                         sdh=bool(cfg.sign_hiding),
                         jccr=bool(cfg.joint_cbcr),
                         qp_j=qp_c - cfg.chroma_qp_offset
-                        + cfg.jccr_qp_offset, mesh=self.mesh)
+                        + cfg.jccr_qp_offset,
+                        crs_cfg=(bd, cfg.lmcs_offset) if crs_on
+                        else None, mesh=self.mesh)
         packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou,
                     ov, og4, og4c, *scheds)
         if not fetch:

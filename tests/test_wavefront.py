@@ -241,6 +241,43 @@ def test_wavefront_joint_cbcr_bit_exact(tmp_path):
             (dual, r.stdout[-1000:])
 
 
+def test_wavefront_lmcs_bit_exact(tmp_path):
+    """LMCS on the device path: luma coded in the mapped domain (fwd
+    LUT at upload, picture-level inverse before the loop filters) and
+    chroma residual scaling from the device-computed VPDU-neighbour
+    average (Reshape.cpp:106 calculateChromaAdjVpduNei).  CRS is
+    DECODER-DERIVED (no syntax), so the hash-verified decode proves
+    the device derivation matches the normative one sample-for-sample;
+    the AI model's scale LUT is non-identity over >99% of the sample
+    range, so the check is not vacuous."""
+    import numpy as np
+    from pmp_vvc_tpu.codec.decoder import decode_stream
+    from pmp_vvc_tpu.codec.wavefront import WavefrontEncoder
+    w, h = 192, 128
+    y, u, v = _synth(w, h)
+    maps = _mtt_maps(w, h)
+    for dual in (False, True):
+        cfg = VVCConfig(width=w, height=h, qp=32, lmcs=True,
+                        lmcs_chroma_scaling=True, joint_cbcr=True,
+                        sign_hiding=True, dual_tree=dual, mts_intra=True,
+                        mip=True, cclm=True, lfnst=True, sao=True,
+                        deblocking_disabled=False,
+                        chroma_qp_start_minus26=-9,
+                        chroma_qp_points=((9, 12), (4, 5), (11, 7)))
+        enc = WavefrontEncoder(cfg)
+        bs, rec = enc.encode_frame(y, u, v, maps=maps)
+        dcfg, got = decode_stream(bs, verify_hash=True)
+        for p, (a, b) in enumerate(zip(got[0], rec)):
+            assert np.array_equal(a, b), (dual, p)
+        bit = tmp_path / f"lmcs{int(dual)}.bin"
+        bit.write_bytes(bs)
+        r = subprocess.run([str(_DEC), "-b", str(bit), "-o",
+                            str(tmp_path / "out.yuv")],
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0 and "(OK)" in r.stdout, \
+            (dual, r.stdout[-1000:])
+
+
 def test_device_rdo_split_search():
     """VERDICT r3 item 4: device-batched QTMT split search — decodes
     hash-verified and beats QT-only coding by a wide rate margin at
