@@ -90,7 +90,7 @@ def _natural_frames(w, h, n):
 # exactly what the wavefront path cannot run yet (tools/ctc_eval.py)
 MATCHED_OFF = ["--ISP=0", "--MRL=0", "--TransformSkip=0",
                "--DepQuant=0", "--RDOQ=0", "--RDOQTS=0",
-               "--SignHideFlag=0", "--LMCSEnable=0", "--JointCbCr=0"]
+               "--SignHideFlag=1"]
 
 
 def _frame_maps(frames, w, h, qp=32):
@@ -189,6 +189,8 @@ def bench_encoder(frames=16, anchor_frames=4):
                   deblocking_disabled=False, dual_tree=True,
                   mts_intra=True, mip=True, cclm=True, lfnst=True,
                   alf=True, ccalf=True, alf_chroma=True,
+                  sign_hiding=True, joint_cbcr=True, lmcs=True,
+                  lmcs_chroma_scaling=True,
                   chroma_qp_start_minus26=-9,
                   chroma_qp_points=((9, 12), (4, 5), (11, 7)),
                   log2_min_cb=2, max_mtt_depth_intra=3,

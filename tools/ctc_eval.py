@@ -32,7 +32,7 @@ VTM_ENC = pathlib.Path("/tmp/vtm_oracle/EncoderApp")
 CTC_CFG = "/root/reference/codec/demo/cfg/encoder_intra_vtm.cfg"
 MATCHED_OFF = ["--ISP=0", "--MRL=0", "--TransformSkip=0",
                "--DepQuant=0", "--RDOQ=0", "--RDOQTS=0",
-               "--SignHideFlag=0", "--LMCSEnable=0", "--JointCbCr=0"]
+               "--SignHideFlag=1"]
 
 
 def synth_frames(w, h, n, seed0=7):
@@ -109,7 +109,9 @@ def run_ours(frames, w, h, qp, level, bd_dir):
     kw = dict(width=w, height=h, qp=qp, sao=True,
               deblocking_disabled=False, dual_tree=True, mts_intra=True,
               mip=True, cclm=True, lfnst=True, alf=True, ccalf=True,
-              alf_chroma=True, chroma_qp_start_minus26=-9,
+              alf_chroma=True, sign_hiding=True, joint_cbcr=True,
+              lmcs=True, lmcs_chroma_scaling=True,
+              chroma_qp_start_minus26=-9,
               chroma_qp_points=((9, 12), (4, 5), (11, 7)),
               # CTC partition envelope (encoder_intra_vtm.cfg): without
               # these the map decider banned every MTT split and the
@@ -189,13 +191,10 @@ def main():
 
     import jax
     jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
-    except Exception:
-        pass
+    # NOTE: no persistent compilation cache here — XLA:CPU AOT cache
+    # entries on this host reload with a machine-feature mismatch
+    # warning and have produced SIGSEGVs mid-sweep; the in-process jit
+    # cache already shares compiles across levels within a QP
     from pmp_vvc_tpu.utils.bdrate import bd_psnr, bd_rate
 
     w, h = args.width, args.height
