@@ -88,9 +88,8 @@ def _natural_frames(w, h, n):
 
 # the device-toolset envelope: the anchor's "matched" arm disables
 # exactly what the wavefront path cannot run yet (tools/ctc_eval.py)
-MATCHED_OFF = ["--ISP=0", "--MRL=0", "--TransformSkip=0",
-               "--DepQuant=0", "--RDOQ=0", "--RDOQTS=0",
-               "--SignHideFlag=1"]
+MATCHED_OFF = ["--ISP=0", "--MRL=0", "--DepQuant=0", "--RDOQ=0",
+               "--RDOQTS=0", "--SignHideFlag=1"]
 
 
 def _frame_maps(frames, w, h, qp=32):
@@ -190,7 +189,7 @@ def bench_encoder(frames=16, anchor_frames=4):
                   mts_intra=True, mip=True, cclm=True, lfnst=True,
                   alf=True, ccalf=True, alf_chroma=True,
                   sign_hiding=True, joint_cbcr=True, lmcs=True,
-                  lmcs_chroma_scaling=True,
+                  lmcs_chroma_scaling=True, transform_skip=True,
                   chroma_qp_start_minus26=-9,
                   chroma_qp_points=((9, 12), (4, 5), (11, 7)),
                   log2_min_cb=2, max_mtt_depth_intra=3,

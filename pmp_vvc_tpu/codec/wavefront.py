@@ -186,7 +186,8 @@ _MTS_COMBOS = ((0, (0, 0), 1.0), (2, (2, 2), 2.0), (3, (1, 2), 3.0),
 
 
 def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
-                 mts, lfnst=False, modes=None, lfnst_ok=None, sdh=False):
+                 mts, lfnst=False, modes=None, lfnst_ok=None, sdh=False,
+                 ts_max=0):
     """Luma TQ with MTS candidate batching (TrQuant.cpp:826 trial set):
     DCT2 plus the four DST7/DCT8 combinations compete under
     cost = SSE + lam * (residual-bits proxy + mts_idx bins); a non-DCT2
@@ -262,6 +263,41 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
             costs.append(cost)
             idxs.append(0)
             lfs.append(li)
+    if ts_max:
+        # transform skip as MTS_SKIP (mtsIdx 1): identity transform +
+        # TS quant (Quant.cpp TS branch, iTransformShift = 0, no sqrt2;
+        # QP clamped to >= 4), residual coded by the TS coder at
+        # replay.  No RD cleanup / SDH on the TS path (the sequential
+        # _tq_roundtrip mts_idx==1 branch does neither).
+        from ..ops.quant import (COEFF_MAX, COEFF_MIN, INV_QUANT_SCALES,
+                                 IQUANT_SHIFT, QUANT_SCALES, QUANT_SHIFT,
+                                 ts_qp)
+        qpt = ts_qp(qp)
+        q_bits = QUANT_SHIFT + qpt // 6
+        scale = int(QUANT_SCALES[0][qpt % 6])
+        add = 171 << (q_bits - 9)
+        mag = jnp.minimum((jnp.abs(resid) * scale + add) >> q_bits,
+                          COEFF_MAX)
+        lev = jnp.where(resid < 0, -mag, mag)
+        iscale = int(INV_QUANT_SCALES[0][qpt % 6])
+        shift = IQUANT_SHIFT - qpt // 6
+        lvl = jnp.clip(lev, COEFF_MIN, COEFF_MAX)
+        if shift > 0:
+            rr = (lvl * iscale + (1 << (shift - 1))) >> shift
+        else:
+            rr = (lvl * iscale) << (-shift)
+        rr = jnp.clip(rr, COEFF_MIN, COEFF_MAX)
+        err = ((rr - resid) * inside).astype(jnp.float32)
+        cost = (err * err).sum(axis=(-1, -2)) \
+            + lam * (_bits_proxy(lev) + 1.0)    # transform_skip_flag
+        ok = (ws <= ts_max) & (hs <= ts_max) \
+            & (lev != 0).any(axis=(-1, -2))
+        cost = jnp.where(ok, cost, jnp.inf)
+        levs.append(lev)
+        rrs.append(rr)
+        costs.append(cost)
+        idxs.append(1)
+        lfs.append(0)
     costs = jnp.stack(costs, axis=1)                      # (B, C)
     k = jnp.argmin(costs, axis=1)
     lev = jnp.take_along_axis(jnp.stack(levs, 1),
@@ -285,7 +321,7 @@ def _tq_luma_mts(orgs, pred, ws, hs, qp, bd, lam, rd_quant, inside,
 def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                       kind="st", mts=False, mip=False, cclm=False,
                       lfnst=False, sdh=False, jccr=False, qp_j=0,
-                      crs_cfg=None):
+                      crs_cfg=None, ts_max=0):
     """Wave-segment body for the P-pad tile class.  ``kind``:
 
     - "st"     single tree — luma RMD + TQ, then chroma DM + TQ of the
@@ -397,7 +433,8 @@ def _make_class_apply(P, bsz, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                 if mip else jnp.ones(ws.shape, bool)
         lev_y, rec_y, tr_y, lf_y = _tq_luma_mts(
             orgs, pred, ws, hs, qp_y, bd, lam, rd_quant, inside, mts,
-            lfnst=lfnst, modes=best, lfnst_ok=lfnst_ok, sdh=sdh)
+            lfnst=lfnst, modes=best, lfnst_ok=lfnst_ok, sdh=sdh,
+            ts_max=ts_max)
         okm = ok[:, None, None] & inside
         srows = jnp.where(okm, o_rows, _OOB)
         fi3 = fi[:, None, None]
@@ -618,7 +655,8 @@ def _chroma_part(state, fi, xs, ys, ws, hs, oi, ok, best, ou, ov, og4c,
 @functools.cache
 def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                mts=False, mip=False, cclm=False, lfnst=False,
-               sdh=False, jccr=False, qp_j=0, crs_cfg=None, mesh=None):
+               sdh=False, jccr=False, qp_j=0, crs_cfg=None, ts_max=0,
+               mesh=None):
     """ONE jitted program running every wave segment of a frame batch:
     ``lax.scan`` over the packed per-class schedules.  ``classes``:
     (kind, pad) tuples.  Each scan step carries one (B, 7) row per
@@ -628,7 +666,8 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                                  rd_quant, kind=k,
                                  mts=mts and p <= 32, mip=mip,
                                  cclm=cclm, lfnst=lfnst, sdh=sdh,
-                                 jccr=jccr, qp_j=qp_j, crs_cfg=crs_cfg)
+                                 jccr=jccr, qp_j=qp_j, crs_cfg=crs_cfg,
+                                 ts_max=ts_max)
                for (k, p), b in zip(classes, bszs)]
 
     def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou, ov, og4,
@@ -790,7 +829,7 @@ class WavefrontEncoder(FrameEncoder):
     the stock VTM decoder); decisions may differ from the sequential
     path (pure-SATD RMD, order-independent rate proxies)."""
 
-    _UNSUPPORTED = ("transform_skip", "mrl", "isp", "dep_quant")
+    _UNSUPPORTED = ("mrl", "isp", "dep_quant")
 
     def _set_mip_fields(self, cu, code):
         """Decode the device mip plane value (0 = angular, else
@@ -993,7 +1032,9 @@ class WavefrontEncoder(FrameEncoder):
                         qp_j=qp_c - cfg.chroma_qp_offset
                         + cfg.jccr_qp_offset,
                         crs_cfg=(bd, cfg.lmcs_offset) if crs_on
-                        else None, mesh=self.mesh)
+                        else None,
+                        ts_max=(1 << cfg.ts_max_log2)
+                        if cfg.transform_skip else 0, mesh=self.mesh)
         packed = fn(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou,
                     ov, og4, og4c, *scheds)
         if not fetch:
@@ -1031,21 +1072,23 @@ class WavefrontEncoder(FrameEncoder):
         if self.cfg.joint_cbcr and cbf_mask:
             enc.encode_bin(1 if joint else 0,
                            ctx("JointCbCrFlag", cbf_mask - 1))
+        ts_y = mts_idx == 1              # MTS_SKIP = transform skip
         last_pos_y, violates = -1, False
         if cbf_y:
             last_pos_y, violates = self._write_resid(rc, lev_y, w, h,
-                                                     True)
+                                                     True, ts=ts_y)
         if cbf_u:
             self._write_resid(rc, lev_u, cw, chh, False)
         if cbf_v and not joint:
             self._write_resid(rc, lev_v, cw, chh, False)
-        comps = [(w, h, lev_y)] if cbf_y else []
+        comps = [(w, h, lev_y)] if cbf_y and not ts_y else []
         comps += ([(cw, chh, lev_u)] if cbf_u else [])
         comps += ([(cw, chh, lev_v)] if cbf_v else [])
         if not cbf_y:
             lfnst_idx = 0
-        self._write_lfnst_idx(enc, cu, lfnst_idx, comps, False)
-        if lfnst_idx == 0:
+        self._write_lfnst_idx(enc, cu, lfnst_idx, comps, False,
+                              ts_used=cbf_y and ts_y)
+        if lfnst_idx == 0 and not ts_y:
             self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
                                 violates)
 
@@ -1078,17 +1121,19 @@ class WavefrontEncoder(FrameEncoder):
         self._set_mip_fields(cu, int(pg[f, y // 4, x // 4]))
         lev_y = cY[f, y:y + h, x:x + w].astype(np.int32)
         cbf_y = bool(lev_y.any())
+        ts_y = mts_idx == 1              # MTS_SKIP = transform skip
         self._write_intra_luma_mode(enc, cu)
         enc.encode_bin(1 if cbf_y else 0, ctx("QtCbf0", 0))
         last_pos_y, violates = -1, False
         if cbf_y:
             last_pos_y, violates = self._write_resid(rc, lev_y, w, h,
-                                                     True)
+                                                     True, ts=ts_y)
         if not cbf_y:
             lfnst_idx = 0
         self._write_lfnst_idx(enc, cu, lfnst_idx,
-                              [(w, h, lev_y)] if cbf_y else [], True)
-        if lfnst_idx == 0:
+                              [(w, h, lev_y)] if cbf_y and not ts_y
+                              else [], True, ts_used=cbf_y and ts_y)
+        if lfnst_idx == 0 and not ts_y:
             self._write_mts_idx(enc, mts_idx, w, h, cbf_y, last_pos_y,
                                 violates)
         self.recon_y[y:y + h, x:x + w] = ry[f, y:y + h, x:x + w]

@@ -30,9 +30,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 VTM_ENC = pathlib.Path("/tmp/vtm_oracle/EncoderApp")
 CTC_CFG = "/root/reference/codec/demo/cfg/encoder_intra_vtm.cfg"
-MATCHED_OFF = ["--ISP=0", "--MRL=0", "--TransformSkip=0",
-               "--DepQuant=0", "--RDOQ=0", "--RDOQTS=0",
-               "--SignHideFlag=1"]
+MATCHED_OFF = ["--ISP=0", "--MRL=0", "--DepQuant=0", "--RDOQ=0",
+               "--RDOQTS=0", "--SignHideFlag=1"]
 
 
 def synth_frames(w, h, n, seed0=7):
@@ -110,7 +109,7 @@ def run_ours(frames, w, h, qp, level, bd_dir):
               deblocking_disabled=False, dual_tree=True, mts_intra=True,
               mip=True, cclm=True, lfnst=True, alf=True, ccalf=True,
               alf_chroma=True, sign_hiding=True, joint_cbcr=True,
-              lmcs=True, lmcs_chroma_scaling=True,
+              lmcs=True, lmcs_chroma_scaling=True, transform_skip=True,
               chroma_qp_start_minus26=-9,
               chroma_qp_points=((9, 12), (4, 5), (11, 7)),
               # CTC partition envelope (encoder_intra_vtm.cfg): without
