@@ -704,8 +704,12 @@ class FrameDecoder(FrameEncoder):
                 pred_y + rr, 0, (1 << cfg.bit_depth) - 1)
         self._mark_luma(cu)
 
-    def _decode_chroma_cu(self, cu: CuInfo, split_path=(None, None)):
-        """Dual-tree chroma CU (mirror of _encode_chroma_cu)."""
+    def _decode_chroma_cu(self, cu: CuInfo, split_path=(None, None),
+                          scipu=False):
+        """Dual-tree chroma CU (mirror of _encode_chroma_cu); also the
+        region chroma CU of a single-tree SCIPU local dual tree
+        (``scipu``: CCLM always allowed, reference availability from
+        the single-tree coded grid)."""
         cfg, dec, rp = self.cfg, self.dec, self.rp
         x, y, w, h = cu.x, cu.y, cu.w, cu.h
         cx, cy, cw, chh = x // 2, y // 2, w // 2, h // 2
@@ -716,7 +720,8 @@ class FrameDecoder(FrameEncoder):
             cu.cclm, cu.lm_symbol = False, 0
             cu.chroma_mode = 18 if cu.bdpcm_c == 1 else 50
         else:
-            cclm_ok = cfg.cclm and self._cclm_allowed_dual(split_path)
+            cclm_ok = cfg.cclm if scipu else \
+                (cfg.cclm and self._cclm_allowed_dual(split_path))
             cu.cclm, cu.lm_symbol, cu.chroma_mode = \
                 self._parse_intra_chroma_mode(cclm_ok, cu.mode)
         cbf_u = bool(dec.decode_bin(
@@ -758,7 +763,8 @@ class FrameDecoder(FrameEncoder):
             if cbf_v and lev_v is not None:
                 lev_v = self._inv_res_dpcm(lev_v, cu.bdpcm_c)
         else:
-            pred_u, pred_v = self._pred_chroma(cu, self.coded_c)
+            pred_u, pred_v = self._pred_chroma(
+                cu, self.coded if scipu else self.coded_c)
         crs = self._crs_scale(x, y, cw, chh)
         lfnst_mode = cu.mode if (cu.cclm or cu.chroma_mode is None) \
             else cu.chroma_mode
@@ -781,13 +787,14 @@ class FrameDecoder(FrameEncoder):
 
     # ---- coding tree ------------------------------------------------------
 
-    def _decode_tree(self, x, y, w, h, state):
+    def _decode_tree(self, x, y, w, h, state, local_dual=False):
         cfg = self.cfg
         if x >= cfg.width or y >= cfg.height:
             return
         implicit = get_implicit_split(x, y, w, h, state, cfg)
         split = self._parse_split(x, y, w, h, state)
         if split != Split.NONE:
+            scipu = (not local_dual) and self._scipu_cond(w, h, split)
             imp_bt = state.implicit_bt_depth + (
                 1 if split == implicit
                 and split in (Split.BT_H, Split.BT_V) else 0)
@@ -800,9 +807,22 @@ class FrameDecoder(FrameEncoder):
                     mtt_depth=state.mtt_depth
                     + (0 if split == Split.QT else 1),
                     implicit_bt_depth=imp_bt)
-                self._decode_tree(nx, ny, nw, nh, cstate)
+                self._decode_tree(nx, ny, nw, nh, cstate,
+                                  local_dual=local_dual or scipu)
+            if scipu:
+                # the region's chroma: ONE CU covering the SCIPU node,
+                # parsed after the luma subtree (coding_tree
+                # chromaNotSplit; CCLM is allowed — checkCCLMAllowed
+                # returns true outside slice-level dual tree)
+                self.n_scipu = getattr(self, "n_scipu", 0) + 1
+                self._decode_chroma_cu(CuInfo(x, y, w, h,
+                                              state.qt_depth),
+                                       scipu=True)
             return
-        self._decode_cu(CuInfo(x, y, w, h, state.qt_depth))
+        if local_dual:
+            self._decode_luma_cu(CuInfo(x, y, w, h, state.qt_depth))
+        else:
+            self._decode_cu(CuInfo(x, y, w, h, state.qt_depth))
 
     def _decode_tree_ch(self, x, y, w, h, state, chroma, depth64=0,
                         path=(None, None)):
@@ -965,9 +985,11 @@ def decode_stream(data: bytes, verify_hash: bool = True):
     """
     bs: Bitstream = parse_bitstream(data)
     frames = []
+    decode_stream.n_scipu = 0        # exposed for tests/stats
     for i, si in enumerate(bs.slices):
         fd = FrameDecoder(bs.cfg, si)
         recon = fd.decode_frame(si.slice_data)
+        decode_stream.n_scipu += getattr(fd, "n_scipu", 0)
         if verify_hash and bs.hashes[i] is not None:
             nbytes = (bs.cfg.bit_depth + 7) // 8
             for plane, want in zip(recon, bs.hashes[i]):

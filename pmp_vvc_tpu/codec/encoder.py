@@ -254,11 +254,13 @@ class FrameEncoder:
         self.recon_y = np.zeros((cfg.height, cfg.width), np.int32)
         self.recon_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
         self.recon_v = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
-        if cfg.dual_tree:
-            self.coded_c = np.zeros((r4, c4), bool)   # chroma-tree units
-            self.unit_w_c = np.zeros((r4, c4), np.int32)   # luma units
-            self.unit_h_c = np.zeros((r4, c4), np.int32)
-            self.unit_qt_c = np.zeros((r4, c4), np.int32)
+        # chroma-tree unit grids: the dual-tree chroma pass fills them,
+        # and single-tree SCIPU (local dual tree) region chroma CUs
+        # reuse the same bookkeeping on decode
+        self.coded_c = np.zeros((r4, c4), bool)
+        self.unit_w_c = np.zeros((r4, c4), np.int32)   # luma units
+        self.unit_h_c = np.zeros((r4, c4), np.int32)
+        self.unit_qt_c = np.zeros((r4, c4), np.int32)
         self.leaf_l = []                  # leaf CUs, luma coords
         self.leaf_c = []                  # leaf CUs, chroma coords
         # chroma TUs coded in JCCR mode 2 (cbf_cb & cbf_cr joint), per
@@ -1994,6 +1996,10 @@ class FrameEncoder:
         order = [Split.NONE, Split.QT, Split.BT_H, Split.BT_V,
                  Split.TT_H, Split.TT_V]
         cands = [s for s in order if can[s]]
+        if tree == "single":
+            # never explore SCIPU-triggering splits (see _encode_tree)
+            cands = [s for s in cands
+                     if s == Split.NONE or not self._scipu_cond(w, h, s)]
         base_est = self.est
         snap = self._state_snapshot(x, y, w, h)
         best = None
@@ -2077,6 +2083,19 @@ class FrameEncoder:
                     (x + 3 * w // 4, y, w // 4, h)]
         return []
 
+    @staticmethod
+    def _scipu_cond(w, h, split):
+        """modeTypeCondition != 0 for an I-slice 4:2:0 single-tree
+        node: the split would create chroma blocks below 16 samples or
+        of width 2 (UnitTools.cpp CU::checkModeTypeCondition; spec
+        7.4.11.4)."""
+        area = w * h
+        return ((area == 64 and split != Split.NONE)
+                or (area == 32 and split in (Split.BT_H, Split.BT_V))
+                or (area == 128 and split in (Split.TT_H, Split.TT_V))
+                or (w == 8 and split == Split.BT_V)
+                or (w == 16 and split == Split.TT_V))
+
     def _encode_tree(self, enc, rc, org, x, y, w, h, state, decide):
         cfg = self.cfg
         if x >= cfg.width or y >= cfg.height:
@@ -2088,6 +2107,20 @@ class FrameEncoder:
             self._rd_search(enc, rc, org, x, y, w, h, state, decide,
                             "single")
             return
+        if split not in (Split.NONE, RDO) and self._scipu_cond(w, h,
+                                                               split):
+            # SCIPU (modeTypeCondition != 0): the decoder would switch
+            # to a local dual tree here (luma-only CUs + one region
+            # chroma CU), which this encoder does not emit — refusing
+            # the split is always conformant; an IMPLICIT such split
+            # cannot be refused, so fail loudly instead of emitting an
+            # illegal stream (UnitTools.cpp CU::checkModeTypeCondition)
+            if split == implicit:
+                raise NotImplementedError(
+                    "implicit boundary split triggers SCIPU "
+                    f"({w}x{h} {split}); single-tree local dual tree "
+                    "encoding is not implemented")
+            split = Split.NONE
         self._write_split(enc, x, y, w, h, state, split)
         if split != Split.NONE:
             imp_bt = state.implicit_bt_depth + (

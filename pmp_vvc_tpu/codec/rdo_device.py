@@ -287,6 +287,12 @@ class DeviceRDO:
                     # intra CUs are capped at 64 (the deciders force the
                     # CTU-level QT; max TB size, SPS log2_max_tb)
                     cands = [s for s in cands if s != Split.NONE]
+                if not cfg.dual_tree:
+                    # single-tree RDO never explores SCIPU-triggering
+                    # splits (FrameEncoder._encode_tree refuses them)
+                    from .encoder import FrameEncoder
+                    cands = [s for s in cands if s == Split.NONE
+                             or not FrameEncoder._scipu_cond(w, h, s)]
             entry = []
             for s in cands:
                 if s == Split.NONE:

@@ -872,6 +872,15 @@ class WavefrontEncoder(FrameEncoder):
             if split is RDO:
                 raise NotImplementedError(
                     "RDO fallback inside the wavefront path")
+            if (not cfg.dual_tree and split != Split.NONE
+                    and self._scipu_cond(w, h, split)):
+                # single tree: refuse SCIPU-triggering splits — must
+                # mirror _encode_tree's guard or the replay tree would
+                # diverge from the collected leaves
+                if split == implicit:
+                    raise NotImplementedError(
+                        "implicit boundary split triggers SCIPU")
+                split = Split.NONE
             if split != Split.NONE:
                 imp_bt = state.implicit_bt_depth + (
                     1 if split == implicit
