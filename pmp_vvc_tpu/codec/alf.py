@@ -241,28 +241,30 @@ def filter_ctu(P, x0, y0, w, h, coeff_px, clip_px, offs, vb_pos, vb_mask,
     ``offs``: OFF7 or OFF5. Returns the (h, w) filtered block."""
     shift = NUM_BITS - 1
     pel_max = (1 << bit_depth) - 1
-    out = np.empty((h, w), np.int64)
     xs = np.arange(w) + x0 + 4
+    rows = y0 + np.arange(h) + 4
+    # per-row VB pointer clamps (few distinct patterns; the tap loop
+    # below is fully vectorised over the block)
+    e_all = np.empty((h, 3), np.int64)
+    m_all = np.empty((h, 3), np.int64)
+    near = np.zeros(h, bool)
     for yy in range(h):
-        y_abs = y0 + yy
-        e, m, near = _vb_row_offsets(y_abs, vb_pos, vb_mask, vb_dist)
-        row = y_abs + 4
-        curr = P[row, xs]
-        acc = np.zeros(w, np.int64)
-        for k, (dy, dx) in enumerate(offs):
-            ey = e[dy - 1] if dy > 0 else 0
-            my = m[dy - 1] if dy > 0 else 0
-            a = P[row + ey, xs + dx]
-            b = P[row + my, xs - dx]
-            c = clip_px[yy, :, k]
-            v = (np.clip(a - curr, -c, c) + np.clip(b - curr, -c, c))
-            acc += coeff_px[yy, :, k] * v
-        if near:
-            acc = (acc + (1 << (shift + 3 - 1))) >> (shift + 3)
-        else:
-            acc = (acc + (1 << (shift - 1))) >> shift
-        out[yy] = np.clip(acc + curr, 0, pel_max)
-    return out
+        e, m, nr = _vb_row_offsets(y0 + yy, vb_pos, vb_mask, vb_dist)
+        e_all[yy], m_all[yy], near[yy] = e, m, nr
+    zero = np.zeros(h, np.int64)
+    curr = P[rows[:, None], xs[None, :]].astype(np.int64)
+    acc = np.zeros((h, w), np.int64)
+    for k, (dy, dx) in enumerate(offs):
+        ey = e_all[:, dy - 1] if dy > 0 else zero
+        my = m_all[:, dy - 1] if dy > 0 else zero
+        a = P[(rows + ey)[:, None], (xs + dx)[None, :]]
+        b = P[(rows + my)[:, None], (xs - dx)[None, :]]
+        c = clip_px[:, :, k]
+        v = np.clip(a - curr, -c, c) + np.clip(b - curr, -c, c)
+        acc += coeff_px[:, :, k] * v
+    sh = np.where(near, shift + 3, shift)[:, None]
+    acc = (acc + (np.int64(1) << (sh - 1))) >> sh
+    return np.clip(acc + curr, 0, pel_max)
 
 
 def apply_luma_ctu(rec_pad, x0, y0, w, h, cls, trs, coeff, clip,

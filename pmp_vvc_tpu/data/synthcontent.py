@@ -128,10 +128,16 @@ def natural_frame(w, h, seed, bit_depth=10):
     # chroma: segmentation colors + soft texture, mildly noisy
     cu = cu + _fractal_noise(rng, h, w, 2.0) * rng.uniform(2, 10)
     cv = cv + _fractal_noise(rng, h, w, 2.0) * rng.uniform(2, 10)
-    y8 = np.clip(luma, 0, 255)
-    u8 = np.clip(128 + cu, 0, 255).reshape(h // 2, 2, w // 2, 2) \
+    # VIDEO (studio) range like real camera/CTC content: the LMCS AI
+    # dQP model (initLUTfromdQPModel, and our decoder-exact mirror)
+    # assigns ZERO codewords outside Y in [64, 940) at 10 bit — VTM
+    # itself crushes full-range synthetic blacks/whites by up to 64
+    # values, which sank both our and the anchor's PSNR whenever LMCS
+    # was on (BASELINE round-4 caveat (c) traces to this)
+    y8 = np.clip(luma, 16, 235)
+    u8 = np.clip(128 + cu, 16, 240).reshape(h // 2, 2, w // 2, 2) \
         .mean(axis=(1, 3))
-    v8 = np.clip(128 + cv, 0, 255).reshape(h // 2, 2, w // 2, 2) \
+    v8 = np.clip(128 + cv, 16, 240).reshape(h // 2, 2, w // 2, 2) \
         .mean(axis=(1, 3))
     sh = bit_depth - 8
     return (np.round(y8).astype(np.int32) << sh,
