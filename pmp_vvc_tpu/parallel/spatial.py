@@ -109,11 +109,19 @@ def spatial_wave_planes(enc, leaves, y, u, v, mesh, axis="sp"):
         og_l[d, :, (s0 - x0) // 4:(s0 - x0) // 4 + (s1 - s0) // 4] = \
             order[:, s0 // 4:s1 // 4]
 
+    assert not cfg.lmcs, \
+        "spatial stripes: LMCS vpdu_dep scheduling not wired"
     apply = _make_class_apply(64, bsz, qp_y, qp_c, bd, float(enc.lam),
                               float(enc.dw_c), bool(cfg.rd_quant),
                               kind="st", mts=bool(cfg.mts_intra),
                               mip=bool(cfg.mip), cclm=bool(cfg.cclm),
-                              lfnst=bool(cfg.lfnst))
+                              lfnst=bool(cfg.lfnst),
+                              sdh=bool(cfg.sign_hiding),
+                              jccr=bool(cfg.joint_cbcr),
+                              qp_j=qp_c - cfg.chroma_qp_offset
+                              + cfg.jccr_qp_offset,
+                              ts_max=(1 << cfg.ts_max_log2)
+                              if cfg.transform_skip else 0)
     perm_r = [(d, d + 1) for d in range(D - 1)]   # send right
     perm_l = [(d + 1, d) for d in range(D - 1)]   # send left
 

@@ -19,6 +19,7 @@ def _synth(w, h, seed=7):
 
 
 _TOOLSET = dict(mts_intra=True, mip=True, cclm=True, lfnst=True,
+                sign_hiding=True, joint_cbcr=True, transform_skip=True,
                 chroma_qp_start_minus26=-9,
                 chroma_qp_points=((9, 12), (4, 5), (11, 7)))
 
