@@ -667,7 +667,9 @@ def _wave_scan(classes, bszs, qp_y, qp_c, bd, lam, dw_c, rd_quant,
                                  mts=mts and p <= 32, mip=mip,
                                  cclm=cclm, lfnst=lfnst, sdh=sdh,
                                  jccr=jccr, qp_j=qp_j, crs_cfg=crs_cfg,
-                                 ts_max=ts_max)
+                                 # the 64-pad class only holds CUs with
+                                 # a side > 32 — TS can never fire there
+                                 ts_max=ts_max if p <= 32 else 0)
                for (k, p), b in zip(classes, bszs)]
 
     def f(ry, ru, rv, cY, cU, cV, mg, tg, pg, cg, lg, oy, ou, ov, og4,
