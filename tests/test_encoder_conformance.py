@@ -405,7 +405,10 @@ def test_mrl_bit_exact(tmp_path):
     from pmp_vvc_tpu.codec.headers import VVCConfig
 
     w, h = 192, 128
-    y, u, v = _synth(w, h, seed=7)
+    # seed 1: seed 7 stopped choosing MRL under current numerics (the
+    # n_mrl trigger is content-dependent; the MRL predictor itself is
+    # oracle-exact in test_intra_mrl)
+    y, u, v = _synth(w, h, seed=1)
     # kitchen sink: every implemented tool at once
     cfg = VVCConfig(width=w, height=h, qp=32, mrl=True, mip=True,
                     lfnst=True, cclm=True, mts_intra=True, joint_cbcr=True,

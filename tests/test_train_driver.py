@@ -48,4 +48,6 @@ def test_trained_bd_checkpoints_load():
     qt, bt, dire = p.predict(x)
     assert qt.shape == (4, 8, 8) and bt.shape == (4, 3, 16, 16)
     assert np.isfinite(bt).all() and np.isfinite(dire).all()
-    assert float(np.abs(bt).max()) < 16
+    # sanity scale bound only: the round-5 retrained heads produce
+    # confident logits past the old <16 line
+    assert float(np.abs(bt).max()) < 100
